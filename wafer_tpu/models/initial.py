@@ -1,0 +1,157 @@
+"""Initial conditions and symmetry constraints for the wavefunction.
+
+Vectorised counterparts of the reference's generators
+(src/config.rs:577-683) plus the mid-plane (anti)symmetrisation
+(src/config.rs:691-728).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wafer_tpu import errors, geometry
+from wafer_tpu.config import Config, InitialCondition, SymmetryConstraint
+
+
+def generate_gaussian(config: Config, init_size, seed: Optional[int] = None) -> jnp.ndarray:
+    """Mean-0 Gaussian noise with σ = ``config.sig``
+    (reference: src/config.rs:636-642, which uses a non-deterministic
+    thread rng; we use a jax PRNG key, optionally seeded for reproducible
+    runs)."""
+    if seed is None:
+        seed = int.from_bytes(os.urandom(4), "little")
+    key = jax.random.PRNGKey(seed)
+    return config.sig * jax.random.normal(key, init_size, dtype=config.real_dtype)
+
+
+def generate_coulomb(config: Config, init_size) -> jnp.ndarray:
+    """Coulomb-like guess: hydrogenic n=1, 2s, 2p₀, 2p±₁ superposition
+    (reference: src/config.rs:650-668).
+
+    Quirks preserved: the centre is ``init_size/2`` in *padded* coordinates,
+    and the "cosines" carry a stray ``dn`` factor exactly as the reference
+    computes them. The reference divides by zero at the exact centre cell
+    (r = 0, which would panic its noisy floats); we define that cell by the
+    r → 0 limit with costheta = cosphi = 0."""
+    rdt = config.real_dtype
+    dn = config.grid.dn
+    m = config.mass
+    fi = jnp.arange(init_size[0], dtype=rdt)[:, None, None]
+    fj = jnp.arange(init_size[1], dtype=rdt)[None, :, None]
+    fk = jnp.arange(init_size[2], dtype=rdt)[None, None, :]
+    dx = fi - init_size[0] / 2.0
+    dy = fj - init_size[1] / 2.0
+    dz = fk - init_size[2] / 2.0
+    r = dn * jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    r_safe = jnp.where(r > 0.0, r, 1.0)
+    costheta = jnp.where(r > 0.0, dn * dz / r_safe, 0.0)
+    cosphi = jnp.where(r > 0.0, dn * dx / r_safe, 0.0)
+    mr2 = jnp.exp(-m * r / 2.0)
+    sin_term = jnp.sqrt(jnp.maximum(1.0 - costheta ** 2, 0.0))
+    return (
+        jnp.exp(-m * r)
+        + (2.0 - m * r) * mr2
+        + m * r * mr2 * costheta
+        + m * r * mr2 * sin_term * cosphi
+    ).astype(rdt)
+
+
+def generate_boolean(init_size, dtype) -> jnp.ndarray:
+    """Parity test grid: 1 where i, j, k are all odd
+    (reference: src/config.rs:676-683 — ``i%2 * j%2 * k%2`` evaluated
+    left-to-right over floats reduces to exactly this)."""
+    i = jnp.arange(init_size[0], dtype=jnp.int32)[:, None, None]
+    j = jnp.arange(init_size[1], dtype=jnp.int32)[None, :, None]
+    k = jnp.arange(init_size[2], dtype=jnp.int32)[None, None, :]
+    return ((i % 2) * (j % 2) * (k % 2)).astype(dtype)
+
+
+def set_initial_conditions(config: Config, log=None, seed: Optional[int] = None) -> jnp.ndarray:
+    """Build the starting wavefunction: generator → Dirichlet shell →
+    symmetrisation (reference: src/config.rs:577-627)."""
+    import logging
+
+    log = log or logging.getLogger("wafer")
+    log.info("Setting initial conditions for wavefunction")
+    init_size = config.padded_size()
+    ic = config.init_condition
+    if ic is InitialCondition.FROM_FILE:
+        from wafer_tpu.io import readers
+
+        try:
+            w = readers.wavefunction(
+                config.wavenum,
+                init_size,
+                config.central_difference.bb,
+                config.output.file_type,
+                log,
+                input_dir=config.input_dir,
+            )
+        except errors.WaferError as exc:
+            raise errors.LoadWavefunctionError(config.wavenum) from exc
+        w = jnp.asarray(w, dtype=config.dtype)
+    elif ic is InitialCondition.GAUSSIAN:
+        w = generate_gaussian(config, init_size, seed=seed)
+    elif ic is InitialCondition.COULOMB:
+        w = generate_coulomb(config, init_size)
+    elif ic is InitialCondition.CONSTANT:
+        w = jnp.full(init_size, 0.1, dtype=config.real_dtype)
+    elif ic is InitialCondition.BOOLEAN:
+        w = generate_boolean(init_size, config.real_dtype)
+    else:  # pragma: no cover
+        raise errors.SetInitialConditionsError()
+
+    w = w.astype(config.dtype)
+    # Dirichlet zero shell of width ext on all six faces
+    # (reference: src/config.rs:597-622)
+    w = geometry.zero_boundary(w, config.central_difference.ext)
+    return symmetrise_wavefunction(config, w)
+
+
+def symmetrise_wavefunction(config: Config, w: jnp.ndarray) -> jnp.ndarray:
+    """Force (anti)symmetry about the y or z mid-plane
+    (reference: src/config.rs:691-728).
+
+    The reference's sequential in-place loop has the net effect (with
+    ``sign = ±1``): cells at or below the mid-plane are scaled by ``sign``;
+    cells above it receive the original value of their mirror image. Writes
+    cover padded indices ``[ext, ext+N]`` along both y and z (the reference
+    hardcodes ``ext = 3``/``bb = 6`` and therefore only functions for
+    SevenPoint; we generalise to the configured halo width)."""
+    sym = config.init_symmetry
+    axis = sym.axis
+    if axis is None:
+        return w
+    ext = config.central_difference.ext
+    size = config.grid.size.as_tuple()
+    n = size[1] if axis == 1 else size[2]
+
+    p = np.arange(w.shape[axis])
+    mid = (ext + n) // 2
+    in_range = (p >= ext) & (p <= ext + n)
+    upper = in_range & (p > mid)
+    lower = in_range & (p <= mid)
+    src = p.copy()
+    src[upper] = ext + n + 1 - p[upper]
+    scale = np.ones(w.shape[axis])
+    scale[lower] = sym.sign
+    # upper cells copy the *pre-scaled* mirror → net scale 1 (sign² = 1)
+
+    mirrored = jnp.take(w, jnp.asarray(src), axis=axis)
+    shape = [1, 1, 1]
+    shape[axis] = w.shape[axis]
+    mirrored = mirrored * jnp.asarray(scale, dtype=w.real.dtype).reshape(shape)
+
+    # Write region: y and z padded indices both within [ext, ext+N]; all x
+    # (reference loops: src/config.rs:701-726)
+    yj = np.arange(w.shape[1])
+    zk = np.arange(w.shape[2])
+    mask_y = (yj >= ext) & (yj <= ext + size[1])
+    mask_z = (zk >= ext) & (zk <= ext + size[2])
+    write = jnp.asarray(mask_y[None, :, None] & mask_z[None, None, :])
+    return jnp.where(write, mirrored, w)

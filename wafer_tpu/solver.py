@@ -1,0 +1,298 @@
+"""Convergence driver: per-state solve loop and multi-state orchestration.
+
+Functional re-design of the reference's ``grid::run``/``solve``
+(src/grid.rs:31-246): the hot path (evolve chunk + fused observables +
+normalise + Gram-Schmidt) stays jit-compiled on device; the host loop only
+syncs four scalars every ``screen_update`` steps to drive convergence checks,
+snapshots and progress output — preserving the reference's exact cadence
+(convergence is tested every ``screen_update`` steps and ``step`` advances by
+that quantum, src/grid.rs:216-220).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wafer_tpu import errors, geometry
+from wafer_tpu.config import Config
+from wafer_tpu.models import initial, potentials as potentials_mod
+from wafer_tpu.models.potentials import Potentials
+from wafer_tpu.ops import gram_schmidt, stencil
+from wafer_tpu.ops.observables import Observables, compute_observables_device
+
+
+@dataclass
+class SolveResult:
+    """Outcome of one state's convergence loop."""
+
+    wnum: int
+    converged: bool
+    observables: Observables
+    steps: int
+    phi: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("order", "n_lower"))
+def _measure_and_prepare(
+    phi, v, r2_grid, pot_sub_array, pot_sub_scalar, w_store, order, dn, mass, n_lower
+):
+    """Fused: observables on current ψ, then normalise, then orthogonalise
+    (reference loop head: src/grid.rs:127-135)."""
+    e, n2, vinf, r2 = compute_observables_device(
+        phi, v, r2_grid, pot_sub_array, pot_sub_scalar, order, dn, mass
+    )
+    phi = gram_schmidt.normalise_wavefunction(phi, n2)
+    phi = gram_schmidt.orthogonalise_wavefunction(phi, w_store, n_lower)
+    return (e, n2, vinf, r2), phi
+
+
+def eta(step: int, diff_old: float, diff_new: float, config: Config) -> Optional[float]:
+    """Estimated ``screen_update`` cycles to convergence via point-slope fit
+    of log₁₀(diff) (reference: src/grid.rs:254-283)."""
+    if diff_new <= 0.0 or diff_old <= 0.0:
+        return None
+    x1 = float(step)
+    y1 = math.log10(diff_new)
+    rise = y1 - math.log10(diff_old)
+    run = float(config.output.screen_update)
+    if run == 0.0:
+        return None
+    m = rise / run
+    if m == 0.0:
+        return None
+    x = (math.log10(config.tolerance) - y1) / m + x1
+    if math.isfinite(x):
+        estimate = math.floor((x - x1) / run)
+        if estimate > 0.0:
+            return estimate
+    return None
+
+
+def _select_initial_condition(
+    config: Config, log, wnum: int, w_store: List[jnp.ndarray], seed=None
+) -> jnp.ndarray:
+    """IC preference: disk (current state, incl. ``_partial``) → previous
+    converged state → configured generator (reference: src/grid.rs:60-100)."""
+    from wafer_tpu.config import InitialCondition
+    from wafer_tpu.io import readers
+
+    if wnum > 0:
+        init_size = config.padded_size()
+        try:
+            wfn = readers.wavefunction(
+                wnum,
+                init_size,
+                config.central_difference.bb,
+                config.output.file_type,
+                log,
+                input_dir=config.input_dir,
+            )
+            log.info("Loaded (current) wavefunction %d from disk", wnum)
+            if config.init_condition is not InitialCondition.FROM_FILE and wnum > config.wavenum:
+                log.warning(
+                    "Loaded a higher order wavefunction from disk although Initial "
+                    "conditions are set to '%s'.",
+                    config.init_condition.display(),
+                )
+            return jnp.asarray(wfn, dtype=config.dtype)
+        except errors.WaferError:
+            log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
+            return w_store[wnum - 1]
+    return initial.set_initial_conditions(config, log, seed=seed)
+
+
+def solve(
+    config: Config,
+    log,
+    debug_level: int,
+    pots: Potentials,
+    wnum: int,
+    w_store: List[jnp.ndarray],
+    seed: Optional[int] = None,
+    progress=None,
+) -> SolveResult:
+    """Converge one state (reference ``solve``, src/grid.rs:50-246)."""
+    from wafer_tpu.io import writers
+    from wafer_tpu.utils import terminal
+
+    phi = _select_initial_condition(config, log, wnum, w_store, seed=seed)
+
+    order = config.central_difference.value
+    ext = config.central_difference.ext
+    dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
+    is_complex = jnp.iscomplexobj(phi)
+
+    r2_grid = geometry.r2_index_grid(
+        config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
+    )
+    n_lower = wnum
+    stacked = jnp.stack(w_store[:n_lower]) if n_lower > 0 else None
+
+    terminal.print_observable_header(wnum)
+
+    step = 0
+    converged = False
+    last_energy = float("inf")
+    diff_old = float("inf")
+    obs = None
+
+    while True:
+        (e, n2, vinf, r2), phi = _measure_and_prepare(
+            phi,
+            pots.v,
+            r2_grid,
+            pots.pot_sub_array,
+            pots.pot_sub_scalar,
+            stacked,
+            order,
+            dn,
+            mass,
+            n_lower,
+        )
+        energy = complex(e) if is_complex else float(e)
+        obs = Observables(
+            energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2)
+        )
+        norm_energy = obs.energy / obs.norm2
+        tau = step * dt
+
+        # Snapshot lifecycle (reference: src/grid.rs:137-158). Note the
+        # reference re-normalises the snapshot with the *stale* norm² after
+        # symmetrisation — preserved for file parity.
+        if config.output.snap_update is not None and step % config.output.snap_update == 0:
+            snap = initial.symmetrise_wavefunction(config, phi)
+            snap = gram_schmidt.normalise_wavefunction(snap, obs.norm2)
+            log.info("Saving partially converged wavefunction %d to disk.", wnum)
+            try:
+                writers.wavefunction(
+                    np.asarray(geometry.work_area(snap, ext)),
+                    wnum,
+                    False,
+                    config.project_name,
+                    config.output.file_type,
+                    output_root=config.output_root,
+                )
+            except errors.WaferError as exc:
+                log.warning(
+                    "Could not output partial wavefunction per snap_update request: %s", exc
+                )
+
+        diff = abs(norm_energy - last_energy)
+        if diff < config.tolerance:
+            if progress is not None:
+                progress.finish()
+            print(terminal.print_measurements(tau, diff, obs))
+            writers.finalise_measurement(
+                obs,
+                wnum,
+                float(config.grid.size.x),
+                config.project_name,
+                config.output.file_type,
+                output_root=config.output_root,
+            )
+            if config.output.snap_update is not None:
+                log.info("Removing partially converged wavefunction %d from disk.", wnum)
+                try:
+                    writers.remove_partial(
+                        wnum,
+                        config.project_name,
+                        config.output.file_type,
+                        output_root=config.output_root,
+                    )
+                except errors.WaferError as exc:
+                    log.warning(
+                        "The temporary wavefunction_%d_partial%s file could not be removed "
+                        "from the output directory: %s",
+                        wnum,
+                        config.output.file_type.extension,
+                        exc,
+                    )
+            converged = True
+            break
+        else:
+            last_energy = norm_energy
+
+        if progress is not None:
+            estimate = eta(step, diff_old, float(diff), config)
+            if estimate is not None:
+                cycles_done = step / config.output.screen_update
+                percent = math.floor(100.0 - (estimate / (cycles_done + estimate) * 100.0))
+                if math.isfinite(percent):
+                    progress.set_position(int(percent))
+            progress.set_message(terminal.print_measurements(tau, diff, obs))
+
+        if config.max_steps is not None and step > config.max_steps:
+            break
+
+        phi = stencil.evolve_chunk(
+            phi,
+            pots.a,
+            pots.b,
+            stacked,
+            order,
+            dt,
+            dn,
+            mass,
+            config.output.screen_update,
+            n_lower,
+        )
+
+        diff_old = float(diff)
+        step += config.output.screen_update
+
+    if config.output.save_wavefns:
+        log.info("Saving wavefunction %d to disk", wnum)
+        try:
+            writers.wavefunction(
+                np.asarray(geometry.work_area(phi, ext)),
+                wnum,
+                converged,
+                config.project_name,
+                config.output.file_type,
+                output_root=config.output_root,
+            )
+        except errors.WaferError as exc:
+            log.warning("Could not write wavefunction to disk: %s", exc)
+
+    if not converged:
+        raise errors.MaxStepError()
+
+    log.info("Calculation Converged")
+    w_store.append(phi)
+    return SolveResult(wnum=wnum, converged=converged, observables=obs, steps=step, phi=phi)
+
+
+def run(
+    config: Config,
+    log=None,
+    debug_level: int = 3,
+    seed: Optional[int] = None,
+    progress_factory=None,
+) -> List[SolveResult]:
+    """Solve all requested states (reference ``run``, src/grid.rs:31-47)."""
+    log = log or logging.getLogger("wafer")
+    pots = potentials_mod.load_arrays(config, log)
+
+    w_store: List[jnp.ndarray] = []
+    if config.wavenum > 0:
+        from wafer_tpu.io import readers
+
+        loaded = readers.load_wavefunctions(config, log)
+        w_store.extend(jnp.asarray(w, dtype=config.dtype) for w in loaded)
+
+    log.info("Starting calculation")
+    results = []
+    for wnum in range(config.wavenum, config.wavemax + 1):
+        progress = progress_factory(wnum) if progress_factory is not None else None
+        results.append(
+            solve(config, log, debug_level, pots, wnum, w_store, seed=seed, progress=progress)
+        )
+    return results
