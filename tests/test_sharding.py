@@ -1,0 +1,162 @@
+"""Multi-device halo exchange and sharded-solver equivalence on a virtual
+8-device CPU mesh (the test strategy SURVEY.md §4 prescribes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import base_config
+from wafer_tpu import geometry
+from wafer_tpu.io import run_dir
+from wafer_tpu.models import initial, potentials as pmod
+from wafer_tpu.ops import stencil
+from wafer_tpu.parallel import halo, make_mesh
+from wafer_tpu.parallel.mesh import AXIS_NAMES
+from wafer_tpu.parallel.sharded import ShardedOps
+from jax.sharding import PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_halo_exchange_matches_zero_padding():
+    """Padded-and-exchanged shards reassemble to the zero-padded global."""
+    rng = np.random.default_rng(0)
+    glob = jnp.asarray(rng.normal(size=(8, 8, 8)))
+    mesh = make_mesh((2, 2, 2))
+
+    def f(block):
+        return halo.exchange_halos(block, 1, (2, 2, 2))
+
+    padded_blocks = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=P(*AXIS_NAMES), out_specs=P(*AXIS_NAMES)
+        )
+    )(glob)
+    # out_specs stitches the padded blocks into a (16,16,16) array of
+    # 2×2×2 blocks each (4+2)... instead verify per-block via addressable shards
+    expected_global = np.pad(np.asarray(glob), 1)
+    for shard in padded_blocks.addressable_shards:
+        idx = shard.index  # slices into the stitched array
+        block = np.asarray(shard.data)
+        # block coords from the stitched index: each block is 6³ here
+        bi = idx[0].start // 6
+        bj = idx[1].start // 6
+        bk = idx[2].start // 6
+        # the matching region of the zero-padded global
+        lo = (bi * 4, bj * 4, bk * 4)
+        ref = expected_global[lo[0] : lo[0] + 6, lo[1] : lo[1] + 6, lo[2] : lo[2] + 6]
+        np.testing.assert_allclose(block, ref)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2), (1, 4, 2)])
+@pytest.mark.parametrize("order", ["ThreePoint", "SevenPoint"])
+def test_sharded_evolve_matches_single_device(mesh_shape, order):
+    """Bit-level agreement between the sharded sweep and the padded
+    single-device sweep. Grid sized so every block is at least ext wide."""
+    n = 16 if order == "ThreePoint" else 24
+    cfg = base_config(
+        central_difference=order,
+        grid={"size": {"x": n, "y": n, "z": n}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 7},
+    )
+    ext = cfg.central_difference.ext
+    rng = np.random.default_rng(1)
+    phi_pad = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size())), ext
+    )
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+
+    # single-device padded path
+    ref = stencil.evolve_chunk(
+        phi_pad, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 7, 0
+    )
+    ref_int = np.asarray(geometry.work_area(ref, ext))
+
+    # sharded interior path
+    mesh = make_mesh(mesh_shape)
+    ops = ShardedOps(cfg, mesh, 0)
+    phi_int = ops.put(geometry.work_area(phi_pad, ext))
+    out = ops.evolve_chunk(
+        phi_int, ops.put(geometry.work_area(a, ext)), ops.put(geometry.work_area(b, ext)),
+        ops.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_int, rtol=1e-13, atol=1e-15)
+
+
+def test_sharded_measure_matches_single_device():
+    cfg = base_config(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.2, "dt": 0.01},
+    )
+    ext = cfg.central_difference.ext
+    rng = np.random.default_rng(2)
+    phi_pad = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size())), ext
+    )
+    v = pmod.generate(cfg)
+    from wafer_tpu.models.potentials import Potentials
+    from wafer_tpu.ops import observables as obs_mod
+
+    pots = Potentials(v=v, a=v, b=v, pot_sub_array=None, pot_sub_scalar=2.5)
+    obs_ref = obs_mod.compute_observables(cfg, pots, phi_pad)
+
+    mesh = make_mesh((2, 2, 2))
+    ops = ShardedOps(cfg, mesh, 0, pot_sub_scalar=2.5)
+    r2 = geometry.r2_index_grid(cfg.work_size(), cfg.grid.size.as_tuple())
+    (e, n2, vinf, r2s), _phi = ops.measure(
+        ops.put(geometry.work_area(phi_pad, ext)),
+        ops.put(geometry.work_area(v, ext)),
+        ops.put(r2),
+        ops.dummy_pot_sub(),
+        ops.put_store(None),
+    )
+    assert abs(float(e) - obs_ref.energy) < 1e-9 * abs(obs_ref.energy)
+    assert abs(float(n2) - obs_ref.norm2) < 1e-12 * obs_ref.norm2
+    assert abs(float(vinf) - obs_ref.v_infinity) < 1e-12 * obs_ref.v_infinity
+    assert abs(float(r2s) - obs_ref.r2) < 1e-12 * obs_ref.r2
+
+
+def test_sharded_excited_state_orthogonality():
+    cfg = base_config(
+        grid={"size": {"x": 8, "y": 8, "z": 8}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    rng = np.random.default_rng(3)
+    mesh = make_mesh((2, 2, 2))
+    ops = ShardedOps(cfg, mesh, 1)
+    lower = rng.normal(size=cfg.work_size())
+    lower /= np.sqrt(np.sum(lower ** 2))
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    phi = ops.put(rng.normal(size=cfg.work_size()))
+    store = ops.put_store(jnp.stack([jnp.asarray(lower)]))
+    out = ops.evolve_chunk(
+        phi,
+        ops.put(geometry.work_area(a, 1)),
+        ops.put(geometry.work_area(b, 1)),
+        store,
+    )
+    overlap = float(np.sum(lower * np.asarray(out)))
+    assert abs(overlap) < 1e-10
+
+
+def test_sharded_solver_end_to_end(tmp_run):
+    """Full sharded harmonic run converges to the oracle on a 2×2×2 mesh."""
+    from wafer_tpu.parallel.solver_sharded import run_sharded
+
+    cfg = base_config(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        potential="Harmonic",
+        init_condition="Constant",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        mesh={"x": 2, "y": 2, "z": 2},
+    )
+    run_dir.check_output_dir(cfg.project_name)
+    results = run_sharded(cfg)
+    e0 = results[0].observables.energy / results[0].observables.norm2
+    assert abs(e0 - 1.5) < 0.02, e0

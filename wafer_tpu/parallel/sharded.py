@@ -1,0 +1,154 @@
+"""Sharded solver kernels: evolve + observables over a device mesh.
+
+Layout: the sharded path stores *interior-only* arrays (N³ — the reference's
+work area) block-partitioned over a 3D mesh. Halos are materialised per step
+by :func:`wafer_tpu.parallel.halo.exchange_halos` (ppermute faces over ICI;
+zeros at the global Dirichlet boundary), which reproduces the single-device
+padded-array semantics exactly. Global reductions (energy, norm², V∞, ⟨r²⟩,
+Gram-Schmidt overlaps) are block partials + ``psum``.
+
+The per-state maths matches the single-device ops in wafer_tpu/ops (same
+update rule as src/grid.rs:544-687 and reductions as src/grid.rs:303-445).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wafer_tpu import geometry
+from wafer_tpu.config import Config
+from wafer_tpu.parallel.halo import exchange_halos
+from wafer_tpu.parallel.mesh import AXIS_NAMES
+
+
+def _abs2(w):
+    if jnp.iscomplexobj(w):
+        return jnp.real(w) ** 2 + jnp.imag(w) ** 2
+    return w * w
+
+
+def _psum(x):
+    return lax.psum(x, AXIS_NAMES)
+
+
+class ShardedOps:
+    """Jitted sharded kernels for one (config, mesh, n_lower) combination.
+
+    ``pot_sub`` mode is fixed at construction: ``pot_sub_scalar`` (constant
+    V∞, folded into the reduction), a sharded pot_sub array (FullCornell), or
+    neither.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        mesh,
+        n_lower: int,
+        has_pot_sub_array: bool = False,
+        pot_sub_scalar: Optional[float] = None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.n_lower = n_lower
+        self.has_pot_sub_array = has_pot_sub_array
+        self.mesh_shape = tuple(int(mesh.shape[a]) for a in AXIS_NAMES)
+
+        order = config.central_difference.value
+        ext = config.central_difference.ext
+        dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
+        _offs, _coeffs, _center, k = geometry.stencil_coefficients(order)
+        denom = k * dn * dn * mass
+        screen_update = config.output.screen_update
+        mesh_shape = self.mesh_shape
+
+        from wafer_tpu.ops.stencil import stencil_taps
+
+        def orthogonalise(phi, store):
+            for s in range(n_lower):
+                lower = store[s]
+                overlap = _psum(jnp.sum(jnp.conj(lower) * phi))
+                phi = phi - lower * overlap
+            return phi
+
+        def step_local(phi, a, b, store):
+            padded = exchange_halos(phi, ext, mesh_shape)
+            taps = stencil_taps(padded, order)
+            phi = phi * a + b * (dt / denom) * taps
+            if n_lower > 0:
+                norm2 = _psum(jnp.sum(_abs2(phi)))
+                phi = phi / jnp.sqrt(norm2).astype(phi.dtype)
+                phi = orthogonalise(phi, store)
+            return phi
+
+        def evolve_chunk_local(phi, a, b, store):
+            return lax.fori_loop(
+                0, screen_update, lambda _i, p: step_local(p, a, b, store), phi
+            )
+
+        def measure_local(phi, v, r2_grid, pot_sub, store):
+            padded = exchange_halos(phi, ext, mesh_shape)
+            taps = stencil_taps(padded, order)
+            wc = jnp.conj(phi) if jnp.iscomplexobj(phi) else phi
+            abs2 = jnp.real(wc * phi)
+            energy = _psum(jnp.sum(v * wc * phi - wc * taps / denom))
+            norm2 = _psum(jnp.sum(abs2))
+            if has_pot_sub_array:
+                v_inf = _psum(jnp.sum(abs2 * pot_sub))
+            elif pot_sub_scalar is not None:
+                v_inf = norm2 * pot_sub_scalar
+            else:
+                v_inf = jnp.zeros((), dtype=abs2.dtype)
+            r2 = _psum(jnp.sum(abs2 * r2_grid))
+            phi = phi / jnp.sqrt(norm2).astype(phi.dtype)
+            phi = orthogonalise(phi, store)
+            return (energy, norm2, v_inf, r2), phi
+
+        grid = P(*AXIS_NAMES)
+        store_spec = P(None, *AXIS_NAMES) if n_lower > 0 else P()
+        sub_spec = grid if has_pot_sub_array else P()
+        scalar = P()
+
+        self.evolve_chunk = jax.jit(
+            jax.shard_map(
+                evolve_chunk_local,
+                mesh=mesh,
+                in_specs=(grid, grid, grid, store_spec),
+                out_specs=grid,
+            )
+        )
+        self.measure = jax.jit(
+            jax.shard_map(
+                measure_local,
+                mesh=mesh,
+                in_specs=(grid, grid, grid, sub_spec, store_spec),
+                out_specs=((scalar, scalar, scalar, scalar), grid),
+            )
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*AXIS_NAMES))
+
+    def put(self, arr):
+        """Place a global interior array onto the mesh, block-partitioned."""
+        return jax.device_put(jnp.asarray(arr), self.sharding())
+
+    def put_replicated(self, arr):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(self.mesh, P()))
+
+    def put_store(self, store):
+        if self.n_lower == 0:
+            return self.put_replicated(jnp.zeros((), dtype=self.config.dtype))
+        return jax.device_put(
+            jnp.asarray(store), NamedSharding(self.mesh, P(None, *AXIS_NAMES))
+        )
+
+    def dummy_pot_sub(self):
+        """Placeholder when no pot_sub array participates."""
+        return self.put_replicated(jnp.zeros((), dtype=self.config.real_dtype))

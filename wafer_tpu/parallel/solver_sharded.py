@@ -1,0 +1,198 @@
+"""Sharded convergence driver: the multi-chip counterpart of solver.run.
+
+Same outer-loop semantics as the single-device driver (convergence every
+``screen_update`` steps, snapshot/restart lifecycle, per-state Gram-Schmidt)
+with interior-only arrays block-partitioned over the configured mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from wafer_tpu import errors, geometry
+from wafer_tpu.config import Config
+from wafer_tpu.models import initial, potentials as potentials_mod
+from wafer_tpu.ops.observables import Observables
+from wafer_tpu.parallel.mesh import make_mesh
+from wafer_tpu.parallel.sharded import ShardedOps
+from wafer_tpu.solver import SolveResult, eta
+
+
+def _interior(config: Config, padded):
+    return geometry.work_area(padded, config.central_difference.ext)
+
+
+def run_sharded(
+    config: Config,
+    log=None,
+    seed: Optional[int] = None,
+    mesh=None,
+    progress_factory=None,
+) -> List[SolveResult]:
+    """Solve all requested states on a device mesh."""
+    log = log or logging.getLogger("wafer")
+    from wafer_tpu.io import writers
+    from wafer_tpu.utils import terminal
+
+    mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
+    pots = potentials_mod.load_arrays(config, log)
+    ext = config.central_difference.ext
+
+    v_int = _interior(config, pots.v)
+    a_int = _interior(config, pots.a)
+    b_int = _interior(config, pots.b)
+    r2_grid = geometry.r2_index_grid(
+        config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
+    )
+
+    w_store: List[jnp.ndarray] = []  # interior-only, host-global jax arrays
+    if config.wavenum > 0:
+        from wafer_tpu.io import readers
+
+        for w in readers.load_wavefunctions(config, log):
+            w_store.append(_interior(config, jnp.asarray(w, dtype=config.dtype)))
+
+    log.info("Starting calculation (sharded over mesh %s)", dict(mesh.shape))
+    results = []
+    for wnum in range(config.wavenum, config.wavemax + 1):
+        progress = progress_factory(wnum) if progress_factory is not None else None
+        results.append(
+            _solve_state(
+                config, log, mesh, wnum, w_store,
+                v_int, a_int, b_int, r2_grid, pots, seed, progress,
+            )
+        )
+    return results
+
+
+def _select_ic(config, log, wnum, w_store, seed):
+    from wafer_tpu.config import InitialCondition
+    from wafer_tpu.io import readers
+
+    if wnum > 0:
+        try:
+            wfn = readers.wavefunction(
+                wnum,
+                config.padded_size(),
+                config.central_difference.bb,
+                config.output.file_type,
+                log,
+                input_dir=config.input_dir,
+            )
+            log.info("Loaded (current) wavefunction %d from disk", wnum)
+            return _interior(config, jnp.asarray(wfn, dtype=config.dtype))
+        except errors.WaferError:
+            log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
+            return w_store[wnum - 1]
+    return _interior(config, initial.set_initial_conditions(config, log, seed=seed))
+
+
+def _solve_state(
+    config, log, mesh, wnum, w_store, v_int, a_int, b_int, r2_grid, pots, seed, progress
+):
+    from wafer_tpu.io import writers
+    from wafer_tpu.utils import terminal
+
+    n_lower = wnum
+    ops = ShardedOps(
+        config,
+        mesh,
+        n_lower,
+        has_pot_sub_array=pots.pot_sub_array is not None,
+        pot_sub_scalar=pots.pot_sub_scalar,
+    )
+    phi = ops.put(_select_ic(config, log, wnum, w_store, seed))
+    v_d = ops.put(v_int)
+    a_d = ops.put(a_int)
+    b_d = ops.put(b_int)
+    r2_d = ops.put(r2_grid)
+    sub_d = ops.put(pots.pot_sub_array) if pots.pot_sub_array is not None else ops.dummy_pot_sub()
+    store_d = ops.put_store(jnp.stack(w_store[:n_lower]) if n_lower else None)
+
+    is_complex = jnp.iscomplexobj(phi)
+    terminal.print_observable_header(wnum)
+
+    step = 0
+    converged = False
+    last_energy = float("inf")
+    diff_old = float("inf")
+    obs = None
+
+    while True:
+        (e, n2, vinf, r2), phi = ops.measure(phi, v_d, r2_d, sub_d, store_d)
+        energy = complex(e) if is_complex else float(e)
+        obs = Observables(energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2))
+        norm_energy = obs.energy / obs.norm2
+        tau = step * config.grid.dt
+
+        if config.output.snap_update is not None and step % config.output.snap_update == 0:
+            # gather → pad → symmetrise → reference's stale-norm² rescale
+            snap = geometry.frame_with_halo(jnp.asarray(np.asarray(phi)), config.central_difference.ext)
+            snap = initial.symmetrise_wavefunction(config, snap)
+            snap = snap / jnp.sqrt(obs.norm2).astype(snap.dtype)
+            log.info("Saving partially converged wavefunction %d to disk.", wnum)
+            try:
+                writers.wavefunction(
+                    np.asarray(geometry.work_area(snap, config.central_difference.ext)),
+                    wnum, False, config.project_name, config.output.file_type,
+                    output_root=config.output_root,
+                )
+            except errors.WaferError as exc:
+                log.warning("Could not output partial wavefunction: %s", exc)
+
+        diff = abs(norm_energy - last_energy)
+        if diff < config.tolerance:
+            if progress is not None:
+                progress.finish()
+            print(terminal.print_measurements(tau, diff, obs))
+            writers.finalise_measurement(
+                obs, wnum, float(config.grid.size.x), config.project_name,
+                config.output.file_type, output_root=config.output_root,
+            )
+            if config.output.snap_update is not None:
+                try:
+                    writers.remove_partial(
+                        wnum, config.project_name, config.output.file_type,
+                        output_root=config.output_root,
+                    )
+                except errors.WaferError:
+                    pass
+            converged = True
+            break
+        last_energy = norm_energy
+
+        if progress is not None:
+            estimate = eta(step, diff_old, float(diff), config)
+            if estimate is not None:
+                cycles_done = step / config.output.screen_update
+                pct = math.floor(100.0 - estimate / (cycles_done + estimate) * 100.0)
+                progress.set_position(int(pct))
+            progress.set_message(terminal.print_measurements(tau, diff, obs))
+
+        if config.max_steps is not None and step > config.max_steps:
+            break
+
+        phi = ops.evolve_chunk(phi, a_d, b_d, store_d)
+        diff_old = float(diff)
+        step += config.output.screen_update
+
+    if config.output.save_wavefns:
+        try:
+            writers.wavefunction(
+                np.asarray(phi), wnum, converged, config.project_name,
+                config.output.file_type, output_root=config.output_root,
+            )
+        except errors.WaferError as exc:
+            log.warning("Could not write wavefunction to disk: %s", exc)
+
+    if not converged:
+        raise errors.MaxStepError()
+
+    log.info("Calculation Converged")
+    w_store.append(jnp.asarray(np.asarray(phi)))
+    return SolveResult(wnum=wnum, converged=True, observables=obs, steps=step, phi=phi)
