@@ -1,0 +1,304 @@
+"""Fused Pallas stencil kernel — the TPU-native hot loop.
+
+Replaces the XLA shifted-slice sweep (ops/stencil.py) with a hand-scheduled
+kernel that streams X-slabs of the grid HBM→VMEM and fuses, in one pass:
+
+    ψ' = A∘ψ + B·(dt/(k·dn²·m))·(Σ cᵢ·ψ(shifts) − c₀·ψ)
+    [optional] norm² partial    Σ ψ'²
+    [optional] overlap partials Σ lowerₛ·ψ'   (Gram-Schmidt, per stored state)
+
+This is the counterpart of the reference's per-cell-window rayon sweep
+(src/grid.rs:544-687) plus the norm/overlap reductions it runs as separate
+array passes (src/grid.rs:674-681) — here the reductions ride along with the
+update for free (the sweep is HBM-bandwidth-bound; the reduction inputs are
+already in VMEM).
+
+Layout: arrays are padded by ``ext`` along **X only** — the leading axis has
+no TPU tiling constraint, so (N+2e, N, N) keeps the last two dims perfectly
+lane/sublane-aligned (a fully padded (N+2e)³ array would waste ~1.5× HBM
+bandwidth on 258-lane rows). The X halo rows hold the Dirichlet zeros and
+stay zero; Y/Z Dirichlet boundaries are applied by zero-filled in-register
+shifts.
+
+ψ slabs overlap by 2·ext rows (a window BlockSpec cannot express), so ψ and
+the output use manual async DMA; A and B ride the automatic BlockSpec
+pipeline.
+
+Excited-state Gram-Schmidt note: the fused path measures all overlaps in the
+same pass and projects them *jointly* (classical GS), while the reference
+projects sequentially (modified GS, src/grid.rs:477-492). For one stored
+state they are identical; for several, stored states are mutually orthogonal
+to convergence tolerance, making the difference O(ε²) — covered by an
+equivalence test with tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wafer_tpu import geometry
+
+_EXT = {"ThreePoint": 1, "FivePoint": 2, "SevenPoint": 3}
+
+
+def _shift_y(c: jnp.ndarray, off: int) -> jnp.ndarray:
+    """Center block shifted along y with Dirichlet zero fill."""
+    tx, ny, nz = c.shape
+    z = jnp.zeros((tx, abs(off), nz), dtype=c.dtype)
+    if off > 0:
+        return jnp.concatenate([c[:, off:, :], z], axis=1)
+    return jnp.concatenate([z, c[:, :off, :]], axis=1)
+
+
+def _shift_z(c: jnp.ndarray, off: int) -> jnp.ndarray:
+    tx, ny, nz = c.shape
+    z = jnp.zeros((tx, ny, abs(off)), dtype=c.dtype)
+    if off > 0:
+        return jnp.concatenate([c[:, :, off:], z], axis=2)
+    return jnp.concatenate([z, c[:, :, :off]], axis=2)
+
+
+def _evolve_kernel(
+    # inputs
+    phi_hbm,  # (NX+2e, NY, NZ) ANY — manual overlapping-window DMA
+    a_blk,  # (TX, NY, NZ) VMEM (pipelined)
+    b_blk,  # (TX, NY, NZ) VMEM (pipelined)
+    store_hbm,  # (S, NX+2e, NY, NZ) ANY — manual DMA (dummy when unused)
+    # outputs
+    out_hbm,  # (NX+2e, NY, NZ) ANY — manual DMA out
+    norm_out,  # (1, 1) SMEM
+    over_out,  # (S, 1) SMEM
+    # scratch
+    slab,  # (TX+2e, NY, NZ) VMEM
+    result,  # (TX, NY, NZ) VMEM
+    lower_slab,  # (S, TX, NY, NZ) VMEM
+    zeros_halo,  # (ext, NY, NZ) VMEM
+    sem_in,
+    sem_lower,
+    sem_out,
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    n_lower: int,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    # ψ window: rows [i·TX, i·TX + TX + 2e) — always in range (x-padded).
+    in_copy = pltpu.make_async_copy(
+        phi_hbm.at[pl.ds(i * tx, tx + 2 * ext)], slab, sem_in
+    )
+    in_copy.start()
+
+    if n_lower > 0:
+        lower_copy = pltpu.make_async_copy(
+            store_hbm.at[:, pl.ds(i * tx + ext, tx)], lower_slab, sem_lower
+        )
+        lower_copy.start()
+
+    # keep the output's Dirichlet halo rows zero
+    @pl.when(i == 0)
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        halo_copy = pltpu.make_async_copy(
+            zeros_halo, out_hbm.at[pl.ds(0, ext)], sem_halo
+        )
+        halo_copy.start()
+        halo_copy.wait()
+
+    @pl.when(i == nprog - 1)
+    def _zero_hi():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        nxp = out_hbm.shape[0]
+        halo_copy = pltpu.make_async_copy(
+            zeros_halo, out_hbm.at[pl.ds(nxp - ext, ext)], sem_halo
+        )
+        halo_copy.start()
+        halo_copy.wait()
+
+    in_copy.wait()
+
+    c = slab[ext : ext + tx]
+    acc = -center_c * c
+    for off, cf in zip(offsets, coeffs):
+        acc += cf * (slab[ext + off : ext + off + tx] + slab[ext - off : ext - off + tx])
+        acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
+        acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
+
+    new = c * a_blk[:] + b_blk[:] * (scale * acc)
+    result[...] = new
+
+    out_copy = pltpu.make_async_copy(
+        result, out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out
+    )
+    out_copy.start()
+
+    # fused reductions (TPU grid runs sequentially → SMEM accumulation is ok)
+    @pl.when(i == 0)
+    def _init():
+        norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+        for s in range(n_lower):
+            over_out[s, 0] = jnp.zeros((), over_out.dtype)
+
+    norm_out[0, 0] += jnp.sum(new * new)
+    if n_lower > 0:
+        lower_copy.wait()
+        for s in range(n_lower):
+            over_out[s, 0] += jnp.sum(lower_slab[s] * new)
+
+    out_copy.wait()
+
+
+def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int) -> int:
+    """Largest slab height that fits the VMEM budget and divides NX."""
+    budget = 10 * 1024 * 1024
+    plane = ny * nz * itemsize
+    for tx in (64, 32, 16, 8, 4, 2, 1):
+        if nx % tx:
+            continue
+        # ψ window + result + double-buffered a/b + lower slabs
+        need = (tx + 2 * ext) * plane + tx * plane + 2 * 2 * tx * plane + n_lower * tx * plane
+        if need <= budget:
+            return tx
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("order", "scale", "n_lower", "interpret"))
+def evolve_step_fused(
+    phi_xpad: jnp.ndarray,
+    a_int: jnp.ndarray,
+    b_int: jnp.ndarray,
+    store_xpad: Optional[jnp.ndarray],
+    order: str,
+    scale: float,
+    n_lower: int = 0,
+    interpret: bool = False,
+):
+    """One fused sweep.
+
+    Args:
+      phi_xpad: (NX+2e, NY, NZ) x-padded ψ, halo rows zero.
+      a_int, b_int: (NX, NY, NZ) interior ancillary arrays.
+      store_xpad: (S, NX+2e, NY, NZ) x-padded stored lower states, or None.
+      scale: dt/(k·dn²·mass).
+
+    Returns:
+      (ψ'_xpad, norm2, overlaps[S]) — halo rows of ψ' are zero.
+    """
+    ext = _EXT[order]
+    nxp, ny, nz = phi_xpad.shape
+    nx = nxp - 2 * ext
+    dtype = phi_xpad.dtype
+    tx = _pick_tx(nx, ny, nz, ext, dtype.itemsize, n_lower)
+
+    if store_xpad is None or n_lower == 0:
+        store_xpad = jnp.zeros((1, nxp, ny, nz), dtype=dtype)
+    n_store = store_xpad.shape[0]
+
+    kernel = functools.partial(
+        _evolve_kernel, order=order, scale=scale, tx=tx, ext=ext, n_lower=n_lower
+    )
+
+    out_xpad, norm2, overlaps = pl.pallas_call(
+        kernel,
+        grid=(nx // tx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((n_store, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tx + 2 * ext, ny, nz), dtype),
+            pltpu.VMEM((tx, ny, nz), dtype),
+            pltpu.VMEM((n_store, tx, ny, nz), dtype),
+            pltpu.VMEM((ext, ny, nz), dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(phi_xpad, a_int, b_int, store_xpad)
+
+    return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
+
+
+# --------------------------------------------------------------------------- #
+# chunk driver: the pallas counterpart of ops.stencil.evolve_chunk
+# --------------------------------------------------------------------------- #
+
+
+def to_xpad(phi_padded: jnp.ndarray, ext: int) -> jnp.ndarray:
+    """Fully-padded (N+2e)³ → x-padded (N+2e, N, N)."""
+    if ext == 0:
+        return phi_padded
+    return phi_padded[:, ext:-ext, ext:-ext]
+
+
+def from_xpad(phi_xpad: jnp.ndarray, ext: int) -> jnp.ndarray:
+    """x-padded → fully-padded (zero y/z halos restored)."""
+    if ext == 0:
+        return phi_xpad
+    return jnp.pad(phi_xpad, ((0, 0), (ext, ext), (ext, ext)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "dt", "dn", "mass", "n_steps", "n_lower", "interpret"),
+)
+def evolve_chunk_fused(
+    phi_xpad: jnp.ndarray,
+    a_int: jnp.ndarray,
+    b_int: jnp.ndarray,
+    store_xpad: Optional[jnp.ndarray],
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    n_lower: int,
+    interpret: bool = False,
+):
+    """``n_steps`` fused sweeps (reference ``evolve``, src/grid.rs:544-687).
+
+    Excited states: norm² and overlaps come out of the sweep kernel; the
+    normalise+project update is one fused elementwise pass."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+
+    def body(_i, phi):
+        phi, norm2, overlaps = evolve_step_fused(
+            phi, a_int, b_int, store_xpad, order, scale, n_lower, interpret
+        )
+        if n_lower > 0:
+            inv = 1.0 / jnp.sqrt(norm2)
+            # ψ/√n − Σ lowerₛ·(⟨lowerₛ|ψ⟩/√n): identical to the reference's
+            # normalise-then-project order (src/grid.rs:674-681)
+            corr = overlaps * inv
+            proj = jnp.tensordot(corr, store_xpad, axes=1)
+            phi = phi * inv.astype(phi.dtype) - proj
+        return phi
+
+    return jax.lax.fori_loop(0, n_steps, body, phi_xpad)
