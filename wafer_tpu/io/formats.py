@@ -100,10 +100,20 @@ def array_from_yaml(text: str) -> np.ndarray:
 
 
 def array_to_mpk(arr: np.ndarray) -> bytes:
+    from wafer_tpu import native
+
+    fast = native.mpk_encode(np.asarray(arr))
+    if fast is not None:
+        return fast
     return msgpack.packb([1, list(arr.shape), _flat_data(arr)], use_single_float=False)
 
 
 def array_from_mpk(blob: bytes) -> np.ndarray:
+    from wafer_tpu import native
+
+    fast = native.mpk_decode(blob)
+    if fast is not None:
+        return fast
     try:
         obj = msgpack.unpackb(blob, strict_map_key=False)
         if isinstance(obj, dict):  # tolerate named-field packing
@@ -256,6 +266,11 @@ def array_from_ron(text: str) -> np.ndarray:
 
 def array_to_csv(arr: np.ndarray) -> str:
     """Headerless ``i,j,k,data`` rows (complex: ``i,j,k,re,im``)."""
+    from wafer_tpu import native
+
+    fast = native.csv_encode(np.asarray(arr))
+    if fast is not None:
+        return fast
     buf = _io.StringIO()
     w = _csv.writer(buf, lineterminator="\n")
     a = np.asarray(arr)
@@ -275,6 +290,15 @@ def _fmt_float(v: float) -> str:
 def array_from_csv(text: str, path: str = "<csv>") -> np.ndarray:
     """Sparse PlainRecord parse with inferred dims
     (reference: src/input.rs:607-662)."""
+    from wafer_tpu import native
+
+    first = text.partition("\n")[0]
+    # native path: real-valued 4-field records only (complex rows have 5
+    # fields whose imaginary part the fast scanner would drop)
+    if first.count(",") == 3 and ",nan" not in text:
+        fast = native.csv_decode(text)
+        if fast is not None:
+            return fast
     max_i = max_j = max_k = 0
     data = []
     cplx = False
