@@ -102,4 +102,4 @@ def test_native_throughput(lib_ok):
     t_py = time.perf_counter() - t0
 
     assert text == buf.getvalue()
-    assert t_native < t_py / 5, (t_native, t_py)
+    assert t_native < t_py / 3, (t_native, t_py)

@@ -64,6 +64,10 @@ def main(argv=None) -> int:
 
     if config.precision == "f64":
         jax.config.update("jax_enable_x64", True)
+    if config.debug_nans:
+        # runtime numeric sanitizer — counterpart of the reference's
+        # noisy_float NaN panics (R64 used throughout, src/config.rs:19-22)
+        jax.config.update("jax_debug_nans", True)
 
     log_location = run_dir.get_project_dir(config.project_name, config.output_root) + "/simulation.log"
     try:
@@ -101,7 +105,21 @@ def main(argv=None) -> int:
     from wafer_tpu import solver
 
     try:
-        solver.run(config, log, debug_level, progress_factory=progress_factory)
+        if config.mesh.n_devices > 1:
+            from wafer_tpu.parallel.solver_sharded import run_sharded
+
+            runner = lambda: run_sharded(config, log, progress_factory=progress_factory)  # noqa: E731
+        else:
+            runner = lambda: solver.run(  # noqa: E731
+                config, log, debug_level, progress_factory=progress_factory
+            )
+        if config.trace_dir:
+            import contextlib
+
+            with jax.profiler.trace(config.trace_dir):
+                runner()
+        else:
+            runner()
     except errors.WaferError as err:
         log.critical("%s", err)
         cause = err.__cause__

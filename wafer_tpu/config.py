@@ -263,6 +263,14 @@ class Config:
     # Default 0 reproduces the reference's real-valued stubs
     # (src/potential.rs:222,271) while still propagating a complex ψ.
     absorb: float = 0.0
+    # Sweep backend: "auto" picks the fused Pallas kernel on accelerators
+    # for real f32 runs and the XLA shifted-slice path otherwise.
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # Runtime numeric sanitizer — the counterpart of the reference's
+    # noisy_float NaN panics (SURVEY §5): flips on jax_debug_nans.
+    debug_nans: bool = False
+    # Optional jax.profiler trace directory (per-run performance traces).
+    trace_dir: Optional[str] = None
     cornell: CornellParams = field(default_factory=CornellParams)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     input_dir: str = "./input"
@@ -333,6 +341,9 @@ class Config:
                 init_symmetry=SymmetryConstraint(raw["init_symmetry"]),
                 precision=str(raw.get("precision", "f64")),
                 absorb=float(raw.get("absorb", 0.0)),
+                backend=str(raw.get("backend", "auto")),
+                debug_nans=bool(raw.get("debug_nans", False)),
+                trace_dir=raw.get("trace_dir"),
                 cornell=CornellParams(
                     t=float(cornell_raw.get("t", 1.0)),
                     xi=float(cornell_raw.get("xi", 0.0)),
@@ -390,6 +401,8 @@ class Config:
             raise errors.LargeWavenumError()
         if self.precision not in ("f32", "f64"):
             raise errors.ConfigParseError(f"precision must be f32 or f64, got {self.precision!r}")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise errors.ConfigParseError(f"backend must be auto/xla/pallas, got {self.backend!r}")
         if min(self.mesh.as_tuple()) < 1:
             raise errors.ConfigParseError("mesh axes must be >= 1")
 

@@ -109,6 +109,26 @@ def _select_initial_condition(
     return initial.set_initial_conditions(config, log, seed=seed)
 
 
+def _resolve_backend(config: Config, phi) -> str:
+    """Pick the sweep backend: the fused Pallas kernel runs real-f32 sweeps
+    on accelerators; everything else uses the XLA shifted-slice path."""
+    if config.backend == "xla":
+        return "xla"
+    pallas_ok = (
+        not jnp.iscomplexobj(phi)
+        and phi.dtype == jnp.float32
+        and jax.default_backend() not in ("cpu",)
+    )
+    if config.backend == "pallas":
+        if not pallas_ok:
+            raise errors.ConfigParseError(
+                "backend: pallas requires precision f32, a real potential and "
+                "an accelerator device"
+            )
+        return "pallas"
+    return "pallas" if pallas_ok else "xla"
+
+
 def solve(
     config: Config,
     log,
@@ -129,12 +149,25 @@ def solve(
     ext = config.central_difference.ext
     dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
     is_complex = jnp.iscomplexobj(phi)
+    backend = _resolve_backend(config, phi)
+    log.info("Sweep backend for state %d: %s", wnum, backend)
 
     r2_grid = geometry.r2_index_grid(
         config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
     )
     n_lower = wnum
     stacked = jnp.stack(w_store[:n_lower]) if n_lower > 0 else None
+
+    if backend == "pallas":
+        from wafer_tpu.ops import pallas_stencil as pk
+
+        a_int = geometry.work_area(pots.a, ext)
+        b_int = geometry.work_area(pots.b, ext)
+        store_xpad = (
+            jnp.stack([pk.to_xpad(w, ext) for w in w_store[:n_lower]])
+            if n_lower > 0
+            else None
+        )
 
     terminal.print_observable_header(wnum)
 
@@ -232,18 +265,37 @@ def solve(
         if config.max_steps is not None and step > config.max_steps:
             break
 
-        phi = stencil.evolve_chunk(
-            phi,
-            pots.a,
-            pots.b,
-            stacked,
-            order,
-            dt,
-            dn,
-            mass,
-            config.output.screen_update,
-            n_lower,
-        )
+        if backend == "pallas":
+            from wafer_tpu.ops import pallas_stencil as pk
+
+            phi = pk.from_xpad(
+                pk.evolve_chunk_fused(
+                    pk.to_xpad(phi, ext),
+                    a_int,
+                    b_int,
+                    store_xpad,
+                    order,
+                    dt,
+                    dn,
+                    mass,
+                    config.output.screen_update,
+                    n_lower,
+                ),
+                ext,
+            )
+        else:
+            phi = stencil.evolve_chunk(
+                phi,
+                pots.a,
+                pots.b,
+                stacked,
+                order,
+                dt,
+                dn,
+                mass,
+                config.output.screen_update,
+                n_lower,
+            )
 
         diff_old = float(diff)
         step += config.output.screen_update
