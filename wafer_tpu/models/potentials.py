@@ -44,6 +44,10 @@ class Potentials:
     b: jnp.ndarray  # 1/(1 + dt·V/2)
     pot_sub_array: Optional[jnp.ndarray] = None  # N³ (FullCornell)
     pot_sub_scalar: Optional[float] = None
+    # Finite minimum of V — computed at load like the reference's serial
+    # scan (src/potential.rs:156-161; currently unused downstream there too,
+    # kept for parity and diagnostics).
+    v_min: Optional[float] = None
 
 
 # --------------------------------------------------------------------------- #
@@ -393,8 +397,18 @@ def load_arrays(config: Config, log=None) -> Potentials:
         # only a positive offset is kept (src/potential.rs:146-153)
         pot_sub_scalar_val = single if single > 0.0 else None
 
+    # finite minimum of V (one fused on-device reduction instead of the
+    # reference's serial scan)
+    v_real = jnp.real(v)
+    v_min = float(jnp.min(jnp.where(jnp.isfinite(v_real), v_real, jnp.inf)))
+
     pots = Potentials(
-        v=v, a=a, b=b, pot_sub_array=pot_sub_array, pot_sub_scalar=pot_sub_scalar_val
+        v=v,
+        a=a,
+        b=b,
+        pot_sub_array=pot_sub_array,
+        pot_sub_scalar=pot_sub_scalar_val,
+        v_min=v_min,
     )
 
     if config.output.save_potential:

@@ -76,13 +76,13 @@ def _evolve_kernel(
     norm_out,  # (1, 1) SMEM
     over_out,  # (S, 1) SMEM
     # scratch
-    slab,  # (TX+2e, NY, NZ) VMEM
-    result,  # (TX, NY, NZ) VMEM
+    slab,  # (2, TX+2e, NY, NZ) VMEM — double-buffered ψ windows
+    result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
     lower_slab,  # (S, TX, NY, NZ) VMEM
     zeros_halo,  # (ext, NY, NZ) VMEM
-    sem_in,
+    sem_in,  # DMA (2,)
     sem_lower,
-    sem_out,
+    sem_out,  # DMA (2,)
     sem_halo,
     *,
     order: str,
@@ -90,16 +90,30 @@ def _evolve_kernel(
     tx: int,
     ext: int,
     n_lower: int,
+    with_norm: bool,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
     nprog = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-    # ψ window: rows [i·TX, i·TX + TX + 2e) — always in range (x-padded).
-    in_copy = pltpu.make_async_copy(
-        phi_hbm.at[pl.ds(i * tx, tx + 2 * ext)], slab, sem_in
-    )
-    in_copy.start()
+    def in_copy(window, to_slot):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(window * tx, tx + 2 * ext)],
+            slab.at[to_slot],
+            sem_in.at[to_slot],
+        )
+
+    # prologue: program 0 kicks off its own window
+    @pl.when(i == 0)
+    def _first_window():
+        in_copy(0, 0).start()
+
+    # prefetch the next window while this one computes
+    @pl.when(i + 1 < nprog)
+    def _prefetch():
+        in_copy(i + 1, next_slot).start()
 
     if n_lower > 0:
         lower_copy = pltpu.make_async_copy(
@@ -127,54 +141,87 @@ def _evolve_kernel(
         halo_copy.start()
         halo_copy.wait()
 
-    in_copy.wait()
+    # before overwriting result[slot], wait for the out-DMA issued two
+    # programs ago on the same slot
+    @pl.when(i >= 2)
+    def _drain_prev_out():
+        pltpu.make_async_copy(
+            result.at[slot], out_hbm.at[pl.ds((i - 2) * tx + ext, tx)], sem_out.at[slot]
+        ).wait()
 
-    c = slab[ext : ext + tx]
+    in_copy(i, slot).wait()
+
+    c = slab[slot, ext : ext + tx]
     acc = -center_c * c
     for off, cf in zip(offsets, coeffs):
-        acc += cf * (slab[ext + off : ext + off + tx] + slab[ext - off : ext - off + tx])
+        acc += cf * (
+            slab[slot, ext + off : ext + off + tx]
+            + slab[slot, ext - off : ext - off + tx]
+        )
         acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
         acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
 
     new = c * a_blk[:] + b_blk[:] * (scale * acc)
-    result[...] = new
+    result[slot] = new
 
-    out_copy = pltpu.make_async_copy(
-        result, out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out
-    )
-    out_copy.start()
+    pltpu.make_async_copy(
+        result.at[slot], out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out.at[slot]
+    ).start()
 
     # fused reductions (TPU grid runs sequentially → SMEM accumulation is ok)
-    @pl.when(i == 0)
-    def _init():
-        norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
-        for s in range(n_lower):
-            over_out[s, 0] = jnp.zeros((), over_out.dtype)
+    if with_norm or n_lower > 0:
+        @pl.when(i == 0)
+        def _init():
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+            for s in range(n_lower):
+                over_out[s, 0] = jnp.zeros((), over_out.dtype)
 
-    norm_out[0, 0] += jnp.sum(new * new)
+        norm_out[0, 0] += jnp.sum(new * new)
     if n_lower > 0:
         lower_copy.wait()
         for s in range(n_lower):
             over_out[s, 0] += jnp.sum(lower_slab[s] * new)
 
-    out_copy.wait()
+    # epilogue: drain the in-flight out-DMAs (nprog is static)
+    @pl.when(i == nprog - 1)
+    def _drain_tail():
+        pltpu.make_async_copy(
+            result.at[slot], out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out.at[slot]
+        ).wait()
+
+    if nprog > 1:
+
+        @pl.when(i == nprog - 1)
+        def _drain_other():
+            pltpu.make_async_copy(
+                result.at[next_slot],
+                out_hbm.at[pl.ds((i - 1) * tx + ext, tx)],
+                sem_out.at[next_slot],
+            ).wait()
 
 
 def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int) -> int:
     """Largest slab height that fits the VMEM budget and divides NX."""
-    budget = 10 * 1024 * 1024
+    budget = 11 * 1024 * 1024
     plane = ny * nz * itemsize
     for tx in (64, 32, 16, 8, 4, 2, 1):
         if nx % tx:
             continue
-        # ψ window + result + double-buffered a/b + lower slabs
-        need = (tx + 2 * ext) * plane + tx * plane + 2 * 2 * tx * plane + n_lower * tx * plane
+        # 2× ψ windows + 2× results + double-buffered a/b + lower slabs
+        need = (
+            2 * (tx + 2 * ext) * plane
+            + 2 * tx * plane
+            + 2 * 2 * tx * plane
+            + n_lower * tx * plane
+        )
         if need <= budget:
             return tx
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("order", "scale", "n_lower", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("order", "scale", "n_lower", "with_norm", "interpret")
+)
 def evolve_step_fused(
     phi_xpad: jnp.ndarray,
     a_int: jnp.ndarray,
@@ -183,6 +230,7 @@ def evolve_step_fused(
     order: str,
     scale: float,
     n_lower: int = 0,
+    with_norm: bool = True,
     interpret: bool = False,
 ):
     """One fused sweep.
@@ -207,7 +255,13 @@ def evolve_step_fused(
     n_store = store_xpad.shape[0]
 
     kernel = functools.partial(
-        _evolve_kernel, order=order, scale=scale, tx=tx, ext=ext, n_lower=n_lower
+        _evolve_kernel,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        n_lower=n_lower,
+        with_norm=with_norm,
     )
 
     out_xpad, norm2, overlaps = pl.pallas_call(
@@ -230,13 +284,13 @@ def evolve_step_fused(
             jax.ShapeDtypeStruct((n_store, 1), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tx + 2 * ext, ny, nz), dtype),
-            pltpu.VMEM((tx, ny, nz), dtype),
+            pltpu.VMEM((2, tx + 2 * ext, ny, nz), dtype),
+            pltpu.VMEM((2, tx, ny, nz), dtype),
             pltpu.VMEM((n_store, tx, ny, nz), dtype),
             pltpu.VMEM((ext, ny, nz), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -290,7 +344,15 @@ def evolve_chunk_fused(
 
     def body(_i, phi):
         phi, norm2, overlaps = evolve_step_fused(
-            phi, a_int, b_int, store_xpad, order, scale, n_lower, interpret
+            phi,
+            a_int,
+            b_int,
+            store_xpad,
+            order,
+            scale,
+            n_lower,
+            n_lower > 0,
+            interpret,
         )
         if n_lower > 0:
             inv = 1.0 / jnp.sqrt(norm2)

@@ -176,8 +176,23 @@ def solve(
     last_energy = float("inf")
     diff_old = float("inf")
     obs = None
+    import time as _time
+
+    n_points = config.grid.size.x * config.grid.size.y * config.grid.size.z
+    chunk_t0 = None
 
     while True:
+        if chunk_t0 is not None:
+            # throughput counter: the BASELINE.md primary metric
+            wall = _time.perf_counter() - chunk_t0
+            if wall > 0:
+                log.debug(
+                    "state %d step %d: %.0f steps/s, %.3g grid-point updates/s",
+                    wnum,
+                    step,
+                    config.output.screen_update / wall,
+                    n_points * config.output.screen_update / wall,
+                )
         (e, n2, vinf, r2), phi = _measure_and_prepare(
             phi,
             pots.v,
@@ -265,6 +280,7 @@ def solve(
         if config.max_steps is not None and step > config.max_steps:
             break
 
+        chunk_t0 = _time.perf_counter()
         if backend == "pallas":
             from wafer_tpu.ops import pallas_stencil as pk
 
