@@ -34,7 +34,7 @@ from wafer_tpu.ops.stencil import evolve_step
 
 N = int(os.environ.get("WAFER_BENCH_N", "256"))
 N_CPU = int(os.environ.get("WAFER_BENCH_N_CPU", "128"))
-STEPS = int(os.environ.get("WAFER_BENCH_STEPS", "50"))
+STEPS = int(os.environ.get("WAFER_BENCH_STEPS", "200"))
 REPEATS = 3
 
 
@@ -63,7 +63,7 @@ def _make_config(n: int) -> Config:
     )
 
 
-def _bench_on(device, n: int) -> float:
+def _bench_on(device, n: int, use_pallas: bool) -> float:
     """Sustained updates/sec for the evolve sweep on one device."""
     cfg = _make_config(n)
     order = cfg.central_difference.value
@@ -77,40 +77,68 @@ def _bench_on(device, n: int) -> float:
 
         phi = initial.set_initial_conditions(cfg).astype(jnp.float32)
 
-        @jax.jit
-        def chunk(phi):
-            def body(_i, p):
-                return evolve_step(p, a, b, order, dt, dn, mass)
+        if use_pallas:
+            from wafer_tpu import geometry
+            from wafer_tpu.ops import pallas_stencil as pk
 
-            return jax.lax.fori_loop(0, STEPS, body, phi)
+            b_int = geometry.work_area(b, ext)
+            phi = pk.to_xpad(phi, ext)
 
-        phi = chunk(phi)  # compile + warm
-        phi.block_until_ready()
+            def chunk(p):
+                return pk.evolve_chunk_fused(
+                    p, b_int, None, order, dt, dn, mass, STEPS, 0
+                )
+
+        else:
+
+            @jax.jit
+            def chunk(p):
+                def body(_i, q):
+                    return evolve_step(q, a, b, order, dt, dn, mass)
+
+                return jax.lax.fori_loop(0, STEPS, body, p)
+
+        import numpy as np
+
+        def run_chain(p, reps):
+            """Execute ``reps`` chained chunks and force completion with a
+            tiny host fetch. Through remote-device tunnels
+            ``block_until_ready`` may be asynchronous, so wall-clock is
+            measured on chains of two lengths and differenced — the constant
+            dispatch/fetch overhead cancels."""
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                p = chunk(p)
+            np.asarray(p[:1, :1, :8])  # true sync
+            return time.perf_counter() - t0, p
+
+        _t, phi = run_chain(phi, 1)  # compile + warm
 
         best = 0.0
         for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            phi = chunk(phi)
-            phi.block_until_ready()
-            dt_wall = time.perf_counter() - t0
-            ups = (n ** 3) * STEPS / dt_wall
+            t1, phi = run_chain(phi, 1)
+            t5, phi = run_chain(phi, 5)
+            per_chunk = max((t5 - t1) / 4.0, 1e-9)
+            ups = (n ** 3) * STEPS / per_chunk
             best = max(best, ups)
         return best
 
 
 def main() -> None:
     accel = jax.devices()[0]
-    value = _bench_on(accel, N)
+    use_pallas = accel.platform != "cpu"
+    value = _bench_on(accel, N, use_pallas)
 
     # host-CPU baseline proxy (scaled-down grid to keep wall-clock sane)
     try:
         cpu = jax.devices("cpu")[0]
-        baseline = _bench_on(cpu, N_CPU)
+        baseline = _bench_on(cpu, N_CPU, False)
     except Exception:
         baseline = None
 
     out = {
-        "metric": f"stencil grid-point updates/sec/chip at {N}^3 (f32, 3-point CD)",
+        "metric": f"stencil grid-point updates/sec/chip at {N}^3 "
+        f"(f32, 3-point CD, {'fused pallas' if use_pallas else 'xla'} sweep)",
         "value": round(value, 1),
         "unit": "updates/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,

@@ -35,10 +35,9 @@ def test_fused_step_matches_xla(order):
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = cfg.grid.dt / (k * cfg.grid.dn ** 2 * cfg.mass)
     phi_x = pk.to_xpad(phi, ext)
-    a_int = geometry.work_area(a, ext)
     b_int = geometry.work_area(b, ext)
     out, norm2, _ = pk.evolve_step_fused(
-        phi_x, a_int, b_int, None, order, scale, 0, interpret=True
+        phi_x, b_int, None, order, scale, 0, interpret=True
     )
     out_full = pk.from_xpad(out, ext)
     np.testing.assert_allclose(
@@ -57,7 +56,6 @@ def test_fused_chunk_matches_xla_ground_state():
     )
     out = pk.evolve_chunk_fused(
         pk.to_xpad(phi, ext),
-        geometry.work_area(a, ext),
         geometry.work_area(b, ext),
         None,
         order,
@@ -91,7 +89,6 @@ def test_fused_chunk_excited_matches_xla():
     store_x = jnp.stack([pk.to_xpad(lower, ext)])
     out = pk.evolve_chunk_fused(
         pk.to_xpad(phi, ext),
-        geometry.work_area(a, ext),
         geometry.work_area(b, ext),
         store_x,
         order,

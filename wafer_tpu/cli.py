@@ -62,8 +62,10 @@ def main(argv=None) -> int:
     # dtype policy must be fixed before any jax computation
     import jax
 
-    if config.precision == "f64":
-        jax.config.update("jax_enable_x64", True)
+    # x64 is always enabled: f64 runs use it everywhere, f32 runs keep f32
+    # arrays but accumulate the per-chunk observables in f64 (see
+    # ops/observables.py) so 1e-6 convergence tests stay meaningful.
+    jax.config.update("jax_enable_x64", True)
     if config.debug_nans:
         # runtime numeric sanitizer — counterpart of the reference's
         # noisy_float NaN panics (R64 used throughout, src/config.rs:19-22)

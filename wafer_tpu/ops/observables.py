@@ -67,6 +67,22 @@ def compute_observables_device(
 
     w = geometry.work_area(phi, ext)
     v_w = geometry.work_area(v, ext)
+
+    # accumulate in f64 when x64 is live: f32 sums over ≥16M cells lose the
+    # 1e-6 relative-energy signal the convergence test needs; this pass runs
+    # once per screen_update so the upcast is free
+    if jax.config.jax_enable_x64:
+        if jnp.iscomplexobj(w):
+            w = w.astype(jnp.complex128)
+            v_w = v_w.astype(v_w.dtype if jnp.iscomplexobj(v_w) else jnp.float64)
+            if jnp.iscomplexobj(v_w):
+                v_w = v_w.astype(jnp.complex128)
+        else:
+            w = w.astype(jnp.float64)
+            v_w = v_w.astype(jnp.float64)
+        phi = phi.astype(w.dtype)
+        r2_grid = r2_grid.astype(jnp.float64)
+
     wc = jnp.conj(w) if jnp.iscomplexobj(w) else w
     abs2 = jnp.real(wc * w)
 

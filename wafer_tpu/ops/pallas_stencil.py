@@ -68,8 +68,7 @@ def _shift_z(c: jnp.ndarray, off: int) -> jnp.ndarray:
 def _evolve_kernel(
     # inputs
     phi_hbm,  # (NX+2e, NY, NZ) ANY — manual overlapping-window DMA
-    a_blk,  # (TX, NY, NZ) VMEM (pipelined)
-    b_blk,  # (TX, NY, NZ) VMEM (pipelined)
+    b_blk,  # (TX, NY, NZ) VMEM (pipelined); A is derived as 2B − 1
     store_hbm,  # (S, NX+2e, NY, NZ) ANY — manual DMA (dummy when unused)
     # outputs
     out_hbm,  # (NX+2e, NY, NZ) ANY — manual DMA out
@@ -161,7 +160,10 @@ def _evolve_kernel(
         acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
         acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
 
-    new = c * a_blk[:] + b_blk[:] * (scale * acc)
+    # A = (1−dt·V/2)/(1+dt·V/2) = 2B − 1, so the A array is never read:
+    # one full HBM stream saved per step (≈22% of sweep traffic).
+    b = b_blk[:]
+    new = 2.0 * (b * c) - c + b * (scale * acc)
     result[slot] = new
 
     pltpu.make_async_copy(
@@ -207,11 +209,11 @@ def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int) -
     for tx in (64, 32, 16, 8, 4, 2, 1):
         if nx % tx:
             continue
-        # 2× ψ windows + 2× results + double-buffered a/b + lower slabs
+        # 2× ψ windows + 2× results + double-buffered b + lower slabs
         need = (
             2 * (tx + 2 * ext) * plane
             + 2 * tx * plane
-            + 2 * 2 * tx * plane
+            + 2 * tx * plane
             + n_lower * tx * plane
         )
         if need <= budget:
@@ -224,7 +226,6 @@ def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int) -
 )
 def evolve_step_fused(
     phi_xpad: jnp.ndarray,
-    a_int: jnp.ndarray,
     b_int: jnp.ndarray,
     store_xpad: Optional[jnp.ndarray],
     order: str,
@@ -237,7 +238,7 @@ def evolve_step_fused(
 
     Args:
       phi_xpad: (NX+2e, NY, NZ) x-padded ψ, halo rows zero.
-      a_int, b_int: (NX, NY, NZ) interior ancillary arrays.
+      b_int: (NX, NY, NZ) interior ancillary B array (A is derived: 2B−1).
       store_xpad: (S, NX+2e, NY, NZ) x-padded stored lower states, or None.
       scale: dt/(k·dn²·mass).
 
@@ -270,7 +271,6 @@ def evolve_step_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -294,7 +294,7 @@ def evolve_step_fused(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(phi_xpad, a_int, b_int, store_xpad)
+    )(phi_xpad, b_int, store_xpad)
 
     return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
@@ -324,7 +324,6 @@ def from_xpad(phi_xpad: jnp.ndarray, ext: int) -> jnp.ndarray:
 )
 def evolve_chunk_fused(
     phi_xpad: jnp.ndarray,
-    a_int: jnp.ndarray,
     b_int: jnp.ndarray,
     store_xpad: Optional[jnp.ndarray],
     order: str,
@@ -345,7 +344,6 @@ def evolve_chunk_fused(
     def body(_i, phi):
         phi, norm2, overlaps = evolve_step_fused(
             phi,
-            a_int,
             b_int,
             store_xpad,
             order,

@@ -161,7 +161,6 @@ def solve(
     if backend == "pallas":
         from wafer_tpu.ops import pallas_stencil as pk
 
-        a_int = geometry.work_area(pots.a, ext)
         b_int = geometry.work_area(pots.b, ext)
         store_xpad = (
             jnp.stack([pk.to_xpad(w, ext) for w in w_store[:n_lower]])
@@ -287,7 +286,6 @@ def solve(
             phi = pk.from_xpad(
                 pk.evolve_chunk_fused(
                     pk.to_xpad(phi, ext),
-                    a_int,
                     b_int,
                     store_xpad,
                     order,
