@@ -113,3 +113,38 @@ def test_xpad_roundtrip():
     assert x.shape == (22, 16, 16)
     back = pk.from_xpad(x, ext)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(phi))
+
+
+@pytest.mark.parametrize("k_steps", [2, 3])
+@pytest.mark.parametrize("order", ["ThreePoint", "FivePoint"])
+def test_k_step_temporal_blocking_matches_xla(order, k_steps):
+    """K fused sweeps == K single sweeps, including Dirichlet re-zeroing of
+    the intermediate halo rows at the first/last slabs."""
+    cfg, ext, phi, a, b = _setup(order, n=12)
+    n_steps = 6
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, n_steps, 0
+    )
+    out = pk.evolve_chunk_fused_k(
+        pk.to_xpad_k(phi, ext, k_steps),
+        pk.b_to_xpad_k(geometry.work_area(b, ext), ext, k_steps),
+        order,
+        cfg.grid.dt,
+        cfg.grid.dn,
+        cfg.mass,
+        n_steps,
+        k_steps,
+        interpret=True,
+    )
+    out_full = pk.from_xpad_k(out, ext, k_steps)
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(ref), rtol=5e-5, atol=5e-6
+    )
+
+
+def test_k_xpad_roundtrip():
+    cfg, ext, phi, _a, _b = _setup("ThreePoint", n=8)
+    x = pk.to_xpad_k(phi, ext, 2)
+    assert x.shape == (12, 8, 8)
+    back = pk.from_xpad_k(x, ext, 2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(phi))

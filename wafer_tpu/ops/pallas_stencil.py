@@ -300,6 +300,282 @@ def evolve_step_fused(
 
 
 # --------------------------------------------------------------------------- #
+# K-step temporal blocking: fuse K sweeps per HBM pass
+# --------------------------------------------------------------------------- #
+#
+# The sweep is HBM-bandwidth-bound, so fusing K time steps inside VMEM cuts
+# the ψ/B streaming traffic nearly K-fold (a trapezoidal space-time tile: a
+# slab of TX output rows needs TX + 2K·ext input rows). The global Dirichlet
+# boundary makes this exact: intermediate halo rows are re-zeroed after every
+# inner step, which is precisely what the single-step schedule produces.
+# Applicable to the ground-state path only — excited states renormalise and
+# Gram-Schmidt-project (global reductions) after *every* step
+# (src/grid.rs:674-681), which forbids cross-step fusion.
+
+
+def _evolve_kernel_k(
+    # inputs
+    phi_hbm,  # (NX+2Ke, NY, NZ) ANY
+    b_hbm,  # (NX+2(K-1)e, NY, NZ) ANY
+    # outputs
+    out_hbm,  # (NX+2Ke, NY, NZ) ANY
+    # scratch
+    window,  # (2, TX+2Ke, NY, NZ) VMEM — double-buffered ψ windows
+    pong,  # (TX+2(K-1)e, NY, NZ) VMEM — intermediate steps ping-pong
+    b_slab,  # (TX+2(K-1)e, NY, NZ) VMEM
+    result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
+    zeros_halo,  # (K·ext, NY, NZ) VMEM
+    sem_in,  # DMA (2,)
+    sem_b,
+    sem_out,  # DMA (2,)
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    k_steps: int,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    pad = k_steps * ext
+
+    def in_copy(win, to_slot):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(win * tx, tx + 2 * pad)],
+            window.at[to_slot],
+            sem_in.at[to_slot],
+        )
+
+    @pl.when(i == 0)
+    def _first_window():
+        in_copy(0, 0).start()
+
+    @pl.when(i + 1 < nprog)
+    def _prefetch():
+        in_copy(i + 1, next_slot).start()
+
+    b_copy = pltpu.make_async_copy(
+        b_hbm.at[pl.ds(i * tx, tx + 2 * (k_steps - 1) * ext)], b_slab, sem_b
+    )
+    b_copy.start()
+
+    @pl.when(i == 0)
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        c = pltpu.make_async_copy(zeros_halo, out_hbm.at[pl.ds(0, pad)], sem_halo)
+        c.start()
+        c.wait()
+
+    @pl.when(i == nprog - 1)
+    def _zero_hi():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        nxp = out_hbm.shape[0]
+        c = pltpu.make_async_copy(
+            zeros_halo, out_hbm.at[pl.ds(nxp - pad, pad)], sem_halo
+        )
+        c.start()
+        c.wait()
+
+    @pl.when(i >= 2)
+    def _drain_prev_out():
+        pltpu.make_async_copy(
+            result.at[slot], out_hbm.at[pl.ds((i - 2) * tx + pad, tx)], sem_out.at[slot]
+        ).wait()
+
+    in_copy(i, slot).wait()
+    b_copy.wait()
+
+    def step(read, rows_out, b_off, s):
+        """One inner sweep producing ``rows_out`` rows from ``read`` (a
+        function row-slice → array)."""
+        c = read(ext, rows_out)
+        acc = -center_c * c
+        for off, cf in zip(offsets, coeffs):
+            acc = acc + cf * (read(ext + off, rows_out) + read(ext - off, rows_out))
+            acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
+            acc = acc + cf * (_shift_z(c, off) + _shift_z(c, -off))
+        b = b_slab[b_off : b_off + rows_out]
+        new = 2.0 * (b * c) - c + b * (scale * acc)
+        # Dirichlet: re-zero rows that fall outside the global interior
+        edge = (k_steps - s) * ext
+        if edge > 0:
+            zeros = jnp.zeros_like(new[:edge])
+            mask_lo = (i == 0)
+            mask_hi = (i == nprog - 1)
+            lo = jnp.where(mask_lo, 0.0, 1.0).astype(new.dtype)
+            hi = jnp.where(mask_hi, 0.0, 1.0).astype(new.dtype)
+            new = jnp.concatenate(
+                [new[:edge] * lo, new[edge : rows_out - edge], new[rows_out - edge :] * hi],
+                axis=0,
+            )
+        return new
+
+    # step 1 reads the DMA'd window; later steps read the previous result
+    cur = None
+    for s in range(1, k_steps + 1):
+        rows_out = tx + 2 * (k_steps - s) * ext
+        b_off = (s - 1) * ext
+        if s == 1:
+            def read(row0, rows, _slot=slot):
+                return window[_slot, row0 : row0 + rows]
+        else:
+            prev = cur
+
+            def read(row0, rows, _prev=prev):
+                return _prev[row0 : row0 + rows]
+        cur = step(read, rows_out, b_off, s)
+        if s < k_steps:
+            pong[:rows_out] = cur
+            cur = pong[:rows_out]
+
+    result[slot] = cur
+    pltpu.make_async_copy(
+        result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+    ).start()
+
+    @pl.when(i == nprog - 1)
+    def _drain_tail():
+        pltpu.make_async_copy(
+            result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+        ).wait()
+
+    if nprog > 1:
+
+        @pl.when(i == nprog - 1)
+        def _drain_other():
+            pltpu.make_async_copy(
+                result.at[next_slot],
+                out_hbm.at[pl.ds((i - 1) * tx + pad, tx)],
+                sem_out.at[next_slot],
+            ).wait()
+
+
+def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int) -> int:
+    budget = 11 * 1024 * 1024
+    plane = ny * nz * itemsize
+    for tx in (64, 32, 16, 8, 4, 2, 1):
+        if nx % tx:
+            continue
+        need = (
+            2 * (tx + 2 * k_steps * ext) * plane  # windows
+            + (tx + 2 * (k_steps - 1) * ext) * plane  # pong
+            + (tx + 2 * (k_steps - 1) * ext) * plane  # b slab
+            + 2 * tx * plane  # results
+        )
+        if need <= budget:
+            return tx
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("order", "scale", "k_steps", "interpret")
+)
+def evolve_steps_fused_k(
+    phi_xpad_k: jnp.ndarray,
+    b_xpad: jnp.ndarray,
+    order: str,
+    scale: float,
+    k_steps: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """K fused sweeps in one HBM pass (ground-state path).
+
+    Args:
+      phi_xpad_k: (NX+2K·e, NY, NZ), halo rows zero.
+      b_xpad: (NX+2(K−1)·e, NY, NZ) B array padded with ignored rows.
+    """
+    ext = _EXT[order]
+    nxp, ny, nz = phi_xpad_k.shape
+    nx = nxp - 2 * k_steps * ext
+    dtype = phi_xpad_k.dtype
+    tx = _pick_tx_k(nx, ny, nz, ext, dtype.itemsize, k_steps)
+
+    kernel = functools.partial(
+        _evolve_kernel_k, order=order, scale=scale, tx=tx, ext=ext, k_steps=k_steps
+    )
+    mid = tx + 2 * (k_steps - 1) * ext
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nx // tx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 2 * k_steps * ext, ny, nz), dtype),
+            pltpu.VMEM((mid, ny, nz), dtype),
+            pltpu.VMEM((mid, ny, nz), dtype),
+            pltpu.VMEM((2, tx, ny, nz), dtype),
+            pltpu.VMEM((k_steps * ext, ny, nz), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(phi_xpad_k, b_xpad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "dt", "dn", "mass", "n_steps", "k_steps", "interpret"),
+)
+def evolve_chunk_fused_k(
+    phi_xpad_k: jnp.ndarray,
+    b_xpad: jnp.ndarray,
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    k_steps: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Ground-state chunk via K-step fused sweeps. ``n_steps`` must be a
+    multiple of ``k_steps`` (the solver pads screen_update accordingly)."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    assert n_steps % k_steps == 0
+
+    def body(_i, phi):
+        return evolve_steps_fused_k(phi, b_xpad, order, scale, k_steps, interpret)
+
+    return jax.lax.fori_loop(0, n_steps // k_steps, body, phi_xpad_k)
+
+
+def to_xpad_k(phi_padded: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
+    """Fully-padded (N+2e)³ → K-fusion layout (N+2K·e, N, N)."""
+    x = to_xpad(phi_padded, ext)
+    extra = (k_steps - 1) * ext
+    if extra == 0:
+        return x
+    return jnp.pad(x, ((extra, extra), (0, 0), (0, 0)))
+
+
+def from_xpad_k(phi_xpad_k: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
+    """K-fusion layout → fully-padded (N+2e)³."""
+    extra = (k_steps - 1) * ext
+    if extra:
+        phi_xpad_k = phi_xpad_k[extra:-extra]
+    return from_xpad(phi_xpad_k, ext)
+
+
+def b_to_xpad_k(b_int: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
+    """Interior B array → K-fusion layout with (K−1)·e ignored pad rows."""
+    extra = (k_steps - 1) * ext
+    if extra == 0:
+        return b_int
+    return jnp.pad(b_int, ((extra, extra), (0, 0), (0, 0)))
+
+
+# --------------------------------------------------------------------------- #
 # chunk driver: the pallas counterpart of ops.stencil.evolve_chunk
 # --------------------------------------------------------------------------- #
 

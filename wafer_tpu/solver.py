@@ -167,6 +167,11 @@ def solve(
             if n_lower > 0
             else None
         )
+        # temporal blocking: fuse K sweeps per HBM pass on the ground state
+        # (excited states renormalise+project every step, forbidding fusion)
+        k_fuse = 2 if (n_lower == 0 and config.output.screen_update % 2 == 0) else 1
+        if k_fuse > 1:
+            b_xpad_k = pk.b_to_xpad_k(b_int, ext, k_fuse)
 
     terminal.print_observable_header(wnum)
 
@@ -283,20 +288,36 @@ def solve(
         if backend == "pallas":
             from wafer_tpu.ops import pallas_stencil as pk
 
-            phi = pk.from_xpad(
-                pk.evolve_chunk_fused(
-                    pk.to_xpad(phi, ext),
-                    b_int,
-                    store_xpad,
-                    order,
-                    dt,
-                    dn,
-                    mass,
-                    config.output.screen_update,
-                    n_lower,
-                ),
-                ext,
-            )
+            if k_fuse > 1:
+                phi = pk.from_xpad_k(
+                    pk.evolve_chunk_fused_k(
+                        pk.to_xpad_k(phi, ext, k_fuse),
+                        b_xpad_k,
+                        order,
+                        dt,
+                        dn,
+                        mass,
+                        config.output.screen_update,
+                        k_fuse,
+                    ),
+                    ext,
+                    k_fuse,
+                )
+            else:
+                phi = pk.from_xpad(
+                    pk.evolve_chunk_fused(
+                        pk.to_xpad(phi, ext),
+                        b_int,
+                        store_xpad,
+                        order,
+                        dt,
+                        dn,
+                        mass,
+                        config.output.screen_update,
+                        n_lower,
+                    ),
+                    ext,
+                )
         else:
             phi = stencil.evolve_chunk(
                 phi,
