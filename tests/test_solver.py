@@ -122,3 +122,44 @@ def test_sevenpoint_harmonic(tmp_run):
     results = solver.run(cfg)
     e0 = results[0].observables.energy / results[0].observables.norm2
     assert abs(e0 - 1.5) < 0.01, e0
+
+
+def test_backend_resolution():
+    """auto → pallas only for real-f32 on accelerators (cpu here → xla)."""
+    import jax.numpy as jnp
+
+    from wafer_tpu import errors, solver
+
+    cfg32 = base_config(precision="f32")
+    cfg64 = base_config()
+    phi32 = jnp.zeros((4, 4, 4), jnp.float32)
+    phi64 = jnp.zeros((4, 4, 4), jnp.float64)
+    # tests run on CPU → auto resolves to xla everywhere
+    assert solver._resolve_backend(cfg32, phi32) == "xla"
+    assert solver._resolve_backend(cfg64, phi64) == "xla"
+    cfg_forced = base_config(precision="f32", backend="pallas")
+    with pytest.raises(errors.ConfigParseError):
+        solver._resolve_backend(cfg_forced, phi32)
+    cfg_xla = base_config(backend="xla")
+    assert solver._resolve_backend(cfg_xla, phi64) == "xla"
+
+
+def test_run_routes_to_sharded_mesh(tmp_run):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = base_config(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        init_condition="Constant",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        mesh={"x": 2, "y": 2, "z": 2},
+    )
+    from wafer_tpu.io import run_dir
+
+    run_dir.check_output_dir(cfg.project_name)
+    results = solver.run(cfg)
+    e0 = results[0].observables.energy / results[0].observables.norm2
+    assert abs(e0 - 1.5) < 0.02

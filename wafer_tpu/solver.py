@@ -364,8 +364,15 @@ def run(
     seed: Optional[int] = None,
     progress_factory=None,
 ) -> List[SolveResult]:
-    """Solve all requested states (reference ``run``, src/grid.rs:31-47)."""
+    """Solve all requested states (reference ``run``, src/grid.rs:31-47).
+
+    When the config declares a multi-device mesh, dispatches to the sharded
+    driver (parallel/solver_sharded.py)."""
     log = log or logging.getLogger("wafer")
+    if config.mesh.n_devices > 1:
+        from wafer_tpu.parallel.solver_sharded import run_sharded
+
+        return run_sharded(config, log, seed=seed, progress_factory=progress_factory)
     pots = potentials_mod.load_arrays(config, log)
 
     w_store: List[jnp.ndarray] = []
