@@ -107,7 +107,7 @@ def _evolve_kernel(
     # prologue: program 0 kicks off its own window
     @pl.when(i == 0)
     def _first_window():
-        in_copy(0, 0).start()
+        in_copy(jnp.int32(0), jnp.int32(0)).start()
 
     # prefetch the next window while this one computes
     @pl.when(i + 1 < nprog)
@@ -352,7 +352,7 @@ def _evolve_kernel_k(
 
     @pl.when(i == 0)
     def _first_window():
-        in_copy(0, 0).start()
+        in_copy(jnp.int32(0), jnp.int32(0)).start()
 
     @pl.when(i + 1 < nprog)
     def _prefetch():
