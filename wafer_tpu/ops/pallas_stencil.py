@@ -69,7 +69,8 @@ def _evolve_kernel(
     # inputs
     phi_hbm,  # (NX+2e, NY, NZ) ANY — manual overlapping-window DMA
     b_blk,  # (TX, NY, NZ) VMEM (pipelined); A is derived as 2B − 1
-    store_hbm,  # (S, NX+2e, NY, NZ) ANY — manual DMA (dummy when unused)
+    store_hbm,  # (S·(NX+2e), NY, NZ) ANY — stored states concatenated along
+    # x (rank-3: rank-4 refs break Mosaic's (sublane, lane) tiling on DMA)
     # outputs
     out_hbm,  # (NX+2e, NY, NZ) ANY — manual DMA out
     norm_out,  # (1, 1) SMEM
@@ -77,7 +78,7 @@ def _evolve_kernel(
     # scratch
     slab,  # (2, TX+2e, NY, NZ) VMEM — double-buffered ψ windows
     result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
-    lower_slab,  # (S, TX, NY, NZ) VMEM
+    lower_slab,  # (S·TX, NY, NZ) VMEM
     zeros_halo,  # (ext, NY, NZ) VMEM
     sem_in,  # DMA (2,)
     sem_lower,
@@ -114,11 +115,17 @@ def _evolve_kernel(
     def _prefetch():
         in_copy(i + 1, next_slot).start()
 
+    nxp_rows = phi_hbm.shape[0]
     if n_lower > 0:
-        lower_copy = pltpu.make_async_copy(
-            store_hbm.at[:, pl.ds(i * tx + ext, tx)], lower_slab, sem_lower
-        )
-        lower_copy.start()
+        lower_copies = []
+        for s_idx in range(n_lower):
+            lc = pltpu.make_async_copy(
+                store_hbm.at[pl.ds(s_idx * nxp_rows + i * tx + ext, tx)],
+                lower_slab.at[pl.ds(s_idx * tx, tx)],
+                sem_lower.at[s_idx],
+            )
+            lc.start()
+            lower_copies.append(lc)
 
     # keep the output's Dirichlet halo rows zero
     @pl.when(i == 0)
@@ -180,9 +187,11 @@ def _evolve_kernel(
 
         norm_out[0, 0] += jnp.sum(new * new)
     if n_lower > 0:
-        lower_copy.wait()
-        for s in range(n_lower):
-            over_out[s, 0] += jnp.sum(lower_slab[s] * new)
+        for s_idx, lc in enumerate(lower_copies):
+            lc.wait()
+            over_out[s_idx, 0] += jnp.sum(
+                lower_slab[s_idx * tx : (s_idx + 1) * tx] * new
+            )
 
     # epilogue: drain the in-flight out-DMAs (nprog is static)
     @pl.when(i == nprog - 1)
@@ -254,6 +263,7 @@ def evolve_step_fused(
     if store_xpad is None or n_lower == 0:
         store_xpad = jnp.zeros((1, nxp, ny, nz), dtype=dtype)
     n_store = store_xpad.shape[0]
+    store_flat = store_xpad.reshape(n_store * nxp, ny, nz)
 
     kernel = functools.partial(
         _evolve_kernel,
@@ -286,15 +296,15 @@ def evolve_step_fused(
         scratch_shapes=[
             pltpu.VMEM((2, tx + 2 * ext, ny, nz), dtype),
             pltpu.VMEM((2, tx, ny, nz), dtype),
-            pltpu.VMEM((n_store, tx, ny, nz), dtype),
+            pltpu.VMEM((n_store * tx, ny, nz), dtype),
             pltpu.VMEM((ext, ny, nz), dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((max(n_store, 1),)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(phi_xpad, b_int, store_xpad)
+    )(phi_xpad, b_int, store_flat)
 
     return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 

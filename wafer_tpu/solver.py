@@ -111,19 +111,27 @@ def _select_initial_condition(
 
 def _resolve_backend(config: Config, phi) -> str:
     """Pick the sweep backend: the fused Pallas kernel runs real-f32 sweeps
-    on accelerators; everything else uses the XLA shifted-slice path."""
+    on accelerators; everything else uses the XLA shifted-slice path.
+
+    Shape gate: Mosaic requires in-kernel slices aligned to the (8, 128)
+    f32 tile, so the kernel only engages when NY is a multiple of 8 and NZ a
+    multiple of 128 — i.e. production-size grids; small grids are fast on
+    the XLA path anyway."""
     if config.backend == "xla":
         return "xla"
+    ny, nz = config.grid.size.y, config.grid.size.z
     pallas_ok = (
         not jnp.iscomplexobj(phi)
         and phi.dtype == jnp.float32
         and jax.default_backend() not in ("cpu",)
+        and ny % 8 == 0
+        and nz % 128 == 0
     )
     if config.backend == "pallas":
         if not pallas_ok:
             raise errors.ConfigParseError(
-                "backend: pallas requires precision f32, a real potential and "
-                "an accelerator device"
+                "backend: pallas requires precision f32, a real potential, an "
+                "accelerator device, and grid y/z sizes aligned to 8/128"
             )
         return "pallas"
     return "pallas" if pallas_ok else "xla"
