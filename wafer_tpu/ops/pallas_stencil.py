@@ -399,7 +399,7 @@ def _evolve_kernel_k(
     in_copy(i, slot).wait()
     b_copy.wait()
 
-    def step(read, rows_out, b_off, s):
+    def step(read, rows_out, b_off):
         """One inner sweep producing ``rows_out`` rows from ``read`` (a
         function row-slice → array)."""
         c = read(ext, rows_out)
@@ -409,22 +409,12 @@ def _evolve_kernel_k(
             acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
             acc = acc + cf * (_shift_z(c, off) + _shift_z(c, -off))
         b = b_slab[b_off : b_off + rows_out]
-        new = 2.0 * (b * c) - c + b * (scale * acc)
-        # Dirichlet: re-zero rows that fall outside the global interior
-        edge = (k_steps - s) * ext
-        if edge > 0:
-            zeros = jnp.zeros_like(new[:edge])
-            mask_lo = (i == 0)
-            mask_hi = (i == nprog - 1)
-            lo = jnp.where(mask_lo, 0.0, 1.0).astype(new.dtype)
-            hi = jnp.where(mask_hi, 0.0, 1.0).astype(new.dtype)
-            new = jnp.concatenate(
-                [new[:edge] * lo, new[edge : rows_out - edge], new[rows_out - edge :] * hi],
-                axis=0,
-            )
-        return new
+        return 2.0 * (b * c) - c + b * (scale * acc)
 
-    # step 1 reads the DMA'd window; later steps read the previous result
+    # step 1 reads the DMA'd window; later steps read the previous result.
+    # Dirichlet: after each inner step, re-zero intermediate rows that fall
+    # outside the global interior (predicated ref stores — scalar selects
+    # do not legalize in Mosaic).
     cur = None
     for s in range(1, k_steps + 1):
         rows_out = tx + 2 * (k_steps - s) * ext
@@ -437,12 +427,23 @@ def _evolve_kernel_k(
 
             def read(row0, rows, _prev=prev):
                 return _prev[row0 : row0 + rows]
-        cur = step(read, rows_out, b_off, s)
+        val = step(read, rows_out, b_off)
+        edge = (k_steps - s) * ext
         if s < k_steps:
-            pong[:rows_out] = cur
-            cur = pong[:rows_out]
+            pong[:rows_out] = val
+            if edge > 0:
+                @pl.when(i == 0)
+                def _mask_lo(_rows=rows_out, _edge=edge):
+                    pong[0:_edge] = jnp.zeros_like(pong[0:_edge])
 
-    result[slot] = cur
+                @pl.when(i == nprog - 1)
+                def _mask_hi(_rows=rows_out, _edge=edge):
+                    pong[_rows - _edge : _rows] = jnp.zeros_like(
+                        pong[_rows - _edge : _rows]
+                    )
+            cur = pong[:rows_out]
+        else:
+            result[slot] = val
     pltpu.make_async_copy(
         result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
     ).start()
