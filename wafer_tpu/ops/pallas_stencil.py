@@ -120,9 +120,9 @@ def _evolve_kernel(
         lower_copies = []
         for s_idx in range(n_lower):
             lc = pltpu.make_async_copy(
-                store_hbm.at[pl.ds(s_idx * nxp_rows + i * tx + ext, tx)],
-                lower_slab.at[pl.ds(s_idx * tx, tx)],
-                sem_lower.at[s_idx],
+                store_hbm.at[pl.ds(jnp.int32(s_idx * nxp_rows) + i * tx + ext, tx)],
+                lower_slab.at[pl.ds(jnp.int32(s_idx * tx), tx)],
+                sem_lower.at[jnp.int32(s_idx)],
             )
             lc.start()
             lower_copies.append(lc)
