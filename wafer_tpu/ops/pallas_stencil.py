@@ -211,9 +211,12 @@ def _evolve_kernel(
             ).wait()
 
 
-def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int) -> int:
-    """Largest slab height that fits the VMEM budget and divides NX."""
-    budget = 11 * 1024 * 1024
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
+    """Largest slab height that fits the VMEM budget and divides NX, or
+    None when nothing fits (caller falls back to the XLA sweep)."""
     plane = ny * nz * itemsize
     for tx in (64, 32, 16, 8, 4, 2, 1):
         if nx % tx:
@@ -225,9 +228,14 @@ def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int) -
             + 2 * tx * plane
             + n_lower * tx * plane
         )
-        if need <= budget:
+        if need <= _VMEM_BUDGET:
             return tx
-    return 1
+    return None
+
+
+def step_fused_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                         n_lower: int) -> bool:
+    return _pick_tx(nx, ny, nz, ext, itemsize, n_lower) is not None
 
 
 @functools.partial(
@@ -259,6 +267,11 @@ def evolve_step_fused(
     nx = nxp - 2 * ext
     dtype = phi_xpad.dtype
     tx = _pick_tx(nx, ny, nz, ext, dtype.itemsize, n_lower)
+    if tx is None:
+        raise ValueError(
+            f"fused sweep does not fit VMEM for plane {ny}x{nz} "
+            f"({dtype.itemsize}B items); use the XLA backend"
+        )
 
     if store_xpad is None or n_lower == 0:
         store_xpad = jnp.zeros((1, nxp, ny, nz), dtype=dtype)
@@ -465,8 +478,7 @@ def _evolve_kernel_k(
             ).wait()
 
 
-def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int) -> int:
-    budget = 11 * 1024 * 1024
+def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int):
     plane = ny * nz * itemsize
     for tx in (64, 32, 16, 8, 4, 2, 1):
         if nx % tx:
@@ -477,9 +489,14 @@ def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int)
             + (tx + 2 * (k_steps - 1) * ext) * plane  # b slab
             + 2 * tx * plane  # results
         )
-        if need <= budget:
+        if need <= _VMEM_BUDGET:
             return tx
-    return 1
+    return None
+
+
+def k_fuse_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                     k_steps: int) -> bool:
+    return _pick_tx_k(nx, ny, nz, ext, itemsize, k_steps) is not None
 
 
 @functools.partial(
@@ -504,6 +521,11 @@ def evolve_steps_fused_k(
     nx = nxp - 2 * k_steps * ext
     dtype = phi_xpad_k.dtype
     tx = _pick_tx_k(nx, ny, nz, ext, dtype.itemsize, k_steps)
+    if tx is None:
+        raise ValueError(
+            f"K={k_steps} fused sweep does not fit VMEM for plane {ny}x{nz}; "
+            "reduce k_steps or use the XLA backend"
+        )
 
     kernel = functools.partial(
         _evolve_kernel_k, order=order, scale=scale, tx=tx, ext=ext, k_steps=k_steps

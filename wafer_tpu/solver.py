@@ -169,6 +169,13 @@ def solve(
     if backend == "pallas":
         from wafer_tpu.ops import pallas_stencil as pk
 
+        nx, ny, nz = config.work_size()
+        itemsize = jnp.dtype(config.real_dtype).itemsize
+        if not pk.step_fused_supported(nx, ny, nz, ext, itemsize, n_lower):
+            log.info("Fused sweep does not fit VMEM for this grid; using XLA")
+            backend = "xla"
+
+    if backend == "pallas":
         b_int = geometry.work_area(pots.b, ext)
         store_xpad = (
             jnp.stack([pk.to_xpad(w, ext) for w in w_store[:n_lower]])
@@ -177,7 +184,15 @@ def solve(
         )
         # temporal blocking: fuse K sweeps per HBM pass on the ground state
         # (excited states renormalise+project every step, forbidding fusion)
-        k_fuse = 2 if (n_lower == 0 and config.output.screen_update % 2 == 0) else 1
+        k_fuse = (
+            2
+            if (
+                n_lower == 0
+                and config.output.screen_update % 2 == 0
+                and pk.k_fuse_supported(nx, ny, nz, ext, itemsize, 2)
+            )
+            else 1
+        )
         if k_fuse > 1:
             b_xpad_k = pk.b_to_xpad_k(b_int, ext, k_fuse)
 
