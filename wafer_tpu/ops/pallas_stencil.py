@@ -293,7 +293,13 @@ def evolve_step_fused(
         grid=(nx // tx,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # index_map literals must be i32: python-int zeros trace as i64
+            # under jax_enable_x64 and Mosaic rejects mixed-width index maps
+            pl.BlockSpec(
+                (tx, ny, nz),
+                lambda i: (i, jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
