@@ -288,42 +288,43 @@ def evolve_step_fused(
         with_norm=with_norm,
     )
 
-    out_xpad, norm2, overlaps = pl.pallas_call(
-        kernel,
-        grid=(nx // tx,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            # index_map literals must be i32: python-int zeros trace as i64
-            # under jax_enable_x64 and Mosaic rejects mixed-width index maps
-            pl.BlockSpec(
-                (tx, ny, nz),
-                lambda i: (i, jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
-            jax.ShapeDtypeStruct((n_store, 1), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, tx + 2 * ext, ny, nz), dtype),
-            pltpu.VMEM((2, tx, ny, nz), dtype),
-            pltpu.VMEM((n_store * tx, ny, nz), dtype),
-            pltpu.VMEM((ext, ny, nz), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((max(n_store, 1),)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(phi_xpad, b_int, store_flat)
+    # Trace under 32-bit index semantics: with jax_enable_x64 the default
+    # BlockSpec index maps emit i64 literals, which Mosaic rejects.
+    with jax.enable_x64(False):
+        out_xpad, norm2, overlaps = pl.pallas_call(
+            kernel,
+            grid=(nx // tx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (tx, ny, nz),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+                jax.ShapeDtypeStruct((n_store, 1), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, tx + 2 * ext, ny, nz), dtype),
+                pltpu.VMEM((2, tx, ny, nz), dtype),
+                pltpu.VMEM((n_store * tx, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((max(n_store, 1),)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(phi_xpad, b_int, store_flat)
 
     return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
@@ -538,28 +539,29 @@ def evolve_steps_fused_k(
     )
     mid = tx + 2 * (k_steps - 1) * ext
 
-    return pl.pallas_call(
-        kernel,
-        grid=(nx // tx,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, tx + 2 * k_steps * ext, ny, nz), dtype),
-            pltpu.VMEM((mid, ny, nz), dtype),
-            pltpu.VMEM((mid, ny, nz), dtype),
-            pltpu.VMEM((2, tx, ny, nz), dtype),
-            pltpu.VMEM((k_steps * ext, ny, nz), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(phi_xpad_k, b_xpad)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(nx // tx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, tx + 2 * k_steps * ext, ny, nz), dtype),
+                pltpu.VMEM((mid, ny, nz), dtype),
+                pltpu.VMEM((mid, ny, nz), dtype),
+                pltpu.VMEM((2, tx, ny, nz), dtype),
+                pltpu.VMEM((k_steps * ext, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(phi_xpad_k, b_xpad)
 
 
 @functools.partial(
