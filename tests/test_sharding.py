@@ -160,3 +160,67 @@ def test_sharded_solver_end_to_end(tmp_run):
     results = run_sharded(cfg)
     e0 = results[0].observables.energy / results[0].observables.norm2
     assert abs(e0 - 1.5) < 0.02, e0
+
+
+def test_sharded_pallas_matches_sharded_xla():
+    """Fused-kernel shards (x-only mesh) == XLA shards, interpret mode."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(7)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int), ops_x.put_store(None)
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int), ops_p.put_store(None)
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_pallas_excited_matches_xla():
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 2},
+    )
+    ext = 1
+    rng = np.random.default_rng(8)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower /= np.sqrt(np.sum(lower.astype(np.float64) ** 2)).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+    store = jnp.stack([jnp.asarray(lower)])
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 1, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int), ops_x.put_store(store)
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 1, use_pallas=True, pallas_interpret=True)
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int), ops_p.put_store(store)
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=2e-5)

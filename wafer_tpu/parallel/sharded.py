@@ -51,6 +51,8 @@ class ShardedOps:
         n_lower: int,
         has_pot_sub_array: bool = False,
         pot_sub_scalar: Optional[float] = None,
+        use_pallas: Optional[bool] = None,
+        pallas_interpret: bool = False,
     ):
         self.config = config
         self.mesh = mesh
@@ -63,10 +65,39 @@ class ShardedOps:
         dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
         _offs, _coeffs, _center, k = geometry.stencil_coefficients(order)
         denom = k * dn * dn * mass
+        scale = dt / denom
         screen_update = config.output.screen_update
         mesh_shape = self.mesh_shape
 
+        from wafer_tpu.ops import pallas_stencil as pk
         from wafer_tpu.ops.stencil import stencil_taps
+        from wafer_tpu.parallel.halo import _pad_axis
+
+        # Fused-kernel shards: valid when only the leading axis is sharded
+        # (exchanged x-halo rows are exactly the neighbour rows the kernel
+        # expects; y/z keep the global Dirichlet handled in-kernel) and the
+        # per-shard block is tile-aligned and fits VMEM.
+        nx, ny, nz = config.work_size()
+        bx = nx // mesh_shape[0]
+        itemsize = jnp.dtype(config.real_dtype).itemsize
+        pallas_ok = (
+            mesh_shape[1] == 1
+            and mesh_shape[2] == 1
+            and not config.potential.is_complex
+            and config.real_dtype == jnp.float32
+            and ny % 8 == 0
+            and nz % 128 == 0
+            and bx >= ext
+            and pk.step_fused_supported(bx, ny, nz, ext, itemsize, n_lower)
+        )
+        if use_pallas is None:
+            use_pallas = pallas_ok and jax.default_backend() not in ("cpu",)
+        elif use_pallas and not pallas_ok:
+            raise ValueError(
+                "sharded pallas sweep requires an x-only mesh, real f32, "
+                "tile-aligned y/z and a VMEM-sized block"
+            )
+        self.use_pallas = use_pallas
 
         def orthogonalise(phi, store):
             for s in range(n_lower):
@@ -86,9 +117,40 @@ class ShardedOps:
             return phi
 
         def evolve_chunk_local(phi, a, b, store):
-            return lax.fori_loop(
-                0, screen_update, lambda _i, p: step_local(p, a, b, store), phi
+            if not use_pallas:
+                return lax.fori_loop(
+                    0, screen_update, lambda _i, p: step_local(p, a, b, store), phi
+                )
+
+            # fused-kernel path: ppermute x-halo exchange + local pallas sweep
+            store_x = (
+                jnp.pad(store, ((0, 0), (ext, ext), (0, 0), (0, 0)))
+                if n_lower > 0
+                else None
             )
+
+            def body(_i, p):
+                xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                out_xpad, n2_loc, ov_loc = pk.evolve_step_fused(
+                    xpad,
+                    b,
+                    store_x,
+                    order,
+                    scale,
+                    n_lower,
+                    n_lower > 0,
+                    pallas_interpret,
+                )
+                p = out_xpad[ext:-ext]
+                if n_lower > 0:
+                    n2 = _psum(n2_loc)
+                    ov = _psum(ov_loc)
+                    inv = 1.0 / jnp.sqrt(n2)
+                    corr = ov * inv
+                    p = p * inv.astype(p.dtype) - jnp.tensordot(corr, store, axes=1)
+                return p
+
+            return lax.fori_loop(0, screen_update, body, phi)
 
         def measure_local(phi, v, r2_grid, pot_sub, store):
             padded = exchange_halos(phi, ext, mesh_shape)
@@ -113,12 +175,15 @@ class ShardedOps:
         sub_spec = grid if has_pot_sub_array else P()
         scalar = P()
 
+        # check_vma=False: pallas_call inside shard_map does not carry
+        # varying-mesh-axis metadata
         self.evolve_chunk = jax.jit(
             jax.shard_map(
                 evolve_chunk_local,
                 mesh=mesh,
                 in_specs=(grid, grid, grid, store_spec),
                 out_specs=grid,
+                check_vma=False,
             )
         )
         self.measure = jax.jit(
@@ -127,6 +192,7 @@ class ShardedOps:
                 mesh=mesh,
                 in_specs=(grid, grid, grid, sub_spec, store_spec),
                 out_specs=((scalar, scalar, scalar, scalar), grid),
+                check_vma=False,
             )
         )
 
