@@ -116,8 +116,6 @@ def main(argv=None) -> int:
                 config, log, debug_level, progress_factory=progress_factory
             )
         if config.trace_dir:
-            import contextlib
-
             with jax.profiler.trace(config.trace_dir):
                 runner()
         else:

@@ -9,7 +9,6 @@ default to reference behaviour when absent.
 from __future__ import annotations
 
 import enum
-import math
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 import csv as _csv
 import io as _io
 import json as _json
-import math
 import re as _re
 from typing import Optional, Tuple
 

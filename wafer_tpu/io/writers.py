@@ -8,8 +8,6 @@ format into the per-run project directory; unconverged wavefunctions get a
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from wafer_tpu import errors

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wafer_tpu import errors, geometry
-from wafer_tpu.config import Config, InitialCondition, SymmetryConstraint
+from wafer_tpu.config import Config, InitialCondition
 
 
 def generate_gaussian(config: Config, init_size, seed: Optional[int] = None) -> jnp.ndarray:

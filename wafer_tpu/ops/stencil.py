@@ -18,7 +18,7 @@ dt·∇²ψ/(2m) with the chosen finite-difference order.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -71,7 +71,6 @@ def run_sharded(
 
 
 def _select_ic(config, log, wnum, w_store, seed):
-    from wafer_tpu.config import InitialCondition
     from wafer_tpu.io import readers
 
     if wnum > 0:

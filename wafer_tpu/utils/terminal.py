@@ -10,8 +10,6 @@ import shutil
 import subprocess
 import sys
 import time
-from typing import Optional
-
 _ORDINALS = {1: "st", 2: "nd", 3: "rd"}
 
 
