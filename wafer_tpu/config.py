@@ -270,6 +270,9 @@ class Config:
     debug_nans: bool = False
     # Optional jax.profiler trace directory (per-run performance traces).
     trace_dir: Optional[str] = None
+    # Optional PRNG seed for the Gaussian initial condition (reproducible
+    # runs; the reference uses a non-deterministic thread rng).
+    seed: Optional[int] = None
     cornell: CornellParams = field(default_factory=CornellParams)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     input_dir: str = "./input"
@@ -341,6 +344,7 @@ class Config:
                 precision=str(raw.get("precision", "f64")),
                 absorb=float(raw.get("absorb", 0.0)),
                 backend=str(raw.get("backend", "auto")),
+                seed=(int(raw["seed"]) if raw.get("seed") is not None else None),
                 debug_nans=bool(raw.get("debug_nans", False)),
                 trace_dir=raw.get("trace_dir"),
                 cornell=CornellParams(

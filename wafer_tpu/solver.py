@@ -151,6 +151,8 @@ def solve(
     from wafer_tpu.io import writers
     from wafer_tpu.utils import terminal
 
+    if seed is None:
+        seed = config.seed
     phi = _select_initial_condition(config, log, wnum, w_store, seed=seed)
 
     order = config.central_difference.value
@@ -159,6 +161,13 @@ def solve(
     is_complex = jnp.iscomplexobj(phi)
     backend = _resolve_backend(config, phi)
     log.info("Sweep backend for state %d: %s", wnum, backend)
+    if config.precision == "f32" and config.tolerance < 1e-6:
+        log.warning(
+            "tolerance %.1e is below the f32 noise floor (~1e-6 relative; "
+            "per-step normalisation injects rounding noise) — the run may "
+            "never converge. Use precision: f64 for tighter tolerances.",
+            config.tolerance,
+        )
 
     r2_grid = geometry.r2_index_grid(
         config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
