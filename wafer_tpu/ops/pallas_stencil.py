@@ -71,6 +71,9 @@ def _evolve_kernel(
     b_blk,  # (TX, NY, NZ) VMEM (pipelined); A is derived as 2B − 1
     store_hbm,  # (S·(NX+2e), NY, NZ) ANY — stored states concatenated along
     # x (rank-3: rank-4 refs break Mosaic's (sublane, lane) tiling on DMA)
+    coef_smem,  # (1+S, 1) SMEM: [inv_norm, corr_0..corr_{S-1}] from the
+    # previous step — the normalise+project update is applied as an affine
+    # correction of the input window, saving the separate XLA pass
     # outputs
     out_hbm,  # (NX+2e, NY, NZ) ANY — manual DMA out
     norm_out,  # (1, 1) SMEM
@@ -78,7 +81,7 @@ def _evolve_kernel(
     # scratch
     slab,  # (2, TX+2e, NY, NZ) VMEM — double-buffered ψ windows
     result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
-    lower_slab,  # (S·TX, NY, NZ) VMEM
+    lower_slab,  # (S·(TX+2e), NY, NZ) VMEM — lower-state windows
     zeros_halo,  # (ext, NY, NZ) VMEM
     sem_in,  # DMA (2,)
     sem_lower,
@@ -97,10 +100,11 @@ def _evolve_kernel(
     nprog = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    win_rows = tx + 2 * ext
 
     def in_copy(window, to_slot):
         return pltpu.make_async_copy(
-            phi_hbm.at[pl.ds(window * tx, tx + 2 * ext)],
+            phi_hbm.at[pl.ds(window * tx, win_rows)],
             slab.at[to_slot],
             sem_in.at[to_slot],
         )
@@ -120,8 +124,8 @@ def _evolve_kernel(
         lower_copies = []
         for s_idx in range(n_lower):
             lc = pltpu.make_async_copy(
-                store_hbm.at[pl.ds(jnp.int32(s_idx * nxp_rows) + i * tx + ext, tx)],
-                lower_slab.at[pl.ds(jnp.int32(s_idx * tx), tx)],
+                store_hbm.at[pl.ds(jnp.int32(s_idx * nxp_rows) + i * tx, win_rows)],
+                lower_slab.at[pl.ds(jnp.int32(s_idx * win_rows), win_rows)],
                 sem_lower.at[jnp.int32(s_idx)],
             )
             lc.start()
@@ -157,13 +161,27 @@ def _evolve_kernel(
 
     in_copy(i, slot).wait()
 
-    c = slab[slot, ext : ext + tx]
+    if n_lower > 0:
+        # affine correction from the previous step's reductions:
+        # ψ̃ = inv·ψ − Σ corrₛ·lowerₛ (normalise-then-project, applied lazily
+        # so the whole update stays one HBM pass per step)
+        for lc in lower_copies:
+            lc.wait()
+        win = slab[slot] * coef_smem[0, 0]
+        for s_idx in range(n_lower):
+            win = win - coef_smem[s_idx + 1, 0] * lower_slab[
+                s_idx * win_rows : (s_idx + 1) * win_rows
+            ]
+        def read(row0, rows):
+            return win[row0 : row0 + rows]
+    else:
+        def read(row0, rows):
+            return slab[slot, row0 : row0 + rows]
+
+    c = read(ext, tx)
     acc = -center_c * c
     for off, cf in zip(offsets, coeffs):
-        acc += cf * (
-            slab[slot, ext + off : ext + off + tx]
-            + slab[slot, ext - off : ext - off + tx]
-        )
+        acc += cf * (read(ext + off, tx) + read(ext - off, tx))
         acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
         acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
 
@@ -187,10 +205,12 @@ def _evolve_kernel(
 
         norm_out[0, 0] += jnp.sum(new * new)
     if n_lower > 0:
-        for s_idx, lc in enumerate(lower_copies):
-            lc.wait()
+        for s_idx in range(n_lower):
             over_out[s_idx, 0] += jnp.sum(
-                lower_slab[s_idx * tx : (s_idx + 1) * tx] * new
+                lower_slab[
+                    s_idx * win_rows + ext : s_idx * win_rows + ext + tx
+                ]
+                * new
             )
 
     # epilogue: drain the in-flight out-DMAs (nprog is static)
@@ -221,12 +241,12 @@ def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
     for tx in (64, 32, 16, 8, 4, 2, 1):
         if nx % tx:
             continue
-        # 2× ψ windows + 2× results + double-buffered b + lower slabs
+        # 2× ψ windows + 2× results + double-buffered b + lower windows
         need = (
             2 * (tx + 2 * ext) * plane
             + 2 * tx * plane
             + 2 * tx * plane
-            + n_lower * tx * plane
+            + n_lower * (tx + 2 * ext) * plane
         )
         if need <= _VMEM_BUDGET:
             return tx
@@ -250,6 +270,7 @@ def evolve_step_fused(
     n_lower: int = 0,
     with_norm: bool = True,
     interpret: bool = False,
+    coef: Optional[jnp.ndarray] = None,
 ):
     """One fused sweep.
 
@@ -258,9 +279,12 @@ def evolve_step_fused(
       b_int: (NX, NY, NZ) interior ancillary B array (A is derived: 2B−1).
       store_xpad: (S, NX+2e, NY, NZ) x-padded stored lower states, or None.
       scale: dt/(k·dn²·mass).
+      coef: (1+S, 1) [inv_norm, corr...] affine correction applied to the
+        input in-kernel (excited path); identity when None.
 
     Returns:
-      (ψ'_xpad, norm2, overlaps[S]) — halo rows of ψ' are zero.
+      (ψ'_xpad, norm2, overlaps[S]) — norm²/overlaps measured on the *raw*
+      (uncorrected-output) ψ', for the next step's coef. Halo rows zero.
     """
     ext = _EXT[order]
     nxp, ny, nz = phi_xpad.shape
@@ -277,6 +301,10 @@ def evolve_step_fused(
         store_xpad = jnp.zeros((1, nxp, ny, nz), dtype=dtype)
     n_store = store_xpad.shape[0]
     store_flat = store_xpad.reshape(n_store * nxp, ny, nz)
+    if coef is None:
+        coef = jnp.concatenate(
+            [jnp.ones((1, 1), dtype), jnp.zeros((n_store, 1), dtype)]
+        )
 
     kernel = functools.partial(
         _evolve_kernel,
@@ -302,6 +330,7 @@ def evolve_step_fused(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -316,7 +345,7 @@ def evolve_step_fused(
             scratch_shapes=[
                 pltpu.VMEM((2, tx + 2 * ext, ny, nz), dtype),
                 pltpu.VMEM((2, tx, ny, nz), dtype),
-                pltpu.VMEM((n_store * tx, ny, nz), dtype),
+                pltpu.VMEM((n_store * (tx + 2 * ext), ny, nz), dtype),
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((max(n_store, 1),)),
@@ -324,7 +353,7 @@ def evolve_step_fused(
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(phi_xpad, b_int, store_flat)
+        )(phi_xpad, b_int, store_flat, coef)
 
     return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
@@ -658,24 +687,37 @@ def evolve_chunk_fused(
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
 
-    def body(_i, phi):
-        phi, norm2, overlaps = evolve_step_fused(
-            phi,
-            b_int,
-            store_xpad,
-            order,
-            scale,
-            n_lower,
-            n_lower > 0,
-            interpret,
-        )
-        if n_lower > 0:
-            inv = 1.0 / jnp.sqrt(norm2)
-            # ψ/√n − Σ lowerₛ·(⟨lowerₛ|ψ⟩/√n): identical to the reference's
-            # normalise-then-project order (src/grid.rs:674-681)
-            corr = overlaps * inv
-            proj = jnp.tensordot(corr, store_xpad, axes=1)
-            phi = phi * inv.astype(phi.dtype) - proj
-        return phi
+    if n_lower == 0:
+        def body(_i, phi):
+            phi, _n2, _ov = evolve_step_fused(
+                phi, b_int, None, order, scale, 0, False, interpret
+            )
+            return phi
 
-    return jax.lax.fori_loop(0, n_steps, body, phi_xpad)
+        return jax.lax.fori_loop(0, n_steps, body, phi_xpad)
+
+    # Excited path: the normalise+project update is carried as an affine
+    # coefficient vector [inv, corr...] and applied *inside* the next sweep
+    # (one HBM pass per step instead of two). ψ/√n − Σ lowerₛ·(⟨lowerₛ|ψ⟩/√n)
+    # is exactly the reference's normalise-then-project order
+    # (src/grid.rs:674-681).
+    dtype = phi_xpad.dtype
+    coef0 = jnp.concatenate(
+        [jnp.ones((1, 1), dtype), jnp.zeros((n_lower, 1), dtype)]
+    )
+
+    def body(_i, carry):
+        phi, coef = carry
+        phi, norm2, overlaps = evolve_step_fused(
+            phi, b_int, store_xpad, order, scale, n_lower, True, interpret, coef
+        )
+        inv = (1.0 / jnp.sqrt(norm2)).astype(dtype)
+        coef = jnp.concatenate(
+            [inv.reshape(1, 1), (overlaps * inv).reshape(n_lower, 1)]
+        )
+        return phi, coef
+
+    phi, coef = jax.lax.fori_loop(0, n_steps, body, (phi_xpad, coef0))
+    # materialise the last step's pending correction
+    proj = jnp.tensordot(coef[1:, 0], store_xpad, axes=1)
+    return phi * coef[0, 0] - proj

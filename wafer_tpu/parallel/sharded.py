@@ -122,35 +122,56 @@ class ShardedOps:
                     0, screen_update, lambda _i, p: step_local(p, a, b, store), phi
                 )
 
-            # fused-kernel path: ppermute x-halo exchange + local pallas sweep
+            # fused-kernel path: ppermute x-halo exchange + local pallas
+            # sweep. Excited states carry the normalise+project update as an
+            # affine coefficient vector (local reductions → psum → coef)
+            # applied inside the next sweep. The stored states' x-halos must
+            # hold *neighbour* rows (not zeros): the in-kernel correction
+            # also applies to the exchanged ψ halo rows.
             store_x = (
-                jnp.pad(store, ((0, 0), (ext, ext), (0, 0), (0, 0)))
+                jnp.stack(
+                    [
+                        _pad_axis(store[s], ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                        for s in range(n_lower)
+                    ]
+                )
                 if n_lower > 0
                 else None
             )
+            dtype = phi.dtype
 
-            def body(_i, p):
+            if n_lower == 0:
+                def body(_i, p):
+                    xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                    out_xpad, _n2, _ov = pk.evolve_step_fused(
+                        xpad, b, None, order, scale, 0, False, pallas_interpret
+                    )
+                    return out_xpad[ext:-ext]
+
+                return lax.fori_loop(0, screen_update, body, phi)
+
+            coef0 = jnp.concatenate(
+                [jnp.ones((1, 1), dtype), jnp.zeros((n_lower, 1), dtype)]
+            )
+
+            def body(_i, carry):
+                p, coef = carry
                 xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
                 out_xpad, n2_loc, ov_loc = pk.evolve_step_fused(
-                    xpad,
-                    b,
-                    store_x,
-                    order,
-                    scale,
-                    n_lower,
-                    n_lower > 0,
-                    pallas_interpret,
+                    xpad, b, store_x, order, scale, n_lower, True,
+                    pallas_interpret, coef,
                 )
                 p = out_xpad[ext:-ext]
-                if n_lower > 0:
-                    n2 = _psum(n2_loc)
-                    ov = _psum(ov_loc)
-                    inv = 1.0 / jnp.sqrt(n2)
-                    corr = ov * inv
-                    p = p * inv.astype(p.dtype) - jnp.tensordot(corr, store, axes=1)
-                return p
+                inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                ov = _psum(ov_loc)
+                coef = jnp.concatenate(
+                    [inv.reshape(1, 1), (ov * inv).reshape(n_lower, 1)]
+                )
+                return p, coef
 
-            return lax.fori_loop(0, screen_update, body, phi)
+            p, coef = lax.fori_loop(0, screen_update, body, (phi, coef0))
+            proj = jnp.tensordot(coef[1:, 0], store, axes=1)
+            return p * coef[0, 0] - proj
 
         def measure_local(phi, v, r2_grid, pot_sub, store):
             padded = exchange_halos(phi, ext, mesh_shape)
