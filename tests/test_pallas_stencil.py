@@ -148,3 +148,44 @@ def test_k_xpad_roundtrip():
     assert x.shape == (12, 8, 8)
     back = pk.from_xpad_k(x, ext, 2)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(phi))
+
+
+def test_fused_chunk_two_lower_states_near_xla():
+    """Two stored states: fused (classical) GS vs sequential (modified) GS.
+    Stored states are orthonormalised here, so the difference is O(ε²) —
+    the documented equivalence bound."""
+    cfg, ext, phi, a, b = _setup("ThreePoint")
+    order = "ThreePoint"
+    rng = np.random.default_rng(2)
+    l0 = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    l0 = l0 / jnp.sqrt(gram_schmidt.get_norm_squared(l0)).astype(jnp.float32)
+    l1 = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    l1 = l1 - l0 * jnp.sum(l0 * l1)
+    l1 = l1 / jnp.sqrt(gram_schmidt.get_norm_squared(l1)).astype(jnp.float32)
+    store = jnp.stack([l0, l1])
+
+    ref = stencil.evolve_chunk(
+        phi, a, b, store, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 2
+    )
+    store_x = jnp.stack([pk.to_xpad(l0, ext), pk.to_xpad(l1, ext)])
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext),
+        geometry.work_area(b, ext),
+        store_x,
+        order,
+        cfg.grid.dt,
+        cfg.grid.dn,
+        cfg.mass,
+        4,
+        2,
+        interpret=True,
+    )
+    out_full = pk.from_xpad(out, ext)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(ref), rtol=2e-3, atol=2e-5)
+    # both lower states projected out
+    for low in (l0, l1):
+        assert abs(float(jnp.sum(low * out_full))) < 1e-5
