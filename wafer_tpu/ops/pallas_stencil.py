@@ -682,8 +682,9 @@ def evolve_chunk_fused(
 ):
     """``n_steps`` fused sweeps (reference ``evolve``, src/grid.rs:544-687).
 
-    Excited states: norm² and overlaps come out of the sweep kernel; the
-    normalise+project update is one fused elementwise pass."""
+    Excited states: norm² and overlaps come out of the sweep kernel and feed
+    the next step's in-kernel affine correction — one HBM pass per step; the
+    final step's pending correction is materialised once per chunk."""
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
 
