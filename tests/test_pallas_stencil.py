@@ -189,3 +189,113 @@ def test_fused_chunk_two_lower_states_near_xla():
     # both lower states projected out
     for low in (l0, l1):
         assert abs(float(jnp.sum(low * out_full))) < 1e-5
+
+
+def test_zt_kernel_matches_xla(monkeypatch):
+    """z-tiled slab streaming (large-plane path), forced by disabling the
+    plain picker; ground + excited chunks vs the XLA reference."""
+    monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
+    # choose tz=64 so nz=128 gives 2 chunks
+    monkeypatch.setattr(
+        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 64)
+    )
+
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+    )
+    ext = 1
+    order = "ThreePoint"
+    rng = np.random.default_rng(11)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    _a, b = pmod.build_ab(v, cfg.grid.dt)
+    b = b.astype(jnp.float32)
+    a = _a.astype(jnp.float32)
+
+    # ground state, multi-step
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 0
+    )
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext),
+        geometry.work_area(b, ext),
+        None,
+        order,
+        cfg.grid.dt,
+        cfg.grid.dn,
+        cfg.mass,
+        4,
+        0,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+    # excited state with the carried-coef correction
+    lower = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    lower = lower / jnp.sqrt(gram_schmidt.get_norm_squared(lower)).astype(jnp.float32)
+    store = jnp.stack([lower])
+    ref2 = stencil.evolve_chunk(
+        phi, a, b, store, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 1
+    )
+    out2 = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext),
+        geometry.work_area(b, ext),
+        jnp.stack([pk.to_xpad(lower, ext)]),
+        order,
+        cfg.grid.dt,
+        cfg.grid.dn,
+        cfg.mass,
+        3,
+        1,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out2, ext)), np.asarray(ref2), rtol=5e-4, atol=2e-5
+    )
+
+
+def test_zt_kernel_fivepoint(monkeypatch):
+    """z-tiled path with ext=2 (5-point): pads and window widths differ."""
+    monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
+    monkeypatch.setattr(
+        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 64)
+    )
+    cfg = base_config(
+        precision="f32",
+        central_difference="FivePoint",
+        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+    )
+    ext = 2
+    order = "FivePoint"
+    rng = np.random.default_rng(12)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    ref = stencil.evolve_chunk(
+        phi, a.astype(jnp.float32), b.astype(jnp.float32), None, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 0,
+    )
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext),
+        geometry.work_area(b.astype(jnp.float32), ext),
+        None,
+        order,
+        cfg.grid.dt,
+        cfg.grid.dn,
+        cfg.mass,
+        3,
+        0,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=5e-5, atol=5e-6
+    )

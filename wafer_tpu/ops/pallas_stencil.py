@@ -255,7 +255,260 @@ def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
 
 def step_fused_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                          n_lower: int) -> bool:
-    return _pick_tx(nx, ny, nz, ext, itemsize, n_lower) is not None
+    return (
+        _pick_tx(nx, ny, nz, ext, itemsize, n_lower) is not None
+        or _pick_tx_zt(nx, ny, nz, ext, itemsize, n_lower) is not None
+    )
+
+
+# --------------------------------------------------------------------------- #
+# z-tiled variant: planes too large for VMEM (≥512² f32) stream in z-chunks
+# --------------------------------------------------------------------------- #
+#
+# Each x-program statically unrolls over z-chunks, so every chunk's edge
+# handling (global Dirichlet pads at the first/last chunk, DMA widths) is
+# compile-time. The ψ/lower windows overlap by ext in BOTH x and z; the
+# z-halo columns live inside the slab, so z-shifts are plain static slices
+# (no zero-fill masking needed except the slab pads at the global z edges).
+
+
+def _pick_tx_zt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
+    """(tx, tz) for the z-tiled kernel, or None.
+
+    tz must be a lane-tile multiple (slice *widths* must align to 128); the
+    slab's z extent tz+2e tile-pads to the next 128 multiple in VMEM, which
+    the budget accounts for."""
+    for tz in (256, 128):
+        if nz % tz or nz // tz < 2:
+            continue
+        lanes_padded = -(-(tz + 2 * ext) // 128) * 128
+        pcz = ny * lanes_padded * itemsize
+        pc = ny * tz * itemsize
+        for tx in (32, 16, 8, 4, 2, 1):
+            if nx % tx:
+                continue
+            need = (
+                2 * (tx + 2 * ext) * pcz      # ψ windows (double-buffered)
+                + tx * pc                      # b chunk
+                + 2 * tx * pc                  # results (double-buffered)
+                + n_lower * (tx + 2 * ext) * pcz  # lower windows
+            )
+            if need <= _VMEM_BUDGET:
+                return tx, tz
+    return None
+
+
+def _evolve_kernel_zt(
+    # inputs
+    phi_hbm,  # (NX+2e, NY, NZ) ANY
+    b_hbm,  # (NX, NY, NZ) ANY
+    store_hbm,  # (S·(NX+2e), NY, NZ) ANY
+    coef_smem,  # (1+S, 1) SMEM
+    # outputs
+    out_hbm,  # (NX+2e, NY, NZ) ANY
+    norm_out,  # (1, 1) SMEM
+    over_out,  # (S, 1) SMEM
+    # scratch
+    slab,  # (2, TX+2e, NY, TZ+2e) VMEM
+    b_slab,  # (TX, NY, TZ) VMEM
+    result,  # (2, TX, NY, TZ) VMEM
+    lower_slab,  # (S·(TX+2e), NY, TZ+2e) VMEM
+    zeros_xhalo,  # (ext, NY, TZ) VMEM
+    sem_in,  # DMA (2,)
+    sem_b,
+    sem_lower,  # DMA (S,)
+    sem_out,  # DMA (2,)
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    tz: int,
+    ext: int,
+    nz: int,
+    n_lower: int,
+    with_norm: bool,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    nzc = nz // tz
+    win_rows = tx + 2 * ext
+    nxp_rows = phi_hbm.shape[0]
+
+    def chunk_geom(zi: int):
+        """Static window geometry of z-chunk ``zi``."""
+        z0 = zi * tz
+        src_lo = max(z0 - ext, 0)
+        src_hi = min(z0 + tz + ext, nz)
+        return z0, src_lo, src_hi, src_lo - (z0 - ext), (z0 + tz + ext) - src_hi
+
+    def in_copy(x_idx, zi: int, to_slot):
+        z0, src_lo, src_hi, pad_lo, _pad_hi = chunk_geom(zi)
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(x_idx * tx, win_rows), :, pl.ds(src_lo, src_hi - src_lo)],
+            slab.at[to_slot, :, :, pl.ds(pad_lo, src_hi - src_lo)],
+            sem_in.at[to_slot],
+        )
+
+    def out_copy(x_idx, zi: int, from_slot):
+        z0 = zi * tz
+        return pltpu.make_async_copy(
+            result.at[from_slot],
+            out_hbm.at[pl.ds(x_idx * tx + ext, tx), :, pl.ds(z0, tz)],
+            sem_out.at[from_slot],
+        )
+
+    def slot_of(zi: int):
+        return jax.lax.rem(i * jnp.int32(nzc) + jnp.int32(zi), jnp.int32(2))
+
+    # prologue
+    @pl.when(i == 0)
+    def _first():
+        in_copy(jnp.int32(0), 0, jnp.int32(0)).start()
+
+    if with_norm or n_lower > 0:
+
+        @pl.when(i == 0)
+        def _init_reductions():
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+            for si in range(n_lower):
+                over_out[si, 0] = jnp.zeros((), over_out.dtype)
+
+    for zi in range(nzc):
+        slot = slot_of(zi)
+        z0, src_lo, src_hi, pad_lo, pad_hi = chunk_geom(zi)
+        width = src_hi - src_lo
+
+        # b chunk for this (i, zi)
+        b_copy = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(i * tx, tx), :, pl.ds(z0, tz)], b_slab, sem_b
+        )
+        b_copy.start()
+
+        lower_copies = []
+        for si in range(n_lower):
+            lc = pltpu.make_async_copy(
+                store_hbm.at[
+                    pl.ds(jnp.int32(si * nxp_rows) + i * tx, win_rows),
+                    :,
+                    pl.ds(src_lo, width),
+                ],
+                lower_slab.at[
+                    pl.ds(jnp.int32(si * win_rows), win_rows), :, pl.ds(pad_lo, width)
+                ],
+                sem_lower.at[jnp.int32(si)],
+            )
+            lc.start()
+            lower_copies.append(lc)
+
+        # prefetch the next window
+        if zi + 1 < nzc:
+            in_copy(i, zi + 1, slot_of(zi + 1)).start()
+        else:
+
+            @pl.when(i + 1 < nprog)
+            def _prefetch_next_program():
+                in_copy(i + 1, 0, jax.lax.rem((i + 1) * jnp.int32(nzc), jnp.int32(2))).start()
+
+        # drain the out-DMA issued two chunks ago on this slot
+        if zi >= 2:
+            out_copy(i, zi - 2, slot).wait()
+        else:
+            prev_zi = zi - 2 + nzc  # chunk in the previous program
+
+            @pl.when(i >= 1)
+            def _drain_prev_program(_pz=prev_zi):
+                out_copy(i - 1, _pz, slot).wait()
+
+        # zero the output's global-x Dirichlet halo rows (once per z-chunk)
+        @pl.when(i == 0)
+        def _zero_xlo():
+            zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+            hc = pltpu.make_async_copy(
+                zeros_xhalo, out_hbm.at[pl.ds(0, ext), :, pl.ds(z0, tz)], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+        @pl.when(i == nprog - 1)
+        def _zero_xhi():
+            zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+            hc = pltpu.make_async_copy(
+                zeros_xhalo,
+                out_hbm.at[pl.ds(nxp_rows - ext, ext), :, pl.ds(z0, tz)],
+                sem_halo,
+            )
+            hc.start()
+            hc.wait()
+
+        in_copy(i, zi, slot).wait()
+
+        # global-z Dirichlet pads (only the edge chunks have them)
+        if pad_lo > 0:
+            slab[slot, :, :, 0:pad_lo] = jnp.zeros_like(slab[slot, :, :, 0:pad_lo])
+        if pad_hi > 0:
+            wz = tz + 2 * ext
+            slab[slot, :, :, wz - pad_hi : wz] = jnp.zeros_like(
+                slab[slot, :, :, wz - pad_hi : wz]
+            )
+
+        if n_lower > 0:
+            for lc in lower_copies:
+                lc.wait()
+            if pad_lo > 0:
+                lower_slab[:, :, 0:pad_lo] = jnp.zeros_like(lower_slab[:, :, 0:pad_lo])
+            if pad_hi > 0:
+                wz = tz + 2 * ext
+                lower_slab[:, :, wz - pad_hi : wz] = jnp.zeros_like(
+                    lower_slab[:, :, wz - pad_hi : wz]
+                )
+            win = slab[slot] * coef_smem[0, 0]
+            for si in range(n_lower):
+                win = win - coef_smem[si + 1, 0] * lower_slab[
+                    si * win_rows : (si + 1) * win_rows
+                ]
+
+            def read(x0, zoff):
+                return win[x0 : x0 + tx, :, zoff : zoff + tz]
+        else:
+
+            def read(x0, zoff, _slot=slot):
+                return slab[_slot, x0 : x0 + tx, :, zoff : zoff + tz]
+
+        c = read(ext, ext)
+        acc = -center_c * c
+        for off, cf in zip(offsets, coeffs):
+            acc = acc + cf * (read(ext + off, ext) + read(ext - off, ext))
+            acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
+            acc = acc + cf * (read(ext, ext + off) + read(ext, ext - off))
+
+        b_copy.wait()
+        b = b_slab[...]
+        new = 2.0 * (b * c) - c + b * (scale * acc)
+        result[slot] = new
+        out_copy(i, zi, slot).start()
+
+        if with_norm or n_lower > 0:
+            norm_out[0, 0] += jnp.sum(new * new)
+        for si in range(n_lower):
+            over_out[si, 0] += jnp.sum(
+                lower_slab[
+                    si * win_rows + ext : si * win_rows + ext + tx,
+                    :,
+                    ext : ext + tz,
+                ]
+                * new
+            )
+
+    # epilogue: the last program drains its final two out-DMAs (nzc ≥ 2)
+    @pl.when(i == nprog - 1)
+    def _drain_last():
+        out_copy(i, nzc - 1, slot_of(nzc - 1)).wait()
+
+    @pl.when(i == nprog - 1)
+    def _drain_second_last():
+        out_copy(i, nzc - 2, slot_of(nzc - 2)).wait()
 
 
 @functools.partial(
@@ -291,11 +544,14 @@ def evolve_step_fused(
     nx = nxp - 2 * ext
     dtype = phi_xpad.dtype
     tx = _pick_tx(nx, ny, nz, ext, dtype.itemsize, n_lower)
+    txtz = None
     if tx is None:
-        raise ValueError(
-            f"fused sweep does not fit VMEM for plane {ny}x{nz} "
-            f"({dtype.itemsize}B items); use the XLA backend"
-        )
+        txtz = _pick_tx_zt(nx, ny, nz, ext, dtype.itemsize, n_lower)
+        if txtz is None:
+            raise ValueError(
+                f"fused sweep does not fit VMEM for plane {ny}x{nz} "
+                f"({dtype.itemsize}B items); use the XLA backend"
+            )
 
     if store_xpad is None or n_lower == 0:
         store_xpad = jnp.zeros((1, nxp, ny, nz), dtype=dtype)
@@ -305,6 +561,56 @@ def evolve_step_fused(
         coef = jnp.concatenate(
             [jnp.ones((1, 1), dtype), jnp.zeros((n_store, 1), dtype)]
         )
+
+    if txtz is not None:
+        tx_z, tz = txtz
+        kernel_zt = functools.partial(
+            _evolve_kernel_zt,
+            order=order,
+            scale=scale,
+            tx=tx_z,
+            tz=tz,
+            ext=ext,
+            nz=nz,
+            n_lower=n_lower,
+            with_norm=with_norm,
+        )
+        win_rows = tx_z + 2 * ext
+        with jax.enable_x64(False):
+            out_xpad, norm2, overlaps = pl.pallas_call(
+                kernel_zt,
+                grid=(nx // tx_z,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+                    jax.ShapeDtypeStruct((1, 1), dtype),
+                    jax.ShapeDtypeStruct((n_store, 1), dtype),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, win_rows, ny, tz + 2 * ext), dtype),
+                    pltpu.VMEM((tx_z, ny, tz), dtype),
+                    pltpu.VMEM((2, tx_z, ny, tz), dtype),
+                    pltpu.VMEM((n_store * win_rows, ny, tz + 2 * ext), dtype),
+                    pltpu.VMEM((ext, ny, tz), dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA((max(n_store, 1),)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA,
+                ],
+                interpret=interpret,
+            )(phi_xpad, b_int, store_flat, coef)
+        return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
     kernel = functools.partial(
         _evolve_kernel,
