@@ -267,22 +267,26 @@ def step_fused_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
 #
 # Each x-program statically unrolls over z-chunks, so every chunk's edge
 # handling (global Dirichlet pads at the first/last chunk, DMA widths) is
-# compile-time. The ψ/lower windows overlap by ext in BOTH x and z; the
-# z-halo columns live inside the slab, so z-shifts are plain static slices
-# (no zero-fill masking needed except the slab pads at the global z edges).
+# compile-time. The ψ/lower windows overlap by ext in BOTH x and z.
+#
+# Lane alignment: Mosaic cannot mix vector operands with different lane
+# phases ("offset mismatch on non-concat dimension"), so the window is
+# placed at an aligned base (ZPAD = 128) inside the slab and z-shifts are
+# computed with pltpu.roll on aligned full-extent reads — every vector slice
+# in the kernel then starts at a lane-tile boundary with a 128-multiple
+# width.
+
+
+_ZPAD = 128  # aligned window base inside the z-tiled slab
 
 
 def _pick_tx_zt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
-    """(tx, tz) for the z-tiled kernel, or None.
-
-    tz must be a lane-tile multiple (slice *widths* must align to 128); the
-    slab's z extent tz+2e tile-pads to the next 128 multiple in VMEM, which
-    the budget accounts for."""
+    """(tx, tz) for the z-tiled kernel, or None. tz must be a lane-tile
+    multiple; the slab carries 2·ZPAD extra lanes for the aligned window."""
     for tz in (256, 128):
         if nz % tz or nz // tz < 2:
             continue
-        lanes_padded = -(-(tz + 2 * ext) // 128) * 128
-        pcz = ny * lanes_padded * itemsize
+        pcz = ny * (tz + 2 * _ZPAD) * itemsize
         pc = ny * tz * itemsize
         for tx in (32, 16, 8, 4, 2, 1):
             if nx % tx:
@@ -309,10 +313,10 @@ def _evolve_kernel_zt(
     norm_out,  # (1, 1) SMEM
     over_out,  # (S, 1) SMEM
     # scratch
-    slab,  # (2, TX+2e, NY, TZ+2e) VMEM
+    slab,  # (2, TX+2e, NY, TZ+2·ZPAD) VMEM — window at [ZPAD−e, ZPAD+tz+e)
     b_slab,  # (TX, NY, TZ) VMEM
     result,  # (2, TX, NY, TZ) VMEM
-    lower_slab,  # (S·(TX+2e), NY, TZ+2e) VMEM
+    lower_slab,  # (S·(TX+2e), NY, TZ+2·ZPAD) VMEM
     zeros_xhalo,  # (ext, NY, TZ) VMEM
     sem_in,  # DMA (2,)
     sem_b,
@@ -335,6 +339,7 @@ def _evolve_kernel_zt(
     nzc = nz // tz
     win_rows = tx + 2 * ext
     nxp_rows = phi_hbm.shape[0]
+    base = _ZPAD - ext  # slab z index of the window start
 
     def chunk_geom(zi: int):
         """Static window geometry of z-chunk ``zi``."""
@@ -347,7 +352,7 @@ def _evolve_kernel_zt(
         z0, src_lo, src_hi, pad_lo, _pad_hi = chunk_geom(zi)
         return pltpu.make_async_copy(
             phi_hbm.at[pl.ds(x_idx * tx, win_rows), :, pl.ds(src_lo, src_hi - src_lo)],
-            slab.at[to_slot, :, :, pl.ds(pad_lo, src_hi - src_lo)],
+            slab.at[to_slot, :, :, pl.ds(base + pad_lo, src_hi - src_lo)],
             sem_in.at[to_slot],
         )
 
@@ -395,7 +400,9 @@ def _evolve_kernel_zt(
                     pl.ds(src_lo, width),
                 ],
                 lower_slab.at[
-                    pl.ds(jnp.int32(si * win_rows), win_rows), :, pl.ds(pad_lo, width)
+                    pl.ds(jnp.int32(si * win_rows), win_rows),
+                    :,
+                    pl.ds(base + pad_lo, width),
                 ],
                 sem_lower.at[jnp.int32(si)],
             )
@@ -444,44 +451,54 @@ def _evolve_kernel_zt(
 
         in_copy(i, zi, slot).wait()
 
-        # global-z Dirichlet pads (only the edge chunks have them)
+        # global-z Dirichlet pads: zero the window edges the DMA skipped.
+        # Widths are padded up to the lane tile (aligned stores); the extra
+        # zeroed lanes lie outside the window and are never read.
         if pad_lo > 0:
-            slab[slot, :, :, 0:pad_lo] = jnp.zeros_like(slab[slot, :, :, 0:pad_lo])
+            slab[slot, :, :, 0:_ZPAD] = jnp.zeros_like(slab[slot, :, :, 0:_ZPAD])
         if pad_hi > 0:
-            wz = tz + 2 * ext
-            slab[slot, :, :, wz - pad_hi : wz] = jnp.zeros_like(
-                slab[slot, :, :, wz - pad_hi : wz]
+            zs = tz + 2 * _ZPAD
+            slab[slot, :, :, zs - _ZPAD : zs] = jnp.zeros_like(
+                slab[slot, :, :, zs - _ZPAD : zs]
             )
 
         if n_lower > 0:
             for lc in lower_copies:
                 lc.wait()
             if pad_lo > 0:
-                lower_slab[:, :, 0:pad_lo] = jnp.zeros_like(lower_slab[:, :, 0:pad_lo])
+                lower_slab[:, :, 0:_ZPAD] = jnp.zeros_like(lower_slab[:, :, 0:_ZPAD])
             if pad_hi > 0:
-                wz = tz + 2 * ext
-                lower_slab[:, :, wz - pad_hi : wz] = jnp.zeros_like(
-                    lower_slab[:, :, wz - pad_hi : wz]
+                zs = tz + 2 * _ZPAD
+                lower_slab[:, :, zs - _ZPAD : zs] = jnp.zeros_like(
+                    lower_slab[:, :, zs - _ZPAD : zs]
                 )
             win = slab[slot] * coef_smem[0, 0]
             for si in range(n_lower):
                 win = win - coef_smem[si + 1, 0] * lower_slab[
                     si * win_rows : (si + 1) * win_rows
                 ]
-
-            def read(x0, zoff):
-                return win[x0 : x0 + tx, :, zoff : zoff + tz]
         else:
+            win = slab[slot]
 
-            def read(x0, zoff, _slot=slot):
-                return slab[_slot, x0 : x0 + tx, :, zoff : zoff + tz]
+        def rows(x0):
+            return win[x0 : x0 + tx]
 
-        c = read(ext, ext)
+        def center(x0):
+            return rows(x0)[:, :, _ZPAD : _ZPAD + tz]
+
+        c = center(ext)
+        cr = rows(ext)
         acc = -center_c * c
         for off, cf in zip(offsets, coeffs):
-            acc = acc + cf * (read(ext + off, ext) + read(ext - off, ext))
+            acc = acc + cf * (center(ext + off) + center(ext - off))
             acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
-            acc = acc + cf * (read(ext, ext + off) + read(ext, ext - off))
+            # z-shifts as aligned rolls (lane-phase-safe; shift must be
+            # non-negative, so the negative direction wraps by the extent)
+            zs_len = tz + 2 * _ZPAD
+            acc = acc + cf * (
+                pltpu.roll(cr, zs_len - off, 2)[:, :, _ZPAD : _ZPAD + tz]
+                + pltpu.roll(cr, off, 2)[:, :, _ZPAD : _ZPAD + tz]
+            )
 
         b_copy.wait()
         b = b_slab[...]
@@ -496,7 +513,7 @@ def _evolve_kernel_zt(
                 lower_slab[
                     si * win_rows + ext : si * win_rows + ext + tx,
                     :,
-                    ext : ext + tz,
+                    _ZPAD : _ZPAD + tz,
                 ]
                 * new
             )
@@ -597,10 +614,10 @@ def evolve_step_fused(
                     jax.ShapeDtypeStruct((n_store, 1), dtype),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, win_rows, ny, tz + 2 * ext), dtype),
+                    pltpu.VMEM((2, win_rows, ny, tz + 2 * _ZPAD), dtype),
                     pltpu.VMEM((tx_z, ny, tz), dtype),
                     pltpu.VMEM((2, tx_z, ny, tz), dtype),
-                    pltpu.VMEM((n_store * win_rows, ny, tz + 2 * ext), dtype),
+                    pltpu.VMEM((n_store * win_rows, ny, tz + 2 * _ZPAD), dtype),
                     pltpu.VMEM((ext, ny, tz), dtype),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA,
