@@ -195,14 +195,14 @@ def test_zt_kernel_matches_xla(monkeypatch):
     """z-tiled slab streaming (large-plane path), forced by disabling the
     plain picker; ground + excited chunks vs the XLA reference."""
     monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
-    # choose tz=64 so nz=128 gives 2 chunks
+    # tz=128 (minimum: halo DMA blocks are 128 lanes) over nz=256 → 2 chunks
     monkeypatch.setattr(
-        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 64)
+        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 128)
     )
 
     cfg = base_config(
         precision="f32",
-        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        grid={"size": {"x": 8, "y": 8, "z": 256}, "dn": 0.2, "dt": 0.01},
     )
     ext = 1
     order = "ThreePoint"
@@ -265,12 +265,12 @@ def test_zt_kernel_fivepoint(monkeypatch):
     """z-tiled path with ext=2 (5-point): pads and window widths differ."""
     monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
     monkeypatch.setattr(
-        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 64)
+        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 128)
     )
     cfg = base_config(
         precision="f32",
         central_difference="FivePoint",
-        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+        grid={"size": {"x": 8, "y": 8, "z": 256}, "dn": 0.2, "dt": 0.004},
     )
     ext = 2
     order = "FivePoint"

@@ -339,22 +339,37 @@ def _evolve_kernel_zt(
     nzc = nz // tz
     win_rows = tx + 2 * ext
     nxp_rows = phi_hbm.shape[0]
-    base = _ZPAD - ext  # slab z index of the window start
 
-    def chunk_geom(zi: int):
-        """Static window geometry of z-chunk ``zi``."""
+    # DMA lane slices must be 128-multiples, so halos are fetched as full
+    # ZPAD-wide aligned blocks (extra read bandwidth, but legal): center
+    # [z0, z0+tz) plus, where a neighbour chunk exists, [z0−ZPAD, z0) and
+    # [z0+tz, z0+tz+ZPAD). Global edges are zero-filled instead.
+    def in_copies(x_idx, zi: int, to_slot):
         z0 = zi * tz
-        src_lo = max(z0 - ext, 0)
-        src_hi = min(z0 + tz + ext, nz)
-        return z0, src_lo, src_hi, src_lo - (z0 - ext), (z0 + tz + ext) - src_hi
-
-    def in_copy(x_idx, zi: int, to_slot):
-        z0, src_lo, src_hi, pad_lo, _pad_hi = chunk_geom(zi)
-        return pltpu.make_async_copy(
-            phi_hbm.at[pl.ds(x_idx * tx, win_rows), :, pl.ds(src_lo, src_hi - src_lo)],
-            slab.at[to_slot, :, :, pl.ds(base + pad_lo, src_hi - src_lo)],
-            sem_in.at[to_slot],
-        )
+        copies = [
+            pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(x_idx * tx, win_rows), :, pl.ds(z0, tz)],
+                slab.at[to_slot, :, :, pl.ds(_ZPAD, tz)],
+                sem_in.at[to_slot],
+            )
+        ]
+        if zi > 0:
+            copies.append(
+                pltpu.make_async_copy(
+                    phi_hbm.at[pl.ds(x_idx * tx, win_rows), :, pl.ds(z0 - _ZPAD, _ZPAD)],
+                    slab.at[to_slot, :, :, pl.ds(0, _ZPAD)],
+                    sem_in.at[to_slot],
+                )
+            )
+        if zi < nzc - 1:
+            copies.append(
+                pltpu.make_async_copy(
+                    phi_hbm.at[pl.ds(x_idx * tx, win_rows), :, pl.ds(z0 + tz, _ZPAD)],
+                    slab.at[to_slot, :, :, pl.ds(_ZPAD + tz, _ZPAD)],
+                    sem_in.at[to_slot],
+                )
+            )
+        return copies
 
     def out_copy(x_idx, zi: int, from_slot):
         z0 = zi * tz
@@ -370,7 +385,8 @@ def _evolve_kernel_zt(
     # prologue
     @pl.when(i == 0)
     def _first():
-        in_copy(jnp.int32(0), 0, jnp.int32(0)).start()
+        for c_ in in_copies(jnp.int32(0), 0, jnp.int32(0)):
+            c_.start()
 
     if with_norm or n_lower > 0:
 
@@ -382,8 +398,9 @@ def _evolve_kernel_zt(
 
     for zi in range(nzc):
         slot = slot_of(zi)
-        z0, src_lo, src_hi, pad_lo, pad_hi = chunk_geom(zi)
-        width = src_hi - src_lo
+        z0 = zi * tz
+        pad_lo = _ZPAD if zi == 0 else 0
+        pad_hi = _ZPAD if zi == nzc - 1 else 0
 
         # b chunk for this (i, zi)
         b_copy = pltpu.make_async_copy(
@@ -393,30 +410,37 @@ def _evolve_kernel_zt(
 
         lower_copies = []
         for si in range(n_lower):
-            lc = pltpu.make_async_copy(
-                store_hbm.at[
-                    pl.ds(jnp.int32(si * nxp_rows) + i * tx, win_rows),
-                    :,
-                    pl.ds(src_lo, width),
-                ],
-                lower_slab.at[
-                    pl.ds(jnp.int32(si * win_rows), win_rows),
-                    :,
-                    pl.ds(base + pad_lo, width),
-                ],
-                sem_lower.at[jnp.int32(si)],
-            )
-            lc.start()
-            lower_copies.append(lc)
+            segs = [(z0, tz, _ZPAD)]
+            if zi > 0:
+                segs.append((z0 - _ZPAD, _ZPAD, 0))
+            if zi < nzc - 1:
+                segs.append((z0 + tz, _ZPAD, _ZPAD + tz))
+            for src0, w_, dst0 in segs:
+                lc = pltpu.make_async_copy(
+                    store_hbm.at[
+                        pl.ds(jnp.int32(si * nxp_rows) + i * tx, win_rows),
+                        :,
+                        pl.ds(src0, w_),
+                    ],
+                    lower_slab.at[
+                        pl.ds(jnp.int32(si * win_rows), win_rows), :, pl.ds(dst0, w_)
+                    ],
+                    sem_lower.at[jnp.int32(si)],
+                )
+                lc.start()
+                lower_copies.append(lc)
 
         # prefetch the next window
         if zi + 1 < nzc:
-            in_copy(i, zi + 1, slot_of(zi + 1)).start()
+            for c_ in in_copies(i, zi + 1, slot_of(zi + 1)):
+                c_.start()
         else:
 
             @pl.when(i + 1 < nprog)
             def _prefetch_next_program():
-                in_copy(i + 1, 0, jax.lax.rem((i + 1) * jnp.int32(nzc), jnp.int32(2))).start()
+                nslot = jax.lax.rem((i + 1) * jnp.int32(nzc), jnp.int32(2))
+                for c_ in in_copies(i + 1, 0, nslot):
+                    c_.start()
 
         # drain the out-DMA issued two chunks ago on this slot
         if zi >= 2:
@@ -449,7 +473,8 @@ def _evolve_kernel_zt(
             hc.start()
             hc.wait()
 
-        in_copy(i, zi, slot).wait()
+        for c_ in in_copies(i, zi, slot):
+            c_.wait()
 
         # global-z Dirichlet pads: zero the window edges the DMA skipped.
         # Widths are padded up to the lane tile (aligned stores); the extra
