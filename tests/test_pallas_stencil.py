@@ -299,3 +299,40 @@ def test_zt_kernel_fivepoint(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=5e-5, atol=5e-6
     )
+
+
+def test_analytic_b_matches_array_b():
+    """In-kernel coordinate-computed B == streamed B array (harmonic and
+    Coulomb), K=2 temporal blocking, interpret mode."""
+    for pot, kind in (("Harmonic", "Harmonic"), ("Coulomb", "Coulomb")):
+        cfg = base_config(
+            precision="f32",
+            potential=pot,
+            grid={"size": {"x": 12, "y": 12, "z": 12}, "dn": 0.2, "dt": 0.004},
+        )
+        ext = 1
+        order = "ThreePoint"
+        rng = np.random.default_rng(21)
+        phi = geometry.zero_boundary(
+            jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+        )
+        v = pmod.generate(cfg).astype(jnp.float32)
+        b = pmod.build_ab(v, cfg.grid.dt)[1].astype(jnp.float32)
+        b_int = geometry.work_area(b, ext)
+
+        ref = pk.evolve_chunk_fused_k(
+            pk.to_xpad_k(phi, ext, 2),
+            pk.b_to_xpad_k(b_int, ext, 2),
+            order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 2, interpret=True,
+        )
+        g = cfg.grid
+        analytic = (kind, g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+        out = pk.evolve_chunk_fused_k(
+            pk.to_xpad_k(phi, ext, 2),
+            None,
+            order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 2,
+            analytic=analytic, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+        ), pot

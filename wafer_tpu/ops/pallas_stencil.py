@@ -742,6 +742,7 @@ def _evolve_kernel_k(
     tx: int,
     ext: int,
     k_steps: int,
+    analytic=None,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -765,10 +766,11 @@ def _evolve_kernel_k(
     def _prefetch():
         in_copy(i + 1, next_slot).start()
 
-    b_copy = pltpu.make_async_copy(
-        b_hbm.at[pl.ds(i * tx, tx + 2 * (k_steps - 1) * ext)], b_slab, sem_b
-    )
-    b_copy.start()
+    if analytic is None:
+        b_copy = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(i * tx, tx + 2 * (k_steps - 1) * ext)], b_slab, sem_b
+        )
+        b_copy.start()
 
     @pl.when(i == 0)
     def _zero_lo():
@@ -794,7 +796,33 @@ def _evolve_kernel_k(
         ).wait()
 
     in_copy(i, slot).wait()
-    b_copy.wait()
+    if analytic is None:
+        b_copy.wait()
+
+    def b_rows(rows_out, b_off):
+        """Split-operator B = 1/(1 + dt·V/2) — streamed from HBM, or,
+        for analytic potentials, computed from coordinates on the fly
+        (one whole HBM stream saved; the VPU is idle here anyway)."""
+        if analytic is None:
+            return b_slab[b_off : b_off + rows_out]
+        kind, dn, dt_, _mass, ngx, ngy, ngz = analytic
+        f32 = jnp.float32
+        # padded coordinate of output row r: i·tx + b_off − (K−1)·ext + ext + r
+        x0 = (i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext)).astype(f32)
+        shp = (rows_out, b_slab.shape[1], b_slab.shape[2])
+        dx = jax.lax.broadcasted_iota(f32, shp, 0) + x0 - (ngx + 1.0) / 2.0
+        dy = jax.lax.broadcasted_iota(f32, shp, 1) + (ext - (ngy + 1.0) / 2.0)
+        dz = jax.lax.broadcasted_iota(f32, shp, 2) + (ext - (ngz + 1.0) / 2.0)
+        r2 = dx * dx + dy * dy + dz * dz
+        if kind == "Harmonic":
+            v = (0.5 * dn * dn) * r2
+        elif kind == "Coulomb":
+            r = dn * jnp.sqrt(r2)
+            r_safe = jnp.maximum(r, dn)
+            v = jnp.where(r < dn, -1.0 / dn, -1.0 / r_safe)
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported analytic potential {kind}")
+        return 1.0 / (1.0 + (0.5 * dt_) * v)
 
     def step(read, rows_out, b_off):
         """One inner sweep producing ``rows_out`` rows from ``read`` (a
@@ -805,7 +833,7 @@ def _evolve_kernel_k(
             acc = acc + cf * (read(ext + off, rows_out) + read(ext - off, rows_out))
             acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
             acc = acc + cf * (_shift_z(c, off) + _shift_z(c, -off))
-        b = b_slab[b_off : b_off + rows_out]
+        b = b_rows(rows_out, b_off)
         return 2.0 * (b * c) - c + b * (scale * acc)
 
     # step 1 reads the DMA'd window; later steps read the previous result.
@@ -862,7 +890,8 @@ def _evolve_kernel_k(
             ).wait()
 
 
-def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int):
+def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int,
+               analytic_b: bool = False):
     plane = ny * nz * itemsize
     for tx in (64, 32, 16, 8, 4, 2, 1):
         if nx % tx:
@@ -870,7 +899,7 @@ def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int)
         need = (
             2 * (tx + 2 * k_steps * ext) * plane  # windows
             + (tx + 2 * (k_steps - 1) * ext) * plane  # pong
-            + (tx + 2 * (k_steps - 1) * ext) * plane  # b slab
+            + (0 if analytic_b else (tx + 2 * (k_steps - 1) * ext) * plane)  # b
             + 2 * tx * plane  # results
         )
         if need <= _VMEM_BUDGET:
@@ -879,12 +908,12 @@ def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int)
 
 
 def k_fuse_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
-                     k_steps: int) -> bool:
-    return _pick_tx_k(nx, ny, nz, ext, itemsize, k_steps) is not None
+                     k_steps: int, analytic_b: bool = False) -> bool:
+    return _pick_tx_k(nx, ny, nz, ext, itemsize, k_steps, analytic_b) is not None
 
 
 @functools.partial(
-    jax.jit, static_argnames=("order", "scale", "k_steps", "interpret")
+    jax.jit, static_argnames=("order", "scale", "k_steps", "analytic", "interpret")
 )
 def evolve_steps_fused_k(
     phi_xpad_k: jnp.ndarray,
@@ -892,6 +921,7 @@ def evolve_steps_fused_k(
     order: str,
     scale: float,
     k_steps: int,
+    analytic=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """K fused sweeps in one HBM pass (ground-state path).
@@ -899,12 +929,15 @@ def evolve_steps_fused_k(
     Args:
       phi_xpad_k: (NX+2K·e, NY, NZ), halo rows zero.
       b_xpad: (NX+2(K−1)·e, NY, NZ) B array padded with ignored rows.
+      analytic: None, or a static tuple
+        (kind, dn, dt, mass, ngx, ngy, ngz) — B is then computed from
+        coordinates inside the kernel and ``b_xpad`` is never read.
     """
     ext = _EXT[order]
     nxp, ny, nz = phi_xpad_k.shape
     nx = nxp - 2 * k_steps * ext
     dtype = phi_xpad_k.dtype
-    tx = _pick_tx_k(nx, ny, nz, ext, dtype.itemsize, k_steps)
+    tx = _pick_tx_k(nx, ny, nz, ext, dtype.itemsize, k_steps, analytic is not None)
     if tx is None:
         raise ValueError(
             f"K={k_steps} fused sweep does not fit VMEM for plane {ny}x{nz}; "
@@ -912,9 +945,18 @@ def evolve_steps_fused_k(
         )
 
     kernel = functools.partial(
-        _evolve_kernel_k, order=order, scale=scale, tx=tx, ext=ext, k_steps=k_steps
+        _evolve_kernel_k,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        k_steps=k_steps,
+        analytic=analytic,
     )
     mid = tx + 2 * (k_steps - 1) * ext
+    # b scratch shrinks to a stub when B is computed in-kernel (its
+    # y/z extents still feed the analytic-B shape computation)
+    b_rows_alloc = 1 if analytic is not None else mid
 
     with jax.enable_x64(False):
         return pl.pallas_call(
@@ -929,7 +971,7 @@ def evolve_steps_fused_k(
             scratch_shapes=[
                 pltpu.VMEM((2, tx + 2 * k_steps * ext, ny, nz), dtype),
                 pltpu.VMEM((mid, ny, nz), dtype),
-                pltpu.VMEM((mid, ny, nz), dtype),
+                pltpu.VMEM((b_rows_alloc, ny, nz), dtype),
                 pltpu.VMEM((2, tx, ny, nz), dtype),
                 pltpu.VMEM((k_steps * ext, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -943,27 +985,36 @@ def evolve_steps_fused_k(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("order", "dt", "dn", "mass", "n_steps", "k_steps", "interpret"),
+    static_argnames=(
+        "order", "dt", "dn", "mass", "n_steps", "k_steps", "analytic", "interpret"
+    ),
 )
 def evolve_chunk_fused_k(
     phi_xpad_k: jnp.ndarray,
-    b_xpad: jnp.ndarray,
+    b_xpad: Optional[jnp.ndarray],
     order: str,
     dt: float,
     dn: float,
     mass: float,
     n_steps: int,
     k_steps: int,
+    analytic=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Ground-state chunk via K-step fused sweeps. ``n_steps`` must be a
-    multiple of ``k_steps`` (the solver pads screen_update accordingly)."""
+    multiple of ``k_steps`` (the solver pads screen_update accordingly).
+    With ``analytic`` set, B is computed in-kernel and ``b_xpad`` is
+    ignored (pass None)."""
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
     assert n_steps % k_steps == 0
+    if b_xpad is None:
+        b_xpad = jnp.zeros((1, 1, 1), dtype=phi_xpad_k.dtype)
 
     def body(_i, phi):
-        return evolve_steps_fused_k(phi, b_xpad, order, scale, k_steps, interpret)
+        return evolve_steps_fused_k(
+            phi, b_xpad, order, scale, k_steps, analytic, interpret
+        )
 
     return jax.lax.fori_loop(0, n_steps // k_steps, body, phi_xpad_k)
 

@@ -191,6 +191,23 @@ def solve(
             if n_lower > 0
             else None
         )
+        # analytic-B: for formula potentials the kernel computes
+        # B = 1/(1+dt·V/2) from coordinates, eliminating the B stream
+        from wafer_tpu.config import PotentialType
+
+        analytic = None
+        if config.potential in (PotentialType.HARMONIC, PotentialType.COULOMB):
+            g = config.grid
+            analytic = (
+                "Harmonic" if config.potential is PotentialType.HARMONIC else "Coulomb",
+                g.dn,
+                g.dt,
+                config.mass,
+                g.size.x,
+                g.size.y,
+                g.size.z,
+            )
+
         # temporal blocking: fuse K sweeps per HBM pass on the ground state
         # (excited states renormalise+project every step, forbidding fusion)
         k_fuse = (
@@ -198,12 +215,14 @@ def solve(
             if (
                 n_lower == 0
                 and config.output.screen_update % 2 == 0
-                and pk.k_fuse_supported(nx, ny, nz, ext, itemsize, 2)
+                and pk.k_fuse_supported(
+                    nx, ny, nz, ext, itemsize, 2, analytic is not None
+                )
             )
             else 1
         )
         if k_fuse > 1:
-            b_xpad_k = pk.b_to_xpad_k(b_int, ext, k_fuse)
+            b_xpad_k = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, k_fuse)
 
     terminal.print_observable_header(wnum)
 
@@ -331,6 +350,7 @@ def solve(
                         mass,
                         config.output.screen_update,
                         k_fuse,
+                        analytic=analytic,
                     ),
                     ext,
                     k_fuse,
