@@ -115,13 +115,13 @@ def test_xpad_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(phi))
 
 
-@pytest.mark.parametrize("k_steps", [2, 3])
+@pytest.mark.parametrize("k_steps", [2, 3, 4])
 @pytest.mark.parametrize("order", ["ThreePoint", "FivePoint"])
 def test_k_step_temporal_blocking_matches_xla(order, k_steps):
     """K fused sweeps == K single sweeps, including Dirichlet re-zeroing of
     the intermediate halo rows at the first/last slabs."""
     cfg, ext, phi, a, b = _setup(order, n=12)
-    n_steps = 6
+    n_steps = 12
     ref = stencil.evolve_chunk(
         phi, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, n_steps, 0
     )

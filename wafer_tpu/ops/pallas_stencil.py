@@ -810,9 +810,16 @@ def _evolve_kernel_k(
         # padded coordinate of output row r: i·tx + b_off − (K−1)·ext + ext + r
         x0 = (i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext)).astype(f32)
         shp = (rows_out, b_slab.shape[1], b_slab.shape[2])
-        dx = jax.lax.broadcasted_iota(f32, shp, 0) + x0 - (ngx + 1.0) / 2.0
-        dy = jax.lax.broadcasted_iota(f32, shp, 1) + (ext - (ngy + 1.0) / 2.0)
-        dz = jax.lax.broadcasted_iota(f32, shp, 2) + (ext - (ngz + 1.0) / 2.0)
+        # tpu.iota is integer-only: generate i32, convert to f32
+        dx = jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(f32) + x0 - (
+            ngx + 1.0
+        ) / 2.0
+        dy = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(f32) + (
+            ext - (ngy + 1.0) / 2.0
+        )
+        dz = jax.lax.broadcasted_iota(jnp.int32, shp, 2).astype(f32) + (
+            ext - (ngz + 1.0) / 2.0
+        )
         r2 = dx * dx + dy * dy + dz * dz
         if kind == "Harmonic":
             v = (0.5 * dn * dn) * r2

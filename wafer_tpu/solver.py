@@ -209,18 +209,16 @@ def solve(
             )
 
         # temporal blocking: fuse K sweeps per HBM pass on the ground state
-        # (excited states renormalise+project every step, forbidding fusion)
-        k_fuse = (
-            2
-            if (
-                n_lower == 0
-                and config.output.screen_update % 2 == 0
-                and pk.k_fuse_supported(
-                    nx, ny, nz, ext, itemsize, 2, analytic is not None
-                )
-            )
-            else 1
-        )
+        # (excited states renormalise+project every step, forbidding fusion);
+        # deeper fusion engages when VMEM allows (analytic-B frees a slab)
+        k_fuse = 1
+        if n_lower == 0:
+            for k_cand in (4, 3, 2):
+                if config.output.screen_update % k_cand == 0 and pk.k_fuse_supported(
+                    nx, ny, nz, ext, itemsize, k_cand, analytic is not None
+                ):
+                    k_fuse = k_cand
+                    break
         if k_fuse > 1:
             b_xpad_k = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, k_fuse)
 
