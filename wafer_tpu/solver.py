@@ -209,11 +209,12 @@ def solve(
             )
 
         # temporal blocking: fuse K sweeps per HBM pass on the ground state
-        # (excited states renormalise+project every step, forbidding fusion);
-        # deeper fusion engages when VMEM allows (analytic-B frees a slab)
+        # (excited states renormalise+project every step, forbidding fusion).
+        # K=2 measures fastest: deeper fusion turns the sweep compute/VMEM
+        #-bound (measured: K=2 73 Gup/s vs K=4 61 Gup/s at 256³ analytic-B).
         k_fuse = 1
         if n_lower == 0:
-            for k_cand in (4, 3, 2):
+            for k_cand in (2, 3):
                 if config.output.screen_update % k_cand == 0 and pk.k_fuse_supported(
                     nx, ny, nz, ext, itemsize, k_cand, analytic is not None
                 ):
