@@ -82,13 +82,14 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
             from wafer_tpu.ops import pallas_stencil as pk
 
             k_fuse = 2 if STEPS % 2 == 0 else 1
-            b_int = geometry.work_area(b, ext)
-            b_xk = pk.b_to_xpad_k(b_int, ext, k_fuse)
+            # harmonic is analytic: B computed in-kernel from coordinates
+            g = cfg.grid
+            analytic = ("Harmonic", g.dn, g.dt, cfg.mass, n, n, n)
             phi = pk.to_xpad_k(phi, ext, k_fuse)
 
             def chunk(p):
                 return pk.evolve_chunk_fused_k(
-                    p, b_xk, order, dt, dn, mass, STEPS, k_fuse
+                    p, None, order, dt, dn, mass, STEPS, k_fuse, analytic=analytic
                 )
 
         else:

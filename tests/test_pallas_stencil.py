@@ -336,3 +336,50 @@ def test_analytic_b_matches_array_b():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
         ), pot
+
+
+def test_analytic_b_one_step_and_excited():
+    """Analytic-B in the 1-step kernel: ground and excited (coef) paths."""
+    cfg = base_config(
+        precision="f32",
+        potential="Coulomb",
+        grid={"size": {"x": 12, "y": 12, "z": 12}, "dn": 0.2, "dt": 0.004},
+    )
+    ext = 1
+    order = "ThreePoint"
+    g = cfg.grid
+    analytic = ("Coulomb", g.dn, g.dt, cfg.mass, 12, 12, 12)
+    rng = np.random.default_rng(31)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    b = pmod.build_ab(v, cfg.grid.dt)[1].astype(jnp.float32)
+    b_int = geometry.work_area(b, ext)
+
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), b_int, None, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 0, interpret=True,
+    )
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, None, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 0, interpret=True,
+        analytic=analytic,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+    lower = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    lower = lower / jnp.sqrt(gram_schmidt.get_norm_squared(lower)).astype(jnp.float32)
+    store_x = jnp.stack([pk.to_xpad(lower, ext)])
+    ref2 = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), b_int, store_x, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 1, interpret=True,
+    )
+    out2 = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, store_x, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 1, interpret=True,
+        analytic=analytic,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=5e-4, atol=1e-5)

@@ -48,6 +48,38 @@ from wafer_tpu import geometry
 _EXT = {"ThreePoint": 1, "FivePoint": 2, "SevenPoint": 3}
 
 
+def _analytic_b(analytic, shp, x0, y0, z0):
+    """B = 1/(1 + dt·V/2) computed from padded-grid coordinates.
+
+    ``analytic`` = (kind, dn, dt, mass, ngx, ngy, ngz);
+    ``x0/y0/z0`` are the padded coordinates of element (0,0,0) of ``shp``
+    (x0 may be traced; y0/z0 static). Eliminates the B HBM stream for
+    formula potentials (V evaluated on padded indices, matching
+    models/potentials.generate and src/potential.rs:46-62)."""
+    kind, dn, dt_, _mass, ngx, ngy, ngz = analytic
+    f32 = jnp.float32
+    # tpu.iota is integer-only: generate i32, convert to f32
+    dx = jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(f32) + (
+        x0 - (ngx + 1.0) / 2.0
+    )
+    dy = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(f32) + (
+        y0 - (ngy + 1.0) / 2.0
+    )
+    dz = jax.lax.broadcasted_iota(jnp.int32, shp, 2).astype(f32) + (
+        z0 - (ngz + 1.0) / 2.0
+    )
+    r2 = dx * dx + dy * dy + dz * dz
+    if kind == "Harmonic":
+        v = (0.5 * dn * dn) * r2
+    elif kind == "Coulomb":
+        r = dn * jnp.sqrt(r2)
+        r_safe = jnp.maximum(r, dn)
+        v = jnp.where(r < dn, -1.0 / dn, -1.0 / r_safe)
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported analytic potential {kind}")
+    return 1.0 / (1.0 + (0.5 * dt_) * v)
+
+
 def _shift_y(c: jnp.ndarray, off: int) -> jnp.ndarray:
     """Center block shifted along y with Dirichlet zero fill."""
     tx, ny, nz = c.shape
@@ -94,6 +126,8 @@ def _evolve_kernel(
     ext: int,
     n_lower: int,
     with_norm: bool,
+    analytic=None,
+    x_origin: int = 0,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -186,8 +220,15 @@ def _evolve_kernel(
         acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
 
     # A = (1−dt·V/2)/(1+dt·V/2) = 2B − 1, so the A array is never read:
-    # one full HBM stream saved per step (≈22% of sweep traffic).
-    b = b_blk[:]
+    # one full HBM stream saved per step (≈22% of sweep traffic). With an
+    # analytic potential B is computed from coordinates — no B stream at all.
+    if analytic is None:
+        b = b_blk[:]
+    else:
+        x0 = (i * tx + jnp.int32(ext + x_origin)).astype(jnp.float32)
+        b = _analytic_b(
+            analytic, (tx, phi_hbm.shape[1], phi_hbm.shape[2]), x0, ext, ext
+        )
     new = 2.0 * (b * c) - c + b * (scale * acc)
     result[slot] = new
 
@@ -234,7 +275,8 @@ def _evolve_kernel(
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
-def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
+def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int,
+             analytic_b: bool = False):
     """Largest slab height that fits the VMEM budget and divides NX, or
     None when nothing fits (caller falls back to the XLA sweep)."""
     plane = ny * nz * itemsize
@@ -245,7 +287,7 @@ def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
         need = (
             2 * (tx + 2 * ext) * plane
             + 2 * tx * plane
-            + 2 * tx * plane
+            + (0 if analytic_b else 2 * tx * plane)
             + n_lower * (tx + 2 * ext) * plane
         )
         if need <= _VMEM_BUDGET:
@@ -554,11 +596,14 @@ def _evolve_kernel_zt(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("order", "scale", "n_lower", "with_norm", "interpret")
+    jax.jit,
+    static_argnames=(
+        "order", "scale", "n_lower", "with_norm", "interpret", "analytic"
+    ),
 )
 def evolve_step_fused(
     phi_xpad: jnp.ndarray,
-    b_int: jnp.ndarray,
+    b_int: Optional[jnp.ndarray],
     store_xpad: Optional[jnp.ndarray],
     order: str,
     scale: float,
@@ -566,6 +611,7 @@ def evolve_step_fused(
     with_norm: bool = True,
     interpret: bool = False,
     coef: Optional[jnp.ndarray] = None,
+    analytic=None,
 ):
     """One fused sweep.
 
@@ -585,7 +631,10 @@ def evolve_step_fused(
     nxp, ny, nz = phi_xpad.shape
     nx = nxp - 2 * ext
     dtype = phi_xpad.dtype
-    tx = _pick_tx(nx, ny, nz, ext, dtype.itemsize, n_lower)
+    if b_int is None:
+        assert analytic is not None
+        b_int = jnp.zeros((1, 1, 1), dtype=dtype)
+    tx = _pick_tx(nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None)
     txtz = None
     if tx is None:
         txtz = _pick_tx_zt(nx, ny, nz, ext, dtype.itemsize, n_lower)
@@ -662,6 +711,16 @@ def evolve_step_fused(
         ext=ext,
         n_lower=n_lower,
         with_norm=with_norm,
+        analytic=analytic,
+    )
+    b_spec = (
+        pl.BlockSpec(memory_space=pl.ANY)
+        if analytic is not None
+        else pl.BlockSpec(
+            (tx, ny, nz),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     )
 
     # Trace under 32-bit index semantics: with jax_enable_x64 the default
@@ -672,11 +731,7 @@ def evolve_step_fused(
             grid=(nx // tx,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (tx, ny, nz),
-                    lambda i: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                b_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -800,36 +855,16 @@ def _evolve_kernel_k(
         b_copy.wait()
 
     def b_rows(rows_out, b_off):
-        """Split-operator B = 1/(1 + dt·V/2) — streamed from HBM, or,
-        for analytic potentials, computed from coordinates on the fly
-        (one whole HBM stream saved; the VPU is idle here anyway)."""
+        """Split-operator B — streamed from HBM, or computed from
+        coordinates for analytic potentials (one HBM stream saved)."""
         if analytic is None:
             return b_slab[b_off : b_off + rows_out]
-        kind, dn, dt_, _mass, ngx, ngy, ngz = analytic
-        f32 = jnp.float32
         # padded coordinate of output row r: i·tx + b_off − (K−1)·ext + ext + r
-        x0 = (i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext)).astype(f32)
+        x0 = (i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext)).astype(
+            jnp.float32
+        )
         shp = (rows_out, b_slab.shape[1], b_slab.shape[2])
-        # tpu.iota is integer-only: generate i32, convert to f32
-        dx = jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(f32) + x0 - (
-            ngx + 1.0
-        ) / 2.0
-        dy = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(f32) + (
-            ext - (ngy + 1.0) / 2.0
-        )
-        dz = jax.lax.broadcasted_iota(jnp.int32, shp, 2).astype(f32) + (
-            ext - (ngz + 1.0) / 2.0
-        )
-        r2 = dx * dx + dy * dy + dz * dz
-        if kind == "Harmonic":
-            v = (0.5 * dn * dn) * r2
-        elif kind == "Coulomb":
-            r = dn * jnp.sqrt(r2)
-            r_safe = jnp.maximum(r, dn)
-            v = jnp.where(r < dn, -1.0 / dn, -1.0 / r_safe)
-        else:  # pragma: no cover
-            raise ValueError(f"unsupported analytic potential {kind}")
-        return 1.0 / (1.0 + (0.5 * dt_) * v)
+        return _analytic_b(analytic, shp, x0, ext, ext)
 
     def step(read, rows_out, b_off):
         """One inner sweep producing ``rows_out`` rows from ``read`` (a
@@ -1072,11 +1107,13 @@ def from_xpad(phi_xpad: jnp.ndarray, ext: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("order", "dt", "dn", "mass", "n_steps", "n_lower", "interpret"),
+    static_argnames=(
+        "order", "dt", "dn", "mass", "n_steps", "n_lower", "interpret", "analytic"
+    ),
 )
 def evolve_chunk_fused(
     phi_xpad: jnp.ndarray,
-    b_int: jnp.ndarray,
+    b_int: Optional[jnp.ndarray],
     store_xpad: Optional[jnp.ndarray],
     order: str,
     dt: float,
@@ -1085,6 +1122,7 @@ def evolve_chunk_fused(
     n_steps: int,
     n_lower: int,
     interpret: bool = False,
+    analytic=None,
 ):
     """``n_steps`` fused sweeps (reference ``evolve``, src/grid.rs:544-687).
 
@@ -1097,7 +1135,8 @@ def evolve_chunk_fused(
     if n_lower == 0:
         def body(_i, phi):
             phi, _n2, _ov = evolve_step_fused(
-                phi, b_int, None, order, scale, 0, False, interpret
+                phi, b_int, None, order, scale, 0, False, interpret,
+                analytic=analytic,
             )
             return phi
 
@@ -1116,7 +1155,8 @@ def evolve_chunk_fused(
     def body(_i, carry):
         phi, coef = carry
         phi, norm2, overlaps = evolve_step_fused(
-            phi, b_int, store_xpad, order, scale, n_lower, True, interpret, coef
+            phi, b_int, store_xpad, order, scale, n_lower, True, interpret, coef,
+            analytic,
         )
         inv = (1.0 / jnp.sqrt(norm2)).astype(dtype)
         coef = jnp.concatenate(

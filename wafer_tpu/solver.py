@@ -358,7 +358,7 @@ def solve(
                 phi = pk.from_xpad(
                     pk.evolve_chunk_fused(
                         pk.to_xpad(phi, ext),
-                        b_int,
+                        None if analytic is not None else b_int,
                         store_xpad,
                         order,
                         dt,
@@ -366,6 +366,7 @@ def solve(
                         mass,
                         config.output.screen_update,
                         n_lower,
+                        analytic=analytic,
                     ),
                     ext,
                 )
