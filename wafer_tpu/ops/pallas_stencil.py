@@ -106,6 +106,8 @@ def _evolve_kernel(
     coef_smem,  # (1+S, 1) SMEM: [inv_norm, corr_0..corr_{S-1}] from the
     # previous step — the normalise+project update is applied as an affine
     # correction of the input window, saving the separate XLA pass
+    xorg_smem,  # (1, 1) SMEM i32: global x offset of this block's interior
+    # (non-zero under shard_map, where the shard origin is traced)
     # outputs
     out_hbm,  # (NX+2e, NY, NZ) ANY — manual DMA out
     norm_out,  # (1, 1) SMEM
@@ -127,7 +129,6 @@ def _evolve_kernel(
     n_lower: int,
     with_norm: bool,
     analytic=None,
-    x_origin: int = 0,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -225,7 +226,7 @@ def _evolve_kernel(
     if analytic is None:
         b = b_blk[:]
     else:
-        x0 = (i * tx + jnp.int32(ext + x_origin)).astype(jnp.float32)
+        x0 = (i * tx + jnp.int32(ext) + xorg_smem[0, 0]).astype(jnp.float32)
         b = _analytic_b(
             analytic, (tx, phi_hbm.shape[1], phi_hbm.shape[2]), x0, ext, ext
         )
@@ -612,6 +613,7 @@ def evolve_step_fused(
     interpret: bool = False,
     coef: Optional[jnp.ndarray] = None,
     analytic=None,
+    x_origin=None,
 ):
     """One fused sweep.
 
@@ -652,8 +654,17 @@ def evolve_step_fused(
         coef = jnp.concatenate(
             [jnp.ones((1, 1), dtype), jnp.zeros((n_store, 1), dtype)]
         )
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
 
     if txtz is not None:
+        if analytic is not None:
+            raise ValueError(
+                "analytic-B is not supported in the z-tiled kernel; "
+                "pass the streamed B array instead"
+            )
         tx_z, tz = txtz
         kernel_zt = functools.partial(
             _evolve_kernel_zt,
@@ -734,6 +745,7 @@ def evolve_step_fused(
                 b_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -756,7 +768,7 @@ def evolve_step_fused(
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(phi_xpad, b_int, store_flat, coef)
+        )(phi_xpad, b_int, store_flat, coef, x_origin)
 
     return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 

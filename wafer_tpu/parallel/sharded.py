@@ -99,6 +99,28 @@ class ShardedOps:
             )
         self.use_pallas = use_pallas
 
+        # analytic-B per shard: the kernel takes the shard's global x origin
+        # as a traced SMEM scalar, so formula potentials skip the B stream
+        from wafer_tpu.config import PotentialType
+
+        analytic = None
+        if (
+            use_pallas
+            and config.potential in (PotentialType.HARMONIC, PotentialType.COULOMB)
+            and pk._pick_tx(bx, ny, nz, ext, itemsize, n_lower, True) is not None
+        ):
+            g = config.grid
+            analytic = (
+                "Harmonic" if config.potential is PotentialType.HARMONIC else "Coulomb",
+                g.dn,
+                g.dt,
+                config.mass,
+                g.size.x,
+                g.size.y,
+                g.size.z,
+            )
+        self.analytic = analytic
+
         def orthogonalise(phi, store):
             for s in range(n_lower):
                 lower = store[s]
@@ -140,11 +162,24 @@ class ShardedOps:
             )
             dtype = phi.dtype
 
+            x_org = (
+                jax.lax.axis_index(AXIS_NAMES[0]).astype(jnp.int32) * jnp.int32(bx)
+            ).reshape(1, 1)
+
             if n_lower == 0:
                 def body(_i, p):
                     xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
                     out_xpad, _n2, _ov = pk.evolve_step_fused(
-                        xpad, b, None, order, scale, 0, False, pallas_interpret
+                        xpad,
+                        None if analytic is not None else b,
+                        None,
+                        order,
+                        scale,
+                        0,
+                        False,
+                        pallas_interpret,
+                        analytic=analytic,
+                        x_origin=x_org,
                     )
                     return out_xpad[ext:-ext]
 
@@ -158,8 +193,17 @@ class ShardedOps:
                 p, coef = carry
                 xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
                 out_xpad, n2_loc, ov_loc = pk.evolve_step_fused(
-                    xpad, b, store_x, order, scale, n_lower, True,
-                    pallas_interpret, coef,
+                    xpad,
+                    None if analytic is not None else b,
+                    store_x,
+                    order,
+                    scale,
+                    n_lower,
+                    True,
+                    pallas_interpret,
+                    coef,
+                    analytic,
+                    x_org,
                 )
                 p = out_xpad[ext:-ext]
                 inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)

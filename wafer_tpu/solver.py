@@ -196,7 +196,10 @@ def solve(
         from wafer_tpu.config import PotentialType
 
         analytic = None
-        if config.potential in (PotentialType.HARMONIC, PotentialType.COULOMB):
+        if config.potential in (
+            PotentialType.HARMONIC,
+            PotentialType.COULOMB,
+        ) and pk._pick_tx(nx, ny, nz, ext, itemsize, n_lower, True) is not None:
             g = config.grid
             analytic = (
                 "Harmonic" if config.potential is PotentialType.HARMONIC else "Coulomb",
