@@ -21,6 +21,7 @@ from wafer_tpu.ops.observables import Observables
 from wafer_tpu.parallel.mesh import make_mesh
 from wafer_tpu.parallel.sharded import ShardedOps
 from wafer_tpu.solver import SolveResult, eta
+from wafer_tpu.utils.host import device_get, device_get_scalar
 
 
 def _interior(config: Config, padded):
@@ -124,14 +125,14 @@ def _solve_state(
 
     while True:
         (e, n2, vinf, r2), phi = ops.measure(phi, v_d, r2_d, sub_d, store_d)
-        energy = complex(e) if is_complex else float(e)
+        energy = device_get_scalar(e) if is_complex else float(e)
         obs = Observables(energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2))
         norm_energy = obs.energy / obs.norm2
         tau = step * config.grid.dt
 
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
             # gather → pad → symmetrise → reference's stale-norm² rescale
-            snap = geometry.frame_with_halo(jnp.asarray(np.asarray(phi)), config.central_difference.ext)
+            snap = geometry.frame_with_halo(jnp.asarray(device_get(phi)), config.central_difference.ext)
             snap = initial.symmetrise_wavefunction(config, snap)
             snap = snap / jnp.sqrt(obs.norm2).astype(snap.dtype)
             log.info("Saving partially converged wavefunction %d to disk.", wnum)
@@ -183,7 +184,7 @@ def _solve_state(
     if config.output.save_wavefns:
         try:
             writers.wavefunction(
-                np.asarray(phi), wnum, converged, config.project_name,
+                device_get(phi), wnum, converged, config.project_name,
                 config.output.file_type, output_root=config.output_root,
             )
         except errors.WaferError as exc:
@@ -193,5 +194,5 @@ def _solve_state(
         raise errors.MaxStepError()
 
     log.info("Calculation Converged")
-    w_store.append(jnp.asarray(np.asarray(phi)))
+    w_store.append(jnp.asarray(device_get(phi)))
     return SolveResult(wnum=wnum, converged=True, observables=obs, steps=step, phi=phi)

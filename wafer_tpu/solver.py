@@ -27,6 +27,7 @@ from wafer_tpu.models import initial, potentials as potentials_mod
 from wafer_tpu.models.potentials import Potentials
 from wafer_tpu.ops import gram_schmidt, stencil
 from wafer_tpu.ops.observables import Observables, compute_observables_device
+from wafer_tpu.utils.host import device_get, device_get_scalar
 
 
 @dataclass
@@ -262,7 +263,7 @@ def solve(
             mass,
             n_lower,
         )
-        energy = complex(e) if is_complex else float(e)
+        energy = device_get_scalar(e) if is_complex else float(e)
         obs = Observables(
             energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2)
         )
@@ -278,7 +279,7 @@ def solve(
             log.info("Saving partially converged wavefunction %d to disk.", wnum)
             try:
                 writers.wavefunction(
-                    np.asarray(geometry.work_area(snap, ext)),
+                    device_get(geometry.work_area(snap, ext)),
                     wnum,
                     False,
                     config.project_name,
@@ -394,7 +395,7 @@ def solve(
         log.info("Saving wavefunction %d to disk", wnum)
         try:
             writers.wavefunction(
-                np.asarray(geometry.work_area(phi, ext)),
+                device_get(geometry.work_area(phi, ext)),
                 wnum,
                 converged,
                 config.project_name,
