@@ -72,3 +72,31 @@ def test_complex_observables_file_output(tmp_run):
     out = writers.finalise_measurement(obs, 0, 16.0, "cplx", FileType.JSON)
     assert out["energy"] == 1.5
     assert out["energy_im"] == 0.25
+
+
+def test_split_complex_path_matches_native(tmp_run, monkeypatch):
+    """The split-complex fallback (for backends without complex dtypes)
+    reproduces the native complex path's converged energy."""
+    from wafer_tpu.ops import split_complex as sc
+
+    gamma = 0.2
+    common = dict(
+        potential="ComplexHarmonic",
+        absorb=gamma,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-7,
+        mass=1.0,
+        init_condition="Constant",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+    )
+    run_dir.check_output_dir("test")
+    native = solver.run(base_config(**common))[0]
+    e_native = native.observables.energy / native.observables.norm2
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    split = solver.run(base_config(**common))[0]
+    e_split = split.observables.energy / split.observables.norm2
+
+    assert abs(e_split.real - e_native.real) < 1e-6
+    assert abs(e_split.imag - e_native.imag) < 1e-6

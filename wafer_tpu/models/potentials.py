@@ -313,6 +313,38 @@ def potential_sub_array(
 # --------------------------------------------------------------------------- #
 
 
+def generate_split(config: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex potential as a (re, im) pair of real arrays, for backends
+    without complex support. Complex* types are (1 + i·absorb)·V_real."""
+    if not config.potential.is_complex:
+        raise errors.PotentialNotAvailableError()
+    import dataclasses
+
+    real_type = (
+        PotentialType.COULOMB
+        if config.potential is PotentialType.COMPLEX_COULOMB
+        else PotentialType.HARMONIC
+    )
+    real_cfg = dataclasses.replace(config, potential=real_type)
+    vr = generate(real_cfg)
+    return vr, config.absorb * vr
+
+
+def build_ab_split(vr, vi, dt: float):
+    """Split-complex A/B factors: B = 1/(1 + dt·V/2), A = (1 − dt·V/2)·B
+    with V = vr + i·vi, written over real arrays."""
+    dr = 1.0 + dt * vr / 2.0
+    di = dt * vi / 2.0
+    mag = dr * dr + di * di
+    br = dr / mag
+    bi = -di / mag
+    nr = 1.0 - dt * vr / 2.0
+    ni = -dt * vi / 2.0
+    ar = nr * br - ni * bi
+    ai = nr * bi + ni * br
+    return ar, ai, br, bi
+
+
 def build_ab(v: jnp.ndarray, dt: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Semi-implicit split-operator factors
     (reference: src/potential.rs:101-110):

@@ -154,6 +154,18 @@ def solve(
 
     if seed is None:
         seed = config.seed
+    if config.potential.is_complex:
+        from wafer_tpu.ops import split_complex as sc
+
+        if not sc.backend_supports_complex():
+            log.info(
+                "Backend lacks complex dtypes; using the split-complex path "
+                "for state %d",
+                wnum,
+            )
+            return _solve_split(
+                config, log, debug_level, pots, wnum, w_store, seed, progress
+            )
     phi = _select_initial_condition(config, log, wnum, w_store, seed=seed)
 
     order = config.central_difference.value
@@ -411,6 +423,132 @@ def solve(
     log.info("Calculation Converged")
     w_store.append(phi)
     return SolveResult(wnum=wnum, converged=converged, observables=obs, steps=step, phi=phi)
+
+
+def _solve_split(
+    config: Config,
+    log,
+    debug_level: int,
+    pots: Potentials,
+    wnum: int,
+    w_store: List,
+    seed: Optional[int],
+    progress,
+) -> SolveResult:
+    """Split-complex solve loop for backends without complex dtypes:
+    ψ, V, A, B are carried as (re, im) real-array pairs, with identical
+    cadence and semantics to :func:`solve` (see ops/split_complex.py)."""
+    import dataclasses
+
+    from wafer_tpu.io import writers
+    from wafer_tpu.models import potentials as pmod
+    from wafer_tpu.ops import split_complex as sc
+    from wafer_tpu.utils import terminal
+
+    ext = config.central_difference.ext
+    order = config.central_difference.value
+    dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
+
+    # split potential + factors (complex arrays never touch the device)
+    vr, vi = pmod.generate_split(config)
+    ar, ai, br, bi = pmod.build_ab_split(vr, vi, dt)
+
+    # initial condition: real generator, zero imaginary part (w_store items
+    # are (re, im) pairs in this mode)
+    if wnum > 0 and w_store:
+        pr, pi = w_store[wnum - 1]
+        log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
+    else:
+        from wafer_tpu.config import PotentialType
+
+        real_counterpart = (
+            PotentialType.COULOMB
+            if config.potential is PotentialType.COMPLEX_COULOMB
+            else PotentialType.HARMONIC
+        )
+        real_cfg = dataclasses.replace(config, potential=real_counterpart)
+        pr = initial.set_initial_conditions(real_cfg, log, seed=seed)
+        pi = jnp.zeros_like(pr)
+
+    r2_grid = geometry.r2_index_grid(
+        config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
+    )
+    n_lower = wnum
+    store_r = jnp.stack([w[0] for w in w_store[:n_lower]]) if n_lower else None
+    store_i = jnp.stack([w[1] for w in w_store[:n_lower]]) if n_lower else None
+
+    terminal.print_observable_header(wnum)
+    step = 0
+    converged = False
+    last_energy = complex(float("inf"), 0.0)
+    diff_old = float("inf")
+    obs = None
+
+    while True:
+        (e_re, e_im, n2, vinf, r2), (pr, pi) = sc.measure_and_prepare_sc(
+            pr, pi, vr, vi, r2_grid,
+            pots.pot_sub_array, pots.pot_sub_scalar,
+            store_r, store_i, order, dn, mass, n_lower,
+        )
+        obs = Observables(
+            energy=complex(float(e_re), float(e_im)),
+            norm2=float(n2),
+            v_infinity=float(vinf),
+            r2=float(r2),
+        )
+        norm_energy = obs.energy / obs.norm2
+        tau = step * dt
+
+        diff = abs(norm_energy - last_energy)
+        if diff < config.tolerance:
+            if progress is not None:
+                progress.finish()
+            print(terminal.print_measurements(tau, diff, obs))
+            writers.finalise_measurement(
+                obs, wnum, float(config.grid.size.x), config.project_name,
+                config.output.file_type, output_root=config.output_root,
+            )
+            converged = True
+            break
+        last_energy = norm_energy
+
+        if progress is not None:
+            estimate = eta(step, diff_old, float(diff), config)
+            if estimate is not None:
+                cycles = step / config.output.screen_update
+                progress.set_position(
+                    int(math.floor(100.0 - estimate / (cycles + estimate) * 100.0))
+                )
+            progress.set_message(terminal.print_measurements(tau, diff, obs))
+
+        if config.max_steps is not None and step > config.max_steps:
+            break
+
+        pr, pi = sc.evolve_chunk_sc(
+            pr, pi, ar, ai, br, bi, store_r, store_i,
+            order, dt, dn, mass, config.output.screen_update, n_lower,
+        )
+        diff_old = float(diff)
+        step += config.output.screen_update
+
+    if config.output.save_wavefns:
+        try:
+            wr = np.asarray(geometry.work_area(pr, ext))
+            wi_ = np.asarray(geometry.work_area(pi, ext))
+            from wafer_tpu.io import writers as w_
+
+            w_.wavefunction(
+                wr + 1j * wi_, wnum, converged, config.project_name,
+                config.output.file_type, output_root=config.output_root,
+            )
+        except errors.WaferError as exc:
+            log.warning("Could not write wavefunction to disk: %s", exc)
+
+    if not converged:
+        raise errors.MaxStepError()
+    log.info("Calculation Converged")
+    w_store.append((pr, pi))
+    return SolveResult(wnum=wnum, converged=True, observables=obs, steps=step, phi=(pr, pi))
 
 
 def run(
