@@ -567,7 +567,32 @@ def run(
         from wafer_tpu.parallel.solver_sharded import run_sharded
 
         return run_sharded(config, log, seed=seed, progress_factory=progress_factory)
-    pots = potentials_mod.load_arrays(config, log)
+
+    load_cfg = config
+    if config.potential.is_complex:
+        from wafer_tpu.ops import split_complex as sc
+
+        if not sc.backend_supports_complex():
+            # Split-complex mode: complex arrays must never reach the device.
+            # Load real-counterpart arrays for the side effects (pot_sub,
+            # optional potential save — real part only); the split solve
+            # rebuilds (re, im) pairs itself.
+            import dataclasses
+
+            from wafer_tpu.config import PotentialType
+
+            real_counterpart = (
+                PotentialType.COULOMB
+                if config.potential is PotentialType.COMPLEX_COULOMB
+                else PotentialType.HARMONIC
+            )
+            load_cfg = dataclasses.replace(config, potential=real_counterpart)
+            if config.output.save_potential:
+                log.warning(
+                    "save_potential under the split-complex fallback stores "
+                    "the real part only"
+                )
+    pots = potentials_mod.load_arrays(load_cfg, log)
 
     w_store: List[jnp.ndarray] = []
     if config.wavenum > 0:
