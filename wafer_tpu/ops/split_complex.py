@@ -137,13 +137,38 @@ def measure_and_prepare_sc(
     return (e_re, e_im, norm2, v_inf, r2), (pr, pi)
 
 
-def backend_supports_complex() -> bool:
-    """Probe once whether the active backend executes complex64 at all."""
-    import numpy as np
+_COMPLEX_SUPPORT_CACHE = {}
 
-    try:
-        x = jnp.asarray(1 + 1j, jnp.complex64)
-        float(jnp.real(x * x))
-        return True
-    except Exception:
-        return False
+
+def backend_supports_complex() -> bool:
+    """Whether the active backend executes complex64.
+
+    Known platforms are answered directly — an in-process probe is unsafe
+    because a failed complex op can poison the device stream (observed on
+    the remote-TPU tunnel, where even subsequent real ops then fail).
+    Unknown platforms are probed in a subprocess."""
+    platform = jax.devices()[0].platform
+    if platform in _COMPLEX_SUPPORT_CACHE:
+        return _COMPLEX_SUPPORT_CACHE[platform]
+    if platform in ("cpu", "gpu", "cuda", "rocm", "tpu"):
+        result = True
+    elif platform == "axon":  # remote-TPU tunnel: complex64 unimplemented
+        result = False
+    else:
+        import subprocess
+        import sys
+
+        probe = (
+            "import jax, jax.numpy as jnp;"
+            "x = jnp.asarray(1+1j, jnp.complex64);"
+            "print(float(jnp.real(x*x)))"
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=300
+            )
+            result = r.returncode == 0
+        except Exception:
+            result = False
+    _COMPLEX_SUPPORT_CACHE[platform] = result
+    return result
