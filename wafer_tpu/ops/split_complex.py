@@ -147,13 +147,17 @@ def backend_supports_complex() -> bool:
     because a failed complex op can poison the device stream (observed on
     the remote-TPU tunnel, where even subsequent real ops then fail).
     Unknown platforms are probed in a subprocess."""
+    import os
+
     platform = jax.devices()[0].platform
     if platform in _COMPLEX_SUPPORT_CACHE:
         return _COMPLEX_SUPPORT_CACHE[platform]
-    if platform in ("cpu", "gpu", "cuda", "rocm", "tpu"):
-        result = True
-    elif platform == "axon":  # remote-TPU tunnel: complex64 unimplemented
+    if platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # remote-TPU tunnel (registers as "tpu" but complex64 is
+        # unimplemented and a failed complex op wedges the service)
         result = False
+    elif platform in ("cpu", "gpu", "cuda", "rocm", "tpu"):
+        result = True
     else:
         import subprocess
         import sys
