@@ -383,3 +383,30 @@ def test_analytic_b_one_step_and_excited():
         analytic=analytic,
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=5e-4, atol=1e-5)
+
+
+def test_single_program_grids():
+    """nprog == 1 edge: the DMA drain/epilogue guards must still balance."""
+    cfg, ext, phi, a, b = _setup("ThreePoint", n=4)
+    order = "ThreePoint"
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 0
+    )
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext),
+        geometry.work_area(b, ext),
+        None,
+        order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 0, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+    out_k = pk.evolve_chunk_fused_k(
+        pk.to_xpad_k(phi, ext, 2),
+        pk.b_to_xpad_k(geometry.work_area(b, ext), ext, 2),
+        order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 2, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad_k(out_k, ext, 2)), np.asarray(ref),
+        rtol=2e-5, atol=2e-6,
+    )

@@ -79,3 +79,16 @@ def test_banner_smoke(capsys):
 def test_git_sha_runs():
     sha = terminal.git_sha()
     assert isinstance(sha, str) and len(sha) >= 4
+
+
+def test_device_get_complex_safe():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wafer_tpu.utils.host import device_get, device_get_scalar
+
+    z = jnp.asarray([[1 + 2j, 3 - 4j]])
+    out = device_get(z)
+    np.testing.assert_array_equal(out, np.array([[1 + 2j, 3 - 4j]]))
+    assert device_get_scalar(jnp.asarray(2.5)) == 2.5
+    assert device_get_scalar(jnp.asarray(1 + 1j, jnp.complex64)) == 1 + 1j
