@@ -163,3 +163,23 @@ def test_run_routes_to_sharded_mesh(tmp_run):
     results = solver.run(cfg)
     e0 = results[0].observables.energy / results[0].observables.norm2
     assert abs(e0 - 1.5) < 0.02
+
+
+def test_nonfinite_guard(tmp_run):
+    """Divergent evolution raises once the state overflows (noisy_float
+    parity): an unstable dt for the 7-point stencil amplifies ~3.6×/step,
+    overflowing f32 within one chunk. (In f64 the spurious fastest-growing
+    mode "converges" to a constant Rayleigh quotient long before overflow —
+    the reference behaves the same way.)"""
+    cfg = base_config(
+        central_difference="SevenPoint",
+        precision="f32",
+        # dt passes the reference's 3-point bound but is unstable for 7-point
+        grid={"size": {"x": 12, "y": 12, "z": 12}, "dn": 0.3, "dt": 0.029},
+        tolerance=1e-30,
+        output={"screen_update": 200, "file_type": "Json"},
+        max_steps=100000,
+    )
+    run_dir.check_output_dir(cfg.project_name)
+    with pytest.raises(errors.NonFiniteError):
+        solver.run(cfg)

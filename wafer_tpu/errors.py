@@ -183,3 +183,15 @@ class DeletePartialError(WaferError):
 class FlushError(WaferError):
     def __init__(self):
         super().__init__("Unable to flush output buffer")
+
+
+class NonFiniteError(WaferError):
+    """Runtime numeric guard — the counterpart of the reference's
+    noisy_float NaN/Inf panics (R64 is the array dtype everywhere,
+    src/config.rs:19-22)."""
+
+    def __init__(self, what: str, step: int):
+        super().__init__(
+            f"non-finite {what} at step {step}: the evolution has diverged "
+            "(check dt against the stencil stability bound)"
+        )

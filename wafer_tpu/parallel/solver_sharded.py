@@ -127,6 +127,8 @@ def _solve_state(
         (e, n2, vinf, r2), phi = ops.measure(phi, v_d, r2_d, sub_d, store_d)
         energy = device_get_scalar(e) if is_complex else float(e)
         obs = Observables(energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2))
+        if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
+            raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
         tau = step * config.grid.dt
 

@@ -279,6 +279,8 @@ def solve(
         obs = Observables(
             energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2)
         )
+        if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
+            raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
         tau = step * dt
 
@@ -496,6 +498,8 @@ def _solve_split(
             v_infinity=float(vinf),
             r2=float(r2),
         )
+        if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
+            raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
         tau = step * dt
 
