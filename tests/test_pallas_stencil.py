@@ -302,9 +302,15 @@ def test_zt_kernel_fivepoint(monkeypatch):
 
 
 def test_analytic_b_matches_array_b():
-    """In-kernel coordinate-computed B == streamed B array (harmonic and
-    Coulomb), K=2 temporal blocking, interpret mode."""
-    for pot, kind in (("Harmonic", "Harmonic"), ("Coulomb", "Coulomb")):
+    """In-kernel coordinate-computed B == streamed B array for every
+    analytic potential kind, K=2 temporal blocking, interpret mode."""
+    for pot, kind in (
+        ("Harmonic", "Harmonic"),
+        ("Coulomb", "Coulomb"),
+        ("SimpleCornell", "SimpleCornell"),
+        ("Periodic", "Periodic"),
+        ("NoPotential", "NoPotential"),
+    ):
         cfg = base_config(
             precision="f32",
             potential=pot,
@@ -326,7 +332,9 @@ def test_analytic_b_matches_array_b():
             order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 2, interpret=True,
         )
         g = cfg.grid
-        analytic = (kind, g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+        analytic = (
+            kind, g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z, cfg.sig
+        )
         out = pk.evolve_chunk_fused_k(
             pk.to_xpad_k(phi, ext, 2),
             None,

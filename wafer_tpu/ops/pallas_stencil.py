@@ -51,12 +51,12 @@ _EXT = {"ThreePoint": 1, "FivePoint": 2, "SevenPoint": 3}
 def _analytic_b(analytic, shp, x0, y0, z0):
     """B = 1/(1 + dt·V/2) computed from padded-grid coordinates.
 
-    ``analytic`` = (kind, dn, dt, mass, ngx, ngy, ngz);
+    ``analytic`` = (kind, dn, dt, mass, ngx, ngy, ngz[, sig]);
     ``x0/y0/z0`` are the padded coordinates of element (0,0,0) of ``shp``
     (x0 may be traced; y0/z0 static). Eliminates the B HBM stream for
     formula potentials (V evaluated on padded indices, matching
     models/potentials.generate and src/potential.rs:46-62)."""
-    kind, dn, dt_, _mass, ngx, ngy, ngz = analytic
+    kind, dn, dt_, _mass, ngx, ngy, ngz = analytic[:7]
     f32 = jnp.float32
     # tpu.iota is integer-only: generate i32, convert to f32
     dx = jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(f32) + (
@@ -69,12 +69,32 @@ def _analytic_b(analytic, shp, x0, y0, z0):
         z0 - (ngz + 1.0) / 2.0
     )
     r2 = dx * dx + dy * dy + dz * dz
-    if kind == "Harmonic":
+    if kind == "NoPotential":
+        v = jnp.zeros(shp, f32)
+    elif kind == "Harmonic":
         v = (0.5 * dn * dn) * r2
     elif kind == "Coulomb":
         r = dn * jnp.sqrt(r2)
         r_safe = jnp.maximum(r, dn)
         v = jnp.where(r < dn, -1.0 / dn, -1.0 / r_safe)
+    elif kind == "SimpleCornell":
+        # GeV units (src/potential.rs:241-249); sig = string tension
+        sig = analytic[7]
+        r = dn * jnp.sqrt(r2)
+        r_safe = jnp.maximum(r, dn)
+        far = -0.5 * (4.0 / 3.0) / r_safe + sig * r_safe + 4.0 * _mass
+        v = jnp.where(r < dn, 4.0 * _mass, far)
+    elif kind == "Periodic":
+        # sin² products on (idx−1)/(N−1) padded coords
+        # (src/potential.rs:212-219); coordinate grids reused as indices
+        px = dx + (ngx + 1.0) / 2.0
+        py = dy + (ngy + 1.0) / 2.0
+        pz = dz + (ngz + 1.0) / 2.0
+        two_pi = 2.0 * 3.14159265358979323846
+        sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
+        sy = jnp.sin(two_pi * (py - 1.0) / (ngy - 1.0)) ** 2
+        sz = jnp.sin(two_pi * (pz - 1.0) / (ngz - 1.0)) ** 2
+        v = 1.0 - sx * sy * sz
     else:  # pragma: no cover
         raise ValueError(f"unsupported analytic potential {kind}")
     return 1.0 / (1.0 + (0.5 * dt_) * v)

@@ -118,6 +118,7 @@ class ShardedOps:
                 g.size.x,
                 g.size.y,
                 g.size.z,
+                config.sig,
             )
         self.analytic = analytic
 

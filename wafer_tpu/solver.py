@@ -209,19 +209,27 @@ def solve(
         from wafer_tpu.config import PotentialType
 
         analytic = None
-        if config.potential in (
-            PotentialType.HARMONIC,
-            PotentialType.COULOMB,
-        ) and pk._pick_tx(nx, ny, nz, ext, itemsize, n_lower, True) is not None:
+        _analytic_kinds = {
+            PotentialType.NO_POTENTIAL: "NoPotential",
+            PotentialType.HARMONIC: "Harmonic",
+            PotentialType.COULOMB: "Coulomb",
+            PotentialType.SIMPLE_CORNELL: "SimpleCornell",
+            PotentialType.PERIODIC: "Periodic",
+        }
+        if (
+            config.potential in _analytic_kinds
+            and pk._pick_tx(nx, ny, nz, ext, itemsize, n_lower, True) is not None
+        ):
             g = config.grid
             analytic = (
-                "Harmonic" if config.potential is PotentialType.HARMONIC else "Coulomb",
+                _analytic_kinds[config.potential],
                 g.dn,
                 g.dt,
                 config.mass,
                 g.size.x,
                 g.size.y,
                 g.size.z,
+                config.sig,
             )
 
         # temporal blocking: fuse K sweeps per HBM pass on the ground state
