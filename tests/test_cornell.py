@@ -111,3 +111,26 @@ def test_cornell_restart_from_snapshot(tmp_run):
     run_dir.check_output_dir(cfg2.project_name)
     results = solver.run(cfg2)
     assert results[0].converged
+
+
+def test_simple_cornell_f32_per_step_norm(tmp_run):
+    """f32 scale-drift guard: SimpleCornell's +4m offset (V ≈ 17–27 GeV
+    everywhere) decays ψ by hundreds of e-folds per screen_update chunk,
+    flushing f32 to zero without per-step renormalisation. The solver must
+    detect this from the IC's measured energy and converge anyway (the
+    f64-only reference never hits this, src/config.rs:19-22)."""
+    cfg = _cornell_cfg(
+        "SimpleCornell",
+        precision="f32",
+        tolerance=1e-5,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.35, "dt": 0.04},
+        output={"screen_update": 500, "file_type": "Json"},
+    )
+    run_dir.check_output_dir(cfg.project_name)
+    results = solver.run(cfg, seed=11)
+    obs = results[0].observables
+    e64 = obs.energy / obs.norm2
+    # the energy must be finite and near the continuum threshold 4m, not a
+    # NonFinite abort
+    assert np.isfinite(e64)
+    assert 15.0 < e64 < 25.0

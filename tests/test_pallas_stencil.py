@@ -418,3 +418,35 @@ def test_single_program_grids():
         np.asarray(pk.from_xpad_k(out_k, ext, 2)), np.asarray(ref),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_fused_chunk_per_step_norm_matches_xla():
+    """Ground state with carried per-step renormalisation (f32 scale-drift
+    guard) matches the XLA per-step-normalised loop."""
+    cfg, ext, phi, a, b = _setup("ThreePoint")
+    order = "ThreePoint"
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 5, 0,
+        per_step_norm=True,
+    )
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext),
+        geometry.work_area(b, ext),
+        None,
+        order,
+        cfg.grid.dt,
+        cfg.grid.dn,
+        cfg.mass,
+        5,
+        0,
+        interpret=True,
+        per_step_norm=True,
+    )
+    out_full = pk.from_xpad(out, ext)
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(ref), rtol=2e-5, atol=1e-6
+    )
+    # output is normalised (per-step norm leaves ‖ψ‖ = 1 after the final
+    # carried coefficient is materialised)
+    n2 = float(gram_schmidt.get_norm_squared(geometry.work_area(out_full, ext)))
+    assert abs(n2 - 1.0) < 1e-4

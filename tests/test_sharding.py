@@ -224,3 +224,37 @@ def test_sharded_pallas_excited_matches_xla():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=5e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (2, 2, 2)])
+def test_sharded_per_step_norm_matches_single_device(mesh_shape):
+    """Ground-state per-step renormalisation (f32 scale-drift guard) agrees
+    with the single-device per-step-normalised chunk."""
+    order = "ThreePoint"
+    cfg = base_config(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 6},
+    )
+    ext = cfg.central_difference.ext
+    rng = np.random.default_rng(7)
+    phi_pad = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size())), ext
+    )
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+
+    ref = stencil.evolve_chunk(
+        phi_pad, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 6, 0,
+        per_step_norm=True,
+    )
+    ref_int = np.asarray(geometry.work_area(ref, ext))
+
+    mesh = make_mesh(mesh_shape)
+    ops = ShardedOps(cfg, mesh, 0)
+    out = ops.evolve_chunk_psn(
+        ops.put(geometry.work_area(phi_pad, ext)),
+        ops.put(geometry.work_area(a, ext)),
+        ops.put(geometry.work_area(b, ext)),
+        ops.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_int, rtol=1e-12, atol=1e-14)

@@ -183,3 +183,17 @@ def test_nonfinite_guard(tmp_run):
     run_dir.check_output_dir(cfg.project_name)
     with pytest.raises(errors.NonFiniteError):
         solver.run(cfg)
+
+
+def test_stable_dt_bound():
+    """Worst-case amplification bound per stencil: ThreePoint reduces to the
+    reference's dn²·m/3 rule (src/config.rs:362-365); higher orders are
+    tighter (the reference checks only the 3-point rule for all stencils)."""
+    dn = 0.3
+    b3 = solver.stable_dt_bound("ThreePoint", dn, 1.0)
+    assert abs(b3 - dn * dn / 3.0) < 1e-12
+    b5 = solver.stable_dt_bound("FivePoint", dn, 1.0)
+    b7 = solver.stable_dt_bound("SevenPoint", dn, 1.0)
+    assert b7 < b5 < b3
+    # mass scales the bound linearly
+    assert abs(solver.stable_dt_bound("ThreePoint", dn, 2.0) - 2.0 * b3) < 1e-12

@@ -45,9 +45,11 @@ class Potentials:
     pot_sub_array: Optional[jnp.ndarray] = None  # N³ (FullCornell)
     pot_sub_scalar: Optional[float] = None
     # Finite minimum of V — computed at load like the reference's serial
-    # scan (src/potential.rs:156-161; currently unused downstream there too,
-    # kept for parity and diagnostics).
+    # scan (src/potential.rs:156-161; unused downstream there, but here it
+    # doubles as the energy-gauge shift baked into a/b — see build_ab).
     v_min: Optional[float] = None
+    # The gauge shift actually applied to a/b (v_min when finite, else 0).
+    v_shift: float = 0.0
 
 
 # --------------------------------------------------------------------------- #
@@ -330,9 +332,11 @@ def generate_split(config: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return vr, config.absorb * vr
 
 
-def build_ab_split(vr, vi, dt: float):
+def build_ab_split(vr, vi, dt: float, v_shift: float = 0.0):
     """Split-complex A/B factors: B = 1/(1 + dt·V/2), A = (1 − dt·V/2)·B
-    with V = vr + i·vi, written over real arrays."""
+    with V = vr + i·vi, written over real arrays. ``v_shift`` as in
+    :func:`build_ab` (applied to the real part)."""
+    vr = vr - v_shift
     dr = 1.0 + dt * vr / 2.0
     di = dt * vi / 2.0
     mag = dr * dr + di * di
@@ -345,13 +349,26 @@ def build_ab_split(vr, vi, dt: float):
     return ar, ai, br, bi
 
 
-def build_ab(v: jnp.ndarray, dt: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def build_ab(
+    v: jnp.ndarray, dt: float, v_shift: float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Semi-implicit split-operator factors
     (reference: src/potential.rs:101-110):
 
-    ``B = 1/(1 + dt·V/2)``, ``A = (1 − dt·V/2)·B``."""
-    b = 1.0 / (1.0 + dt * v / 2.0)
-    a = (1.0 - dt * v / 2.0) * b
+    ``B = 1/(1 + dt·V/2)``, ``A = (1 − dt·V/2)·B``.
+
+    ``v_shift`` applies a constant energy gauge ``V → V − v_shift`` to the
+    *evolution* factors only. A constant shift rescales ψ by the global
+    factor ``exp(v_shift·τ)`` — removed by normalisation — so eigenstates
+    and measured energies (which use the unshifted V) are unchanged, but the
+    per-chunk decay rate drops from ``E`` to ``E − v_shift``. Without it,
+    potentials with a large uniform offset (SimpleCornell's +4m ≈ 18.6 GeV,
+    src/potential.rs:241-249) underflow f32 within one screen_update chunk.
+    The reference never needs this because it is f64-only; its kept-but-
+    unused v-minimum scan (src/potential.rs:156-161) is the shift source."""
+    vs = v - v_shift
+    b = 1.0 / (1.0 + dt * vs / 2.0)
+    a = (1.0 - dt * vs / 2.0) * b
     return a, b
 
 
@@ -387,7 +404,14 @@ def load_arrays(config: Config, log=None) -> Potentials:
         log.info("Calculating potential array")
         v = generate(config)
 
-    a, b = build_ab(v, config.grid.dt)
+    # finite minimum of V (one fused on-device reduction instead of the
+    # reference's serial scan, src/potential.rs:156-161); doubles as the
+    # energy-gauge shift for the evolution factors (see build_ab)
+    v_real = jnp.real(v)
+    v_min = float(jnp.min(jnp.where(jnp.isfinite(v_real), v_real, jnp.inf)))
+    v_shift = v_min if math.isfinite(v_min) else 0.0
+
+    a, b = build_ab(v, config.grid.dt, v_shift)
 
     # potential_sub: prefer a file, with type-consistency checks
     # (src/potential.rs:112-153)
@@ -429,11 +453,6 @@ def load_arrays(config: Config, log=None) -> Potentials:
         # only a positive offset is kept (src/potential.rs:146-153)
         pot_sub_scalar_val = single if single > 0.0 else None
 
-    # finite minimum of V (one fused on-device reduction instead of the
-    # reference's serial scan)
-    v_real = jnp.real(v)
-    v_min = float(jnp.min(jnp.where(jnp.isfinite(v_real), v_real, jnp.inf)))
-
     pots = Potentials(
         v=v,
         a=a,
@@ -441,6 +460,7 @@ def load_arrays(config: Config, log=None) -> Potentials:
         pot_sub_array=pot_sub_array,
         pot_sub_scalar=pot_sub_scalar_val,
         v_min=v_min,
+        v_shift=v_shift,
     )
 
     if config.output.save_potential:

@@ -51,12 +51,16 @@ _EXT = {"ThreePoint": 1, "FivePoint": 2, "SevenPoint": 3}
 def _analytic_b(analytic, shp, x0, y0, z0):
     """B = 1/(1 + dt·V/2) computed from padded-grid coordinates.
 
-    ``analytic`` = (kind, dn, dt, mass, ngx, ngy, ngz[, sig]);
+    ``analytic`` = (kind, dn, dt, mass, ngx, ngy, ngz[, sig[, vshift]]);
     ``x0/y0/z0`` are the padded coordinates of element (0,0,0) of ``shp``
     (x0 may be traced; y0/z0 static). Eliminates the B HBM stream for
     formula potentials (V evaluated on padded indices, matching
-    models/potentials.generate and src/potential.rs:46-62)."""
+    models/potentials.generate and src/potential.rs:46-62). ``vshift`` is
+    the energy-gauge shift also baked into the array factors (see
+    models/potentials.build_ab) — it must match them so the array-B and
+    analytic-B paths produce identical trajectories."""
     kind, dn, dt_, _mass, ngx, ngy, ngz = analytic[:7]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
     f32 = jnp.float32
     # tpu.iota is integer-only: generate i32, convert to f32
     dx = jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(f32) + (
@@ -97,7 +101,7 @@ def _analytic_b(analytic, shp, x0, y0, z0):
         v = 1.0 - sx * sy * sz
     else:  # pragma: no cover
         raise ValueError(f"unsupported analytic potential {kind}")
-    return 1.0 / (1.0 + (0.5 * dt_) * v)
+    return 1.0 / (1.0 + (0.5 * dt_) * (v - vshift))
 
 
 def _shift_y(c: jnp.ndarray, off: int) -> jnp.ndarray:
@@ -216,12 +220,15 @@ def _evolve_kernel(
 
     in_copy(i, slot).wait()
 
-    if n_lower > 0:
+    if n_lower > 0 or with_norm:
         # affine correction from the previous step's reductions:
         # ψ̃ = inv·ψ − Σ corrₛ·lowerₛ (normalise-then-project, applied lazily
-        # so the whole update stays one HBM pass per step)
-        for lc in lower_copies:
-            lc.wait()
+        # so the whole update stays one HBM pass per step). The ground-state
+        # per-step-norm mode (with_norm, n_lower=0) carries only the inverse
+        # norm.
+        if n_lower > 0:
+            for lc in lower_copies:
+                lc.wait()
         win = slab[slot] * coef_smem[0, 0]
         for s_idx in range(n_lower):
             win = win - coef_smem[s_idx + 1, 0] * lower_slab[
@@ -560,6 +567,9 @@ def _evolve_kernel_zt(
                 lower_slab[:, :, zs - _ZPAD : zs] = jnp.zeros_like(
                     lower_slab[:, :, zs - _ZPAD : zs]
                 )
+        if n_lower > 0 or with_norm:
+            # affine correction (see _evolve_kernel); per-step-norm ground
+            # mode carries only the inverse norm
             win = slab[slot] * coef_smem[0, 0]
             for si in range(n_lower):
                 win = win - coef_smem[si + 1, 0] * lower_slab[
@@ -1140,7 +1150,8 @@ def from_xpad(phi_xpad: jnp.ndarray, ext: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "order", "dt", "dn", "mass", "n_steps", "n_lower", "interpret", "analytic"
+        "order", "dt", "dn", "mass", "n_steps", "n_lower", "interpret",
+        "analytic", "per_step_norm",
     ),
 )
 def evolve_chunk_fused(
@@ -1155,16 +1166,24 @@ def evolve_chunk_fused(
     n_lower: int,
     interpret: bool = False,
     analytic=None,
+    per_step_norm: bool = False,
 ):
     """``n_steps`` fused sweeps (reference ``evolve``, src/grid.rs:544-687).
 
     Excited states: norm² and overlaps come out of the sweep kernel and feed
     the next step's in-kernel affine correction — one HBM pass per step; the
-    final step's pending correction is materialised once per chunk."""
+    final step's pending correction is materialised once per chunk.
+
+    ``per_step_norm`` applies the same carried-coefficient renormalisation
+    to the ground state: needed in f32 when the potential's offset would
+    drift ψ's scale out of range within one chunk (see
+    ops/stencil.evolve_chunk); the normalisation is exact rescaling, so the
+    trajectory is unchanged. Incompatible with K-fusion — callers must use
+    this 1-step path."""
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
 
-    if n_lower == 0:
+    if n_lower == 0 and not per_step_norm:
         def body(_i, phi):
             phi, _n2, _ov = evolve_step_fused(
                 phi, b_int, None, order, scale, 0, False, interpret,
@@ -1173,6 +1192,24 @@ def evolve_chunk_fused(
             return phi
 
         return jax.lax.fori_loop(0, n_steps, body, phi_xpad)
+
+    if n_lower == 0:
+        # ground state with carried per-step renormalisation: the inverse
+        # norm of step i's raw output scales step i+1's input in-kernel
+        dtype = phi_xpad.dtype
+
+        def body_norm(_i, carry):
+            phi, coef = carry
+            phi, norm2, _ov = evolve_step_fused(
+                phi, b_int, None, order, scale, 0, True, interpret, coef,
+                analytic,
+            )
+            inv = (1.0 / jnp.sqrt(norm2)).astype(dtype)
+            return phi, inv.reshape(1, 1)
+
+        coef0 = jnp.ones((1, 1), dtype)
+        phi, coef = jax.lax.fori_loop(0, n_steps, body_norm, (phi_xpad, coef0))
+        return phi * coef[0, 0]
 
     # Excited path: the normalise+project update is carried as an affine
     # coefficient vector [inv, corr...] and applied *inside* the next sweep

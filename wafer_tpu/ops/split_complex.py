@@ -76,20 +76,24 @@ def evolve_step_sc(pr, pi, ar, ai, br, bi, order, dt, dn, mass):
     )
 
 
-@partial(jax.jit, static_argnames=("order", "n_steps", "n_lower"))
+@partial(jax.jit, static_argnames=("order", "n_steps", "n_lower", "per_step_norm"))
 def evolve_chunk_sc(
     pr, pi, ar, ai, br, bi, store_r, store_i,
     order: str, dt: float, dn: float, mass: float, n_steps: int, n_lower: int,
+    per_step_norm: bool = False,
 ):
     """``n_steps`` split-complex sweeps with per-step normalise +
-    Gram-Schmidt for excited states (src/grid.rs:674-681)."""
+    Gram-Schmidt for excited states (src/grid.rs:674-681).
+    ``per_step_norm`` extends the renormalisation to the ground state (f32
+    scale-drift guard, see ops/stencil.evolve_chunk)."""
 
     def body(_i, carry):
         pr, pi = carry
         pr, pi = evolve_step_sc(pr, pi, ar, ai, br, bi, order, dt, dn, mass)
-        if n_lower > 0:
+        if n_lower > 0 or per_step_norm:
             inv = (1.0 / jnp.sqrt(_norm2(pr, pi))).astype(pr.dtype)
             pr, pi = pr * inv, pi * inv
+        if n_lower > 0:
             for s_idx in range(n_lower):
                 o_re, o_im = _overlap(store_r[s_idx], store_i[s_idx], pr, pi)
                 pr, pi = _project(pr, pi, store_r[s_idx], store_i[s_idx], o_re, o_im)

@@ -77,7 +77,7 @@ def evolve_step(
     return geometry.set_work_area(phi, ext, new_work)
 
 
-@partial(jax.jit, static_argnames=("order", "n_steps", "n_lower"))
+@partial(jax.jit, static_argnames=("order", "n_steps", "n_lower", "per_step_norm"))
 def evolve_chunk(
     phi: jnp.ndarray,
     a: jnp.ndarray,
@@ -89,19 +89,26 @@ def evolve_chunk(
     mass: float,
     n_steps: int,
     n_lower: int,
+    per_step_norm: bool = False,
 ) -> jnp.ndarray:
     """``n_steps`` inner steps between screen updates
     (reference ``evolve``, src/grid.rs:544-687).
 
     For excited states (``n_lower > 0``) every step renormalises and
     Gram-Schmidt-projects against the stored lower states
-    (src/grid.rs:674-681)."""
+    (src/grid.rs:674-681). ``per_step_norm`` forces the per-step
+    renormalisation for the ground state too: ψ's scale drifts by
+    ``exp(−(E−v_shift)·dt)`` per step, and when the potential's offset makes
+    that drift large a whole screen_update chunk under/overflows f32 (the
+    f64-only reference never needs this, see models/potentials.build_ab).
+    Renormalisation only rescales, so the trajectory is unchanged."""
 
     def body(_i, phi):
         phi = evolve_step(phi, a, b, order, dt, dn, mass)
-        if n_lower > 0:
+        if n_lower > 0 or per_step_norm:
             norm2 = get_norm_squared(phi)
             phi = phi / jnp.sqrt(norm2).astype(phi.dtype)
+        if n_lower > 0:
             phi = orthogonalise_wavefunction(phi, w_store, n_lower)
         return phi
 

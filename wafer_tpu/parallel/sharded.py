@@ -53,6 +53,7 @@ class ShardedOps:
         pot_sub_scalar: Optional[float] = None,
         use_pallas: Optional[bool] = None,
         pallas_interpret: bool = False,
+        v_shift: float = 0.0,
     ):
         self.config = config
         self.mesh = mesh
@@ -119,6 +120,7 @@ class ShardedOps:
                 g.size.y,
                 g.size.z,
                 config.sig,
+                v_shift,  # gauge shift — must match the caller's a/b arrays
             )
         self.analytic = analytic
 
@@ -129,17 +131,22 @@ class ShardedOps:
                 phi = phi - lower * overlap
             return phi
 
-        def step_local(phi, a, b, store):
+        def _make_evolve_chunk_local(per_step_norm: bool):
+          # per_step_norm: renormalise the ground state every step too —
+          # required in f32 when the potential's offset drifts ψ's scale out
+          # of range within one chunk (see ops/stencil.evolve_chunk).
+          def step_local(phi, a, b, store):
             padded = exchange_halos(phi, ext, mesh_shape)
             taps = stencil_taps(padded, order)
             phi = phi * a + b * (dt / denom) * taps
-            if n_lower > 0:
+            if n_lower > 0 or per_step_norm:
                 norm2 = _psum(jnp.sum(_abs2(phi)))
                 phi = phi / jnp.sqrt(norm2).astype(phi.dtype)
+            if n_lower > 0:
                 phi = orthogonalise(phi, store)
             return phi
 
-        def evolve_chunk_local(phi, a, b, store):
+          def evolve_chunk_local(phi, a, b, store):
             if not use_pallas:
                 return lax.fori_loop(
                     0, screen_update, lambda _i, p: step_local(p, a, b, store), phi
@@ -167,7 +174,7 @@ class ShardedOps:
                 jax.lax.axis_index(AXIS_NAMES[0]).astype(jnp.int32) * jnp.int32(bx)
             ).reshape(1, 1)
 
-            if n_lower == 0:
+            if n_lower == 0 and not per_step_norm:
                 def body(_i, p):
                     xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
                     out_xpad, _n2, _ov = pk.evolve_step_fused(
@@ -185,6 +192,32 @@ class ShardedOps:
                     return out_xpad[ext:-ext]
 
                 return lax.fori_loop(0, screen_update, body, phi)
+
+            if n_lower == 0:
+                # ground state, per-step renormalisation carried as the
+                # inverse-norm coefficient (globally psum-reduced)
+                def body_norm(_i, carry):
+                    p, coef = carry
+                    xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                    out_xpad, n2_loc, _ov = pk.evolve_step_fused(
+                        xpad,
+                        None if analytic is not None else b,
+                        None,
+                        order,
+                        scale,
+                        0,
+                        True,
+                        pallas_interpret,
+                        coef,
+                        analytic,
+                        x_org,
+                    )
+                    inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                    return out_xpad[ext:-ext], inv.reshape(1, 1)
+
+                coef0 = jnp.ones((1, 1), dtype)
+                p, coef = lax.fori_loop(0, screen_update, body_norm, (phi, coef0))
+                return p * coef[0, 0]
 
             coef0 = jnp.concatenate(
                 [jnp.ones((1, 1), dtype), jnp.zeros((n_lower, 1), dtype)]
@@ -218,6 +251,8 @@ class ShardedOps:
             proj = jnp.tensordot(coef[1:, 0], store, axes=1)
             return p * coef[0, 0] - proj
 
+          return evolve_chunk_local
+
         def measure_local(phi, v, r2_grid, pot_sub, store):
             padded = exchange_halos(phi, ext, mesh_shape)
             taps = stencil_taps(padded, order)
@@ -245,12 +280,28 @@ class ShardedOps:
         # varying-mesh-axis metadata
         self.evolve_chunk = jax.jit(
             jax.shard_map(
-                evolve_chunk_local,
+                _make_evolve_chunk_local(False),
                 mesh=mesh,
                 in_specs=(grid, grid, grid, store_spec),
                 out_specs=grid,
                 check_vma=False,
             )
+        )
+        # per-step-norm ground variant (jit is lazy — compiled only if used;
+        # identical to evolve_chunk for excited states, which already
+        # renormalise every step)
+        self.evolve_chunk_psn = (
+            jax.jit(
+                jax.shard_map(
+                    _make_evolve_chunk_local(True),
+                    mesh=mesh,
+                    in_specs=(grid, grid, grid, store_spec),
+                    out_specs=grid,
+                    check_vma=False,
+                )
+            )
+            if n_lower == 0
+            else self.evolve_chunk
         )
         self.measure = jax.jit(
             jax.shard_map(

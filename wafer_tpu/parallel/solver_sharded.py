@@ -105,6 +105,7 @@ def _solve_state(
         n_lower,
         has_pot_sub_array=pots.pot_sub_array is not None,
         pot_sub_scalar=pots.pot_sub_scalar,
+        v_shift=pots.v_shift,
     )
     phi = ops.put(_select_ic(config, log, wnum, w_store, seed))
     v_d = ops.put(v_int)
@@ -122,6 +123,7 @@ def _solve_state(
     last_energy = float("inf")
     diff_old = float("inf")
     obs = None
+    per_step_norm = False
 
     while True:
         (e, n2, vinf, r2), phi = ops.measure(phi, v_d, r2_d, sub_d, store_d)
@@ -130,6 +132,32 @@ def _solve_state(
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
+        from wafer_tpu.solver import stable_dt_bound
+
+        if (
+            step == 0
+            and n_lower == 0
+            and config.grid.dt
+            <= stable_dt_bound(
+                config.central_difference.value, config.grid.dn, config.mass
+            )
+        ):
+            # f32 scale-drift guard (see solver.solve): large potential
+            # offsets need the per-step-normalised ground chunk
+            _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
+            _drift = (
+                2.0
+                * max(float(jnp.asarray(norm_energy).real) - pots.v_shift, 0.0)
+                * config.grid.dt
+                * config.output.screen_update
+            )
+            if _drift > _efold_limit:
+                per_step_norm = True
+                log.info(
+                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
+                    "renormalising the ground state every step",
+                    _drift,
+                )
         tau = step * config.grid.dt
 
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
@@ -179,7 +207,8 @@ def _solve_state(
         if config.max_steps is not None and step > config.max_steps:
             break
 
-        phi = ops.evolve_chunk(phi, a_d, b_d, store_d)
+        chunk_fn = ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
+        phi = chunk_fn(phi, a_d, b_d, store_d)
         diff_old = float(diff)
         step += config.output.screen_update
 

@@ -55,6 +55,20 @@ def _measure_and_prepare(
     return (e, n2, vinf, r2), phi
 
 
+def stable_dt_bound(order: str, dn: float, mass: float) -> float:
+    """Largest dt for which the explicit kinetic update is non-amplifying:
+    dt ≤ 2/λ_max with λ_max = (c₀ + 6Σ|cᵢ|)/(k·dn²·m), the worst-case 3D
+    eigenvalue of the discrete −∇²/(2m) operator (c₀ is the 3D-summed center
+    coefficient; the per-axis tap signs alternate so all taps align at the
+    zone corner θ = π). For ThreePoint this reduces to the reference's
+    dn²·m/3 rule (src/config.rs:362-365, m = 1); FivePoint/SevenPoint are
+    tighter (0.25/≈0.22·dn²·m — the reference checks only the 3-point rule
+    for all stencils)."""
+    _offs, coeffs, center_c, k = geometry.stencil_coefficients(order)
+    lam = (center_c + 6.0 * sum(abs(c) for c in coeffs)) / (k * dn * dn * mass)
+    return 2.0 / lam
+
+
 def eta(step: int, diff_old: float, diff_new: float, config: Config) -> Optional[float]:
     """Estimated ``screen_update`` cycles to convergence via point-slope fit
     of log₁₀(diff) (reference: src/grid.rs:254-283)."""
@@ -230,6 +244,7 @@ def solve(
                 g.size.y,
                 g.size.z,
                 config.sig,
+                pots.v_shift,  # gauge shift — must match the array a/b
             )
 
         # temporal blocking: fuse K sweeps per HBM pass on the ground state
@@ -254,6 +269,15 @@ def solve(
     last_energy = float("inf")
     diff_old = float("inf")
     obs = None
+    # Ground-state per-step renormalisation guard: ψ's scale drifts by
+    # exp(−(E − v_shift)·dt·screen_update) per chunk (E ≥ v_shift always —
+    # variationally E₀ > min V — so the drift is pure decay). When the
+    # e-fold count would push per-element ψ² below the f32 normal range
+    # (TPUs flush denormals), route the state through the per-step-
+    # normalised path. Decided once from the IC's measured energy, a
+    # conservative upper bound on every later Rayleigh quotient.
+    per_step_norm = False
+    _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
     import time as _time
 
     n_points = config.grid.size.x * config.grid.size.y * config.grid.size.z
@@ -290,6 +314,24 @@ def solve(
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
+        # Engage only in the stable-dt regime: renormalisation is a pure
+        # rescaling there, but past the stencil's stability bound it would
+        # mask a genuinely divergent evolution instead of letting the
+        # NonFinite guard fire.
+        if step == 0 and n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
+            _drift = (
+                2.0
+                * max(float(jnp.asarray(norm_energy).real) - pots.v_shift, 0.0)
+                * dt
+                * config.output.screen_update
+            )
+            if _drift > _efold_limit:
+                per_step_norm = True
+                log.info(
+                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
+                    "renormalising the ground state every step",
+                    _drift,
+                )
         tau = step * dt
 
         # Snapshot lifecycle (reference: src/grid.rs:137-158). Note the
@@ -364,7 +406,7 @@ def solve(
         if backend == "pallas":
             from wafer_tpu.ops import pallas_stencil as pk
 
-            if k_fuse > 1:
+            if k_fuse > 1 and not per_step_norm:
                 phi = pk.from_xpad_k(
                     pk.evolve_chunk_fused_k(
                         pk.to_xpad_k(phi, ext, k_fuse),
@@ -381,6 +423,8 @@ def solve(
                     k_fuse,
                 )
             else:
+                # per_step_norm forces the 1-step path: renormalisation
+                # between fused sub-steps cannot be carried through K-fusion
                 phi = pk.from_xpad(
                     pk.evolve_chunk_fused(
                         pk.to_xpad(phi, ext),
@@ -393,6 +437,7 @@ def solve(
                         config.output.screen_update,
                         n_lower,
                         analytic=analytic,
+                        per_step_norm=per_step_norm,
                     ),
                     ext,
                 )
@@ -408,6 +453,7 @@ def solve(
                 mass,
                 config.output.screen_update,
                 n_lower,
+                per_step_norm=per_step_norm,
             )
 
         diff_old = float(diff)
@@ -461,7 +507,9 @@ def _solve_split(
 
     # split potential + factors (complex arrays never touch the device)
     vr, vi = pmod.generate_split(config)
-    ar, ai, br, bi = pmod.build_ab_split(vr, vi, dt)
+    v_min = float(jnp.min(jnp.where(jnp.isfinite(vr), vr, jnp.inf)))
+    v_shift = v_min if math.isfinite(v_min) else 0.0
+    ar, ai, br, bi = pmod.build_ab_split(vr, vi, dt, v_shift)
 
     # initial condition: real generator, zero imaginary part (w_store items
     # are (re, im) pairs in this mode)
@@ -493,6 +541,9 @@ def _solve_split(
     last_energy = complex(float("inf"), 0.0)
     diff_old = float("inf")
     obs = None
+    # f32 scale-drift guard (see solve); the drift rate is Re(E) − v_shift
+    per_step_norm = False
+    _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
 
     while True:
         (e_re, e_im, n2, vinf, r2), (pr, pi) = sc.measure_and_prepare_sc(
@@ -509,6 +560,20 @@ def _solve_split(
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
+        if step == 0 and n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
+            _drift = (
+                2.0
+                * max(norm_energy.real - v_shift, 0.0)
+                * dt
+                * config.output.screen_update
+            )
+            if _drift > _efold_limit:
+                per_step_norm = True
+                log.info(
+                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
+                    "renormalising the ground state every step",
+                    _drift,
+                )
         tau = step * dt
 
         diff = abs(norm_energy - last_energy)
@@ -539,6 +604,7 @@ def _solve_split(
         pr, pi = sc.evolve_chunk_sc(
             pr, pi, ar, ai, br, bi, store_r, store_i,
             order, dt, dn, mass, config.output.screen_update, n_lower,
+            per_step_norm=per_step_norm,
         )
         diff_old = float(diff)
         step += config.output.screen_update
