@@ -197,7 +197,7 @@ def test_zt_kernel_matches_xla(monkeypatch):
     monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
     # tz=128 (minimum: halo DMA blocks are 128 lanes) over nz=256 → 2 chunks
     monkeypatch.setattr(
-        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 128)
+        pk, "_pick_tx_zt", lambda *a, **k: (4, 128)
     )
 
     cfg = base_config(
@@ -265,7 +265,7 @@ def test_zt_kernel_fivepoint(monkeypatch):
     """z-tiled path with ext=2 (5-point): pads and window widths differ."""
     monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
     monkeypatch.setattr(
-        pk, "_pick_tx_zt", lambda nx, ny, nz, ext, item, nl: (4, 128)
+        pk, "_pick_tx_zt", lambda *a, **k: (4, 128)
     )
     cfg = base_config(
         precision="f32",
@@ -450,3 +450,54 @@ def test_fused_chunk_per_step_norm_matches_xla():
     # carried coefficient is materialised)
     n2 = float(gram_schmidt.get_norm_squared(geometry.work_area(out_full, ext)))
     assert abs(n2 - 1.0) < 1e-4
+
+
+def test_zt_kernel_analytic_b(monkeypatch):
+    """z-tiled kernel with in-kernel coordinate-computed B == streamed B
+    (the B chunk DMA — a third of zt HBM traffic — is eliminated)."""
+    monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
+    monkeypatch.setattr(pk, "_pick_tx_zt", lambda *a, **k: (4, 128))
+
+    cfg = base_config(
+        precision="f32",
+        potential="Harmonic",
+        grid={"size": {"x": 8, "y": 8, "z": 256}, "dn": 0.2, "dt": 0.01},
+    )
+    ext = 1
+    order = "ThreePoint"
+    g = cfg.grid
+    rng = np.random.default_rng(17)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    b = pmod.build_ab(v, cfg.grid.dt)[1].astype(jnp.float32)
+
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), geometry.work_area(b, ext), None, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 0, interpret=True,
+    )
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, 8, 8, 256, cfg.sig, 0.0)
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, None, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 0, interpret=True,
+        analytic=analytic,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+    # excited (coef) path through the zt kernel with analytic B
+    lower = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    lower = lower / jnp.sqrt(gram_schmidt.get_norm_squared(lower)).astype(jnp.float32)
+    store_x = jnp.stack([pk.to_xpad(lower, ext)])
+    ref2 = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), geometry.work_area(b, ext), store_x, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 1, interpret=True,
+    )
+    out2 = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, store_x, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 1, interpret=True,
+        analytic=analytic,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=5e-4, atol=1e-5)

@@ -350,7 +350,8 @@ def step_fused_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
 _ZPAD = 128  # aligned window base inside the z-tiled slab
 
 
-def _pick_tx_zt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
+def _pick_tx_zt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int,
+                analytic_b: bool = False):
     """(tx, tz) for the z-tiled kernel, or None. tz must be a lane-tile
     multiple; the slab carries 2·ZPAD extra lanes for the aligned window."""
     for tz in (256, 128):
@@ -363,7 +364,7 @@ def _pick_tx_zt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int
                 continue
             need = (
                 2 * (tx + 2 * ext) * pcz      # ψ windows (double-buffered)
-                + tx * pc                      # b chunk
+                + (0 if analytic_b else tx * pc)  # b chunk
                 + 2 * tx * pc                  # results (double-buffered)
                 + n_lower * (tx + 2 * ext) * pcz  # lower windows
             )
@@ -375,9 +376,10 @@ def _pick_tx_zt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int
 def _evolve_kernel_zt(
     # inputs
     phi_hbm,  # (NX+2e, NY, NZ) ANY
-    b_hbm,  # (NX, NY, NZ) ANY
+    b_hbm,  # (NX, NY, NZ) ANY (dummy (1,1,1) when analytic)
     store_hbm,  # (S·(NX+2e), NY, NZ) ANY
     coef_smem,  # (1+S, 1) SMEM
+    xorg_smem,  # (1, 1) SMEM i32 — shard's global x origin (0 single-device)
     # outputs
     out_hbm,  # (NX+2e, NY, NZ) ANY
     norm_out,  # (1, 1) SMEM
@@ -402,6 +404,7 @@ def _evolve_kernel_zt(
     nz: int,
     n_lower: int,
     with_norm: bool,
+    analytic=None,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -472,11 +475,12 @@ def _evolve_kernel_zt(
         pad_lo = _ZPAD if zi == 0 else 0
         pad_hi = _ZPAD if zi == nzc - 1 else 0
 
-        # b chunk for this (i, zi)
-        b_copy = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(i * tx, tx), :, pl.ds(z0, tz)], b_slab, sem_b
-        )
-        b_copy.start()
+        # b chunk for this (i, zi) — skipped entirely for analytic potentials
+        if analytic is None:
+            b_copy = pltpu.make_async_copy(
+                b_hbm.at[pl.ds(i * tx, tx), :, pl.ds(z0, tz)], b_slab, sem_b
+            )
+            b_copy.start()
 
         lower_copies = []
         for si in range(n_lower):
@@ -598,8 +602,15 @@ def _evolve_kernel_zt(
                 + pltpu.roll(cr, off, 2)[:, :, _ZPAD : _ZPAD + tz]
             )
 
-        b_copy.wait()
-        b = b_slab[...]
+        if analytic is None:
+            b_copy.wait()
+            b = b_slab[...]
+        else:
+            # B from coordinates: x rows are i·tx+ext.. in padded coords
+            # (plus the shard origin), y spans the interior from padded ext,
+            # z starts at this chunk's static offset zi·tz+ext
+            x0 = (i * tx + jnp.int32(ext) + xorg_smem[0, 0]).astype(jnp.float32)
+            b = _analytic_b(analytic, (tx, phi_hbm.shape[1], tz), x0, ext, z0 + ext)
         new = 2.0 * (b * c) - c + b * (scale * acc)
         result[slot] = new
         out_copy(i, zi, slot).start()
@@ -669,7 +680,9 @@ def evolve_step_fused(
     tx = _pick_tx(nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None)
     txtz = None
     if tx is None:
-        txtz = _pick_tx_zt(nx, ny, nz, ext, dtype.itemsize, n_lower)
+        txtz = _pick_tx_zt(
+            nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None
+        )
         if txtz is None:
             raise ValueError(
                 f"fused sweep does not fit VMEM for plane {ny}x{nz} "
@@ -690,11 +703,6 @@ def evolve_step_fused(
         x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
 
     if txtz is not None:
-        if analytic is not None:
-            raise ValueError(
-                "analytic-B is not supported in the z-tiled kernel; "
-                "pass the streamed B array instead"
-            )
         tx_z, tz = txtz
         kernel_zt = functools.partial(
             _evolve_kernel_zt,
@@ -706,8 +714,11 @@ def evolve_step_fused(
             nz=nz,
             n_lower=n_lower,
             with_norm=with_norm,
+            analytic=analytic,
         )
         win_rows = tx_z + 2 * ext
+        # the b slab is a placeholder when B is computed from coordinates
+        b_slab_shape = (1, 1, _ZPAD) if analytic is not None else (tx_z, ny, tz)
         with jax.enable_x64(False):
             out_xpad, norm2, overlaps = pl.pallas_call(
                 kernel_zt,
@@ -716,6 +727,7 @@ def evolve_step_fused(
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                 ],
                 out_specs=[
@@ -730,7 +742,7 @@ def evolve_step_fused(
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((2, win_rows, ny, tz + 2 * _ZPAD), dtype),
-                    pltpu.VMEM((tx_z, ny, tz), dtype),
+                    pltpu.VMEM(b_slab_shape, dtype),
                     pltpu.VMEM((2, tx_z, ny, tz), dtype),
                     pltpu.VMEM((n_store * win_rows, ny, tz + 2 * _ZPAD), dtype),
                     pltpu.VMEM((ext, ny, tz), dtype),
@@ -741,7 +753,7 @@ def evolve_step_fused(
                     pltpu.SemaphoreType.DMA,
                 ],
                 interpret=interpret,
-            )(phi_xpad, b_int, store_flat, coef)
+            )(phi_xpad, b_int, store_flat, coef, x_origin)
         return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
     kernel = functools.partial(

@@ -232,7 +232,11 @@ def solve(
         }
         if (
             config.potential in _analytic_kinds
-            and pk._pick_tx(nx, ny, nz, ext, itemsize, n_lower, True) is not None
+            and (
+                pk._pick_tx(nx, ny, nz, ext, itemsize, n_lower, True) is not None
+                or pk._pick_tx_zt(nx, ny, nz, ext, itemsize, n_lower, True)
+                is not None
+            )
         ):
             g = config.grid
             analytic = (
