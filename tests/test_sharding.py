@@ -258,3 +258,42 @@ def test_sharded_per_step_norm_matches_single_device(mesh_shape):
         ops.put_store(None),
     )
     np.testing.assert_allclose(np.asarray(out), ref_int, rtol=1e-12, atol=1e-14)
+
+
+def test_sharded_pallas_analytic_cornell_with_shift():
+    """Analytic-B shards for SimpleCornell with the v_min gauge shift: the
+    in-kernel coordinate B must match the caller's shifted B arrays."""
+    cfg = base_config(
+        precision="f32",
+        potential="SimpleCornell",
+        mass=4.65,
+        sig=0.223,
+        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.35, "dt": 0.04},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(9)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    v_min = float(jnp.min(v))
+    a, b = pmod.build_ab(v, cfg.grid.dt, v_min)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int), ops_x.put_store(None)
+        )
+    )
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True, v_shift=v_min
+    )
+    assert ops_p.analytic is not None and ops_p.analytic[0] == "SimpleCornell"
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int), ops_p.put_store(None)
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

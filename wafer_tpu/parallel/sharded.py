@@ -105,14 +105,21 @@ class ShardedOps:
         from wafer_tpu.config import PotentialType
 
         analytic = None
+        _analytic_kinds = {
+            PotentialType.NO_POTENTIAL: "NoPotential",
+            PotentialType.HARMONIC: "Harmonic",
+            PotentialType.COULOMB: "Coulomb",
+            PotentialType.SIMPLE_CORNELL: "SimpleCornell",
+            PotentialType.PERIODIC: "Periodic",
+        }
         if (
             use_pallas
-            and config.potential in (PotentialType.HARMONIC, PotentialType.COULOMB)
+            and config.potential in _analytic_kinds
             and pk._pick_tx(bx, ny, nz, ext, itemsize, n_lower, True) is not None
         ):
             g = config.grid
             analytic = (
-                "Harmonic" if config.potential is PotentialType.HARMONIC else "Coulomb",
+                _analytic_kinds[config.potential],
                 g.dn,
                 g.dt,
                 config.mass,
