@@ -197,3 +197,25 @@ def test_stable_dt_bound():
     assert b7 < b5 < b3
     # mass scales the bound linearly
     assert abs(solver.stable_dt_bound("ThreePoint", dn, 2.0) - 2.0 * b3) < 1e-12
+
+
+def test_deep_well_f32_overflow_guard(tmp_run):
+    """Deep attractive wells (Dodecahedron: V = −100 inside) grow ψ by
+    e^{2·100·dt·screen_update} per chunk — overflowing f32 — unless the
+    drift guard engages per-step renormalisation. The |E − s| estimate must
+    catch the growth direction (the gauge shift is 0 here: only positive
+    offsets are removed). dt must stay below the semi-implicit pole
+    1 + dt·V/2 = 0 (dt < 2/|V|min = 0.02), a reference constraint too."""
+    cfg = base_config(
+        precision="f32",
+        potential="Dodecahedron",
+        tolerance=1e-4,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.01},
+        init_condition="Constant",
+        output={"screen_update": 200, "file_type": "Json"},
+        max_steps=200000,
+    )
+    _setup(cfg)
+    results = solver.run(cfg)
+    e0 = results[0].observables.energy / results[0].observables.norm2
+    assert results[0].converged and -101.0 < e0 < -10.0, e0

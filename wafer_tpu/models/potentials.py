@@ -405,11 +405,15 @@ def load_arrays(config: Config, log=None) -> Potentials:
         v = generate(config)
 
     # finite minimum of V (one fused on-device reduction instead of the
-    # reference's serial scan, src/potential.rs:156-161); doubles as the
-    # energy-gauge shift for the evolution factors (see build_ab)
+    # reference's serial scan, src/potential.rs:156-161); its positive part
+    # is the energy-gauge shift for the evolution factors (see build_ab).
+    # Only a positive offset is removed: for such potentials E₀ ≥ v_min > 0
+    # so the shift lands near the eigenvalue, while for deep wells
+    # (Coulomb's clamped −1/dn) E₀ sits near 0 and shifting to v_min would
+    # *inflate* the per-chunk scale drift instead of reducing it.
     v_real = jnp.real(v)
     v_min = float(jnp.min(jnp.where(jnp.isfinite(v_real), v_real, jnp.inf)))
-    v_shift = v_min if math.isfinite(v_min) else 0.0
+    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
 
     a, b = build_ab(v, config.grid.dt, v_shift)
 

@@ -147,7 +147,7 @@ def _solve_state(
             _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
             _drift = (
                 2.0
-                * max(float(jnp.asarray(norm_energy).real) - pots.v_shift, 0.0)
+                * abs(float(jnp.asarray(norm_energy).real) - pots.v_shift)
                 * config.grid.dt
                 * config.output.screen_update
             )

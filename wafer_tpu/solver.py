@@ -321,11 +321,12 @@ def solve(
         # Engage only in the stable-dt regime: renormalisation is a pure
         # rescaling there, but past the stencil's stability bound it would
         # mask a genuinely divergent evolution instead of letting the
-        # NonFinite guard fire.
+        # NonFinite guard fire. |E − s|: E > s drifts toward underflow,
+        # E < s (deep wells, e.g. Dodecahedron's −100) toward overflow.
         if step == 0 and n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
             _drift = (
                 2.0
-                * max(float(jnp.asarray(norm_energy).real) - pots.v_shift, 0.0)
+                * abs(float(jnp.asarray(norm_energy).real) - pots.v_shift)
                 * dt
                 * config.output.screen_update
             )
@@ -512,7 +513,8 @@ def _solve_split(
     # split potential + factors (complex arrays never touch the device)
     vr, vi = pmod.generate_split(config)
     v_min = float(jnp.min(jnp.where(jnp.isfinite(vr), vr, jnp.inf)))
-    v_shift = v_min if math.isfinite(v_min) else 0.0
+    # positive part only — see models/potentials.load_arrays
+    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
     ar, ai, br, bi = pmod.build_ab_split(vr, vi, dt, v_shift)
 
     # initial condition: real generator, zero imaginary part (w_store items
@@ -567,7 +569,7 @@ def _solve_split(
         if step == 0 and n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
             _drift = (
                 2.0
-                * max(norm_energy.real - v_shift, 0.0)
+                * abs(norm_energy.real - v_shift)
                 * dt
                 * config.output.screen_update
             )
