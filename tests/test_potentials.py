@@ -207,3 +207,31 @@ def test_generate_block_offset_matches_full():
 def test_generate_errors_for_file_types():
     with pytest.raises(errors.PotentialNotAvailableError):
         pmod.generate(base_config(potential="FromFile"))
+
+
+def test_semi_implicit_pole_warning(caplog):
+    """B = 1/(1+dt·V/2) diverges where V ≤ −2/dt: load_arrays must warn so
+    the ensuing NonFinite abort is attributable (the reference computes the
+    same inf silently, src/potential.rs:101-110)."""
+    import logging
+
+    from tests.conftest import base_config
+
+    cfg = base_config(
+        potential="Dodecahedron",  # V = −100 inside the solid
+        grid={"size": {"x": 12, "y": 12, "z": 12}, "dn": 0.3, "dt": 0.025},
+    )
+    log = logging.getLogger("pole-test")
+    with caplog.at_level(logging.WARNING, logger="pole-test"):
+        pmod.load_arrays(cfg, log)
+    assert any("semi-implicit pole" in r.message for r in caplog.records)
+
+    # pole-free dt: no warning
+    caplog.clear()
+    cfg2 = base_config(
+        potential="Dodecahedron",
+        grid={"size": {"x": 12, "y": 12, "z": 12}, "dn": 0.3, "dt": 0.01},
+    )
+    with caplog.at_level(logging.WARNING, logger="pole-test"):
+        pmod.load_arrays(cfg2, log)
+    assert not any("semi-implicit pole" in r.message for r in caplog.records)

@@ -415,6 +415,21 @@ def load_arrays(config: Config, log=None) -> Potentials:
     v_min = float(jnp.min(jnp.where(jnp.isfinite(v_real), v_real, jnp.inf)))
     v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
 
+    # Semi-implicit pole guard: B = 1/(1 + dt·V/2) blows up where
+    # 1 + dt·(V − v_shift)/2 ≤ 0 — an attractive well deeper than −2/dt.
+    # The reference computes the same inf silently (src/potential.rs:101-110);
+    # warn so the inevitable NonFinite abort is attributable.
+    if math.isfinite(v_min) and 1.0 + config.grid.dt * (v_min - v_shift) / 2.0 <= 0.0:
+        log.warning(
+            "Potential minimum %.6g reaches the semi-implicit pole for "
+            "dt = %g (B = 1/(1+dt·V/2) diverges where V ≤ −2/dt = %.6g); "
+            "reduce dt below %.6g or the run will abort non-finite.",
+            v_min,
+            config.grid.dt,
+            -2.0 / config.grid.dt,
+            2.0 / abs(v_min - v_shift) if v_min != v_shift else float("inf"),
+        )
+
     a, b = build_ab(v, config.grid.dt, v_shift)
 
     # potential_sub: prefer a file, with type-consistency checks
