@@ -1,0 +1,103 @@
+"""Fused split-complex Pallas sweep vs the XLA split path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import base_config
+from wafer_tpu import geometry
+from wafer_tpu.models import potentials as pmod
+from wafer_tpu.ops import pallas_split as ps, split_complex as sc
+
+
+def _setup(n_lower=0):
+    cfg = base_config(
+        precision="f32",
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+    )
+    ext = 1
+    rng = np.random.default_rng(41)
+    pr = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    pi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    vr, vi = pmod.generate_split(cfg)
+    vr, vi = vr.astype(jnp.float32), vi.astype(jnp.float32)
+    ar, ai, br, bi = pmod.build_ab_split(vr, vi, cfg.grid.dt)
+    return cfg, ext, pr, pi, ar, ai, br, bi
+
+
+def _stack_b(br, bi, ext):
+    return jnp.concatenate(
+        [geometry.work_area(br, ext), geometry.work_area(bi, ext)], axis=0
+    )
+
+
+def test_split_fused_chunk_ground():
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
+    order = "ThreePoint"
+    dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
+    rr, ri = sc.evolve_chunk_sc(
+        pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, 4, 0
+    )
+    out2 = ps.evolve_chunk_fused_sc(
+        ps.to_xpad_sc(pr, pi, ext), _stack_b(br, bi, ext), None,
+        order, dt, dn, mass, 4, 0, interpret=True,
+    )
+    or_, oi_ = ps.from_xpad_sc(out2, ext)
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)
+
+
+def test_split_fused_chunk_per_step_norm():
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
+    order = "ThreePoint"
+    dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
+    rr, ri = sc.evolve_chunk_sc(
+        pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, 4, 0,
+        per_step_norm=True,
+    )
+    out2 = ps.evolve_chunk_fused_sc(
+        ps.to_xpad_sc(pr, pi, ext), _stack_b(br, bi, ext), None,
+        order, dt, dn, mass, 4, 0, interpret=True, per_step_norm=True,
+    )
+    or_, oi_ = ps.from_xpad_sc(out2, ext)
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=5e-5, atol=5e-6)
+
+
+def test_split_fused_chunk_excited():
+    """Complex Gram-Schmidt through the carried [inv, cr, ci] coefficients."""
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(n_lower=1)
+    order = "ThreePoint"
+    dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
+    rng = np.random.default_rng(43)
+    lr = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    li = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    n = jnp.sqrt(jnp.sum(lr * lr + li * li)).astype(jnp.float32)
+    lr, li = lr / n, li / n
+
+    rr, ri = sc.evolve_chunk_sc(
+        pr, pi, ar, ai, br, bi,
+        jnp.stack([lr]), jnp.stack([li]),
+        order, dt, dn, mass, 3, 1,
+    )
+    store2 = jnp.stack([ps.to_xpad_sc(lr, li, ext)])
+    out2 = ps.evolve_chunk_fused_sc(
+        ps.to_xpad_sc(pr, pi, ext), _stack_b(br, bi, ext), store2,
+        order, dt, dn, mass, 3, 1, interpret=True,
+    )
+    or_, oi_ = ps.from_xpad_sc(out2, ext)
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=5e-4, atol=1e-5)
+    # orthogonality: ⟨l|ψ⟩ ≈ 0 (complex)
+    o_re = float(jnp.sum(lr * or_ + li * oi_))
+    o_im = float(jnp.sum(lr * oi_ - li * or_))
+    assert abs(o_re) < 1e-4 and abs(o_im) < 1e-4

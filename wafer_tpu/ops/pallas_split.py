@@ -1,0 +1,470 @@
+"""Fused split-complex Pallas sweep.
+
+Complex-ψ propagation carried as (re, im) f32 pairs — the fast path for
+backends without complex dtypes (and for f32 complex runs generally). The
+reference cannot run complex propagation at all (its complex potentials are
+real stubs, src/potential.rs:222,271); the XLA split path
+(ops/split_complex.py) is the semantics oracle this kernel is tested
+against.
+
+Layout mirrors ops/pallas_stencil.py's real kernel with re/im stacked along
+the leading (x) axis: ψ is (2·(NX+2e), NY, NZ) with re rows first, B is
+(2·NX, NY, NZ) as (Br, Bi), stored states are (S·2·(NX+2e), NY, NZ). The
+A-array elimination survives complex algebra: A = (1−z)/(1+z) = 2B−1 with
+z = dt·V/2, so
+
+  ψ' = (2B−1)ψ + B·s·∇²̃ψ, expanded over real pairs:
+  re' = 2(Br·re − Bi·im) − re + s(Br·Tr − Bi·Ti)
+  im' = 2(Br·im + Bi·re) − im + s(Br·Ti + Bi·Tr)
+
+with Tr/Ti the stencil taps of re/im. Per-step reductions are the complex
+norm Σ(re'² + im'²) and complex overlaps ⟨l|ψ'⟩ = Σ(lr·re' + li·im') +
+i·Σ(lr·im' − li·re'), fed back as a carried affine correction
+[inv, cr₀, ci₀, …]: ψ̃ = inv·ψ − Σ (cr+i·ci)·lowerₛ (normalise-then-project,
+src/grid.rs:674-681).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wafer_tpu import geometry
+from wafer_tpu.ops.pallas_stencil import (
+    _EXT,
+    _shift_y,
+    _shift_z,
+    to_xpad,
+)
+
+
+# Tighter than the real kernel's 11 MB: Mosaic's scoped-vmem accounting for
+# this kernel runs ~35% above the raw scratch sum (measured on v5e: a 12.7 MB
+# naive sum compiled to a 17.1 MB scoped allocation), so size against 8 MB.
+_SC_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_tx_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
+    """Largest slab height fitting VMEM for the split kernel (everything is
+    doubled vs the real kernel), or None → caller falls back to XLA."""
+    plane = ny * nz * itemsize
+    for tx in (32, 16, 8, 4, 2, 1):
+        if nx % tx:
+            continue
+        need = (
+            2 * 2 * (tx + 2 * ext) * plane  # double-buffered re+im windows
+            + 2 * 2 * tx * plane            # double-buffered re+im results
+            + 2 * tx * plane                # Br+Bi chunk
+            + n_lower * 2 * (tx + 2 * ext) * plane
+        )
+        if need <= _SC_VMEM_BUDGET:
+            return tx
+    return None
+
+
+def step_fused_sc_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                            n_lower: int) -> bool:
+    return _pick_tx_sc(nx, ny, nz, ext, itemsize, n_lower) is not None
+
+
+def _evolve_kernel_sc(
+    # inputs
+    psi_hbm,  # (2·NXP, NY, NZ) ANY — re rows [0, NXP), im rows [NXP, 2·NXP)
+    b_hbm,  # (2·NX, NY, NZ) ANY — (Br, Bi) stacked
+    store_hbm,  # (S·2·NXP, NY, NZ) ANY
+    coef_smem,  # (1+2S, 1) SMEM: [inv, cr_0, ci_0, ...]
+    # outputs
+    out_hbm,  # (2·NXP, NY, NZ) ANY
+    norm_out,  # (1, 1) SMEM
+    over_out,  # (2S, 1) SMEM — [re_0, im_0, re_1, ...]
+    # scratch
+    slab,  # (2, 2·(TX+2e), NY, NZ) VMEM — re window rows first
+    b_slab,  # (2·TX, NY, NZ) VMEM
+    result,  # (2, 2·TX, NY, NZ) VMEM
+    lower_slab,  # (S·2·(TX+2e), NY, NZ) VMEM
+    zeros_halo,  # (ext, NY, NZ) VMEM
+    sem_in,  # DMA (2,)
+    sem_b,
+    sem_lower,  # DMA (S,)
+    sem_out,  # DMA (2,)
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    n_lower: int,
+    with_norm: bool,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    win = tx + 2 * ext
+    nxp = psi_hbm.shape[0] // 2
+    nx = nxp - 2 * ext
+
+    def in_copies(window, to_slot):
+        return [
+            pltpu.make_async_copy(
+                psi_hbm.at[pl.ds(window * tx, win)],
+                slab.at[to_slot, pl.ds(0, win)],
+                sem_in.at[to_slot],
+            ),
+            pltpu.make_async_copy(
+                psi_hbm.at[pl.ds(jnp.int32(nxp) + window * tx, win)],
+                slab.at[to_slot, pl.ds(win, win)],
+                sem_in.at[to_slot],
+            ),
+        ]
+
+    @pl.when(i == 0)
+    def _first_window():
+        for c_ in in_copies(jnp.int32(0), jnp.int32(0)):
+            c_.start()
+
+    @pl.when(i + 1 < nprog)
+    def _prefetch():
+        for c_ in in_copies(i + 1, next_slot):
+            c_.start()
+
+    b_copies = [
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(i * tx, tx)], b_slab.at[pl.ds(0, tx)], sem_b
+        ),
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(jnp.int32(nx) + i * tx, tx)],
+            b_slab.at[pl.ds(tx, tx)],
+            sem_b,
+        ),
+    ]
+    for bc in b_copies:
+        bc.start()
+
+    lower_copies = []
+    for s_idx in range(2 * n_lower):  # re/im blocks of each stored state
+        lc = pltpu.make_async_copy(
+            store_hbm.at[pl.ds(jnp.int32(s_idx * nxp) + i * tx, win)],
+            lower_slab.at[pl.ds(jnp.int32(s_idx * win), win)],
+            sem_lower.at[jnp.int32(s_idx // 2)],
+        )
+        lc.start()
+        lower_copies.append(lc)
+
+    # Dirichlet halo rows of the output: re lo/hi and im lo/hi
+    @pl.when(i == 0)
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        for row0 in (0, nxp):
+            hc = pltpu.make_async_copy(
+                zeros_halo, out_hbm.at[pl.ds(row0, ext)], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+    @pl.when(i == nprog - 1)
+    def _zero_hi():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        for row0 in (nxp - ext, 2 * nxp - ext):
+            hc = pltpu.make_async_copy(
+                zeros_halo, out_hbm.at[pl.ds(row0, ext)], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+    def out_copies(x_idx, from_slot):
+        return [
+            pltpu.make_async_copy(
+                result.at[from_slot, pl.ds(0, tx)],
+                out_hbm.at[pl.ds(x_idx * tx + ext, tx)],
+                sem_out.at[from_slot],
+            ),
+            pltpu.make_async_copy(
+                result.at[from_slot, pl.ds(tx, tx)],
+                out_hbm.at[pl.ds(jnp.int32(nxp) + x_idx * tx + ext, tx)],
+                sem_out.at[from_slot],
+            ),
+        ]
+
+    @pl.when(i >= 2)
+    def _drain_prev_out():
+        for oc in out_copies(i - 2, slot):
+            oc.wait()
+
+    for c_ in in_copies(i, slot):
+        c_.wait()
+
+    if n_lower > 0 or with_norm:
+        for lc in lower_copies:
+            lc.wait()
+        inv = coef_smem[0, 0]
+        win_r = slab[slot, 0:win] * inv
+        win_i = slab[slot, win : 2 * win] * inv
+        for s_idx in range(n_lower):
+            cr = coef_smem[1 + 2 * s_idx, 0]
+            ci = coef_smem[2 + 2 * s_idx, 0]
+            lr = lower_slab[(2 * s_idx) * win : (2 * s_idx + 1) * win]
+            li = lower_slab[(2 * s_idx + 1) * win : (2 * s_idx + 2) * win]
+            win_r = win_r - (cr * lr - ci * li)
+            win_i = win_i - (cr * li + ci * lr)
+
+        def read_r(r0, rows):
+            return win_r[r0 : r0 + rows]
+
+        def read_i(r0, rows):
+            return win_i[r0 : r0 + rows]
+    else:
+        def read_r(r0, rows):
+            return slab[slot, r0 : r0 + rows]
+
+        def read_i(r0, rows):
+            return slab[slot, win + r0 : win + r0 + rows]
+
+    cr_ = read_r(ext, tx)
+    ci_ = read_i(ext, tx)
+    acc_r = -center_c * cr_
+    acc_i = -center_c * ci_
+    for off, cf in zip(offsets, coeffs):
+        acc_r = acc_r + cf * (read_r(ext + off, tx) + read_r(ext - off, tx))
+        acc_r = acc_r + cf * (_shift_y(cr_, off) + _shift_y(cr_, -off))
+        acc_r = acc_r + cf * (_shift_z(cr_, off) + _shift_z(cr_, -off))
+        acc_i = acc_i + cf * (read_i(ext + off, tx) + read_i(ext - off, tx))
+        acc_i = acc_i + cf * (_shift_y(ci_, off) + _shift_y(ci_, -off))
+        acc_i = acc_i + cf * (_shift_z(ci_, off) + _shift_z(ci_, -off))
+
+    for bc in b_copies:
+        bc.wait()
+    br = b_slab[0:tx]
+    bi = b_slab[tx : 2 * tx]
+    new_r = 2.0 * (br * cr_ - bi * ci_) - cr_ + scale * (br * acc_r - bi * acc_i)
+    new_i = 2.0 * (br * ci_ + bi * cr_) - ci_ + scale * (br * acc_i + bi * acc_r)
+    result[slot, 0:tx] = new_r
+    result[slot, tx : 2 * tx] = new_i
+
+    for oc in out_copies(i, slot):
+        oc.start()
+
+    if with_norm or n_lower > 0:
+        @pl.when(i == 0)
+        def _init():
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+            for s in range(2 * n_lower):
+                over_out[s, 0] = jnp.zeros((), over_out.dtype)
+
+        norm_out[0, 0] += jnp.sum(new_r * new_r) + jnp.sum(new_i * new_i)
+    for s_idx in range(n_lower):
+        lr = lower_slab[
+            (2 * s_idx) * win + ext : (2 * s_idx) * win + ext + tx
+        ]
+        li = lower_slab[
+            (2 * s_idx + 1) * win + ext : (2 * s_idx + 1) * win + ext + tx
+        ]
+        over_out[2 * s_idx, 0] += jnp.sum(lr * new_r) + jnp.sum(li * new_i)
+        over_out[2 * s_idx + 1, 0] += jnp.sum(lr * new_i) - jnp.sum(li * new_r)
+
+    @pl.when(i == nprog - 1)
+    def _drain_tail():
+        for oc in out_copies(i, slot):
+            oc.wait()
+
+    if nprog > 1:
+
+        @pl.when(i == nprog - 1)
+        def _drain_other():
+            for oc in out_copies(i - 1, next_slot):
+                oc.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "scale", "n_lower", "with_norm", "interpret"),
+)
+def evolve_step_fused_sc(
+    psi2: jnp.ndarray,
+    b2: jnp.ndarray,
+    store2: Optional[jnp.ndarray],
+    order: str,
+    scale: float,
+    n_lower: int = 0,
+    with_norm: bool = True,
+    interpret: bool = False,
+    coef: Optional[jnp.ndarray] = None,
+):
+    """One fused split-complex sweep.
+
+    Args:
+      psi2: (2·NXP, NY, NZ) stacked x-padded (re, im), halo rows zero.
+      b2: (2·NX, NY, NZ) stacked interior (Br, Bi).
+      store2: (S, 2·NXP, NY, NZ) stacked stored states, or None.
+      coef: (1+2S, 1) [inv, cr_0, ci_0, ...] affine correction.
+
+    Returns:
+      (ψ'2, norm2, overlaps[2S]) — reductions on the raw output.
+    """
+    ext = _EXT[order]
+    nxp = psi2.shape[0] // 2
+    ny, nz = psi2.shape[1], psi2.shape[2]
+    nx = nxp - 2 * ext
+    dtype = psi2.dtype
+    tx = _pick_tx_sc(nx, ny, nz, ext, dtype.itemsize, n_lower)
+    if tx is None:
+        raise ValueError(
+            f"fused split sweep does not fit VMEM for plane {ny}x{nz}; "
+            "use the XLA split path"
+        )
+    if store2 is None or n_lower == 0:
+        store2 = jnp.zeros((1, 2 * nxp, ny, nz), dtype=dtype)
+    n_store = store2.shape[0]
+    store_flat = store2.reshape(n_store * 2 * nxp, ny, nz)
+    if coef is None:
+        coef = jnp.concatenate(
+            [jnp.ones((1, 1), dtype), jnp.zeros((2 * n_store, 1), dtype)]
+        )
+
+    kernel = functools.partial(
+        _evolve_kernel_sc,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        n_lower=n_lower,
+        with_norm=with_norm,
+    )
+    win = tx + 2 * ext
+    with jax.enable_x64(False):
+        out2, norm2, overlaps = pl.pallas_call(
+            kernel,
+            grid=(nx // tx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2 * nxp, ny, nz), dtype),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+                jax.ShapeDtypeStruct((2 * n_store, 1), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 2 * win, ny, nz), dtype),
+                pltpu.VMEM((2 * tx, ny, nz), dtype),
+                pltpu.VMEM((2, 2 * tx, ny, nz), dtype),
+                # minimal when unused: the dummy store must not eat VMEM
+                pltpu.VMEM(
+                    (n_store * 2 * win, ny, nz) if n_lower > 0 else (1, 1, 128),
+                    dtype,
+                ),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((max(n_store, 1),)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(psi2, b2, store_flat, coef)
+    return out2, norm2[0, 0], overlaps[: 2 * (n_lower or 1), 0]
+
+
+def to_xpad_sc(pr: jnp.ndarray, pi: jnp.ndarray, ext: int) -> jnp.ndarray:
+    """Stack fully-padded (re, im) into the kernel's (2·NXP, NY, NZ) layout."""
+    return jnp.concatenate([to_xpad(pr, ext), to_xpad(pi, ext)], axis=0)
+
+
+def from_xpad_sc(psi2: jnp.ndarray, ext: int):
+    """Back to fully-padded (re, im) arrays."""
+    from wafer_tpu.ops.pallas_stencil import from_xpad
+
+    nxp = psi2.shape[0] // 2
+    return from_xpad(psi2[:nxp], ext), from_xpad(psi2[nxp:], ext)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "dt", "dn", "mass", "n_steps", "n_lower", "interpret",
+        "per_step_norm",
+    ),
+)
+def evolve_chunk_fused_sc(
+    psi2: jnp.ndarray,
+    b2: jnp.ndarray,
+    store2: Optional[jnp.ndarray],
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    n_lower: int,
+    interpret: bool = False,
+    per_step_norm: bool = False,
+):
+    """``n_steps`` fused split-complex sweeps with the same carried-coef
+    cadence as ops/pallas_stencil.evolve_chunk_fused (oracle:
+    ops/split_complex.evolve_chunk_sc)."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    dtype = psi2.dtype
+
+    if n_lower == 0 and not per_step_norm:
+        def body(_i, p):
+            p, _n2, _ov = evolve_step_fused_sc(
+                p, b2, None, order, scale, 0, False, interpret
+            )
+            return p
+
+        return jax.lax.fori_loop(0, n_steps, body, psi2)
+
+    if n_lower == 0:
+        def body_norm(_i, carry):
+            p, coef = carry
+            p, norm2, _ov = evolve_step_fused_sc(
+                p, b2, None, order, scale, 0, True, interpret, coef
+            )
+            inv = (1.0 / jnp.sqrt(norm2)).astype(dtype)
+            return p, inv.reshape(1, 1)
+
+        coef0 = jnp.ones((1, 1), dtype)
+        p, coef = jax.lax.fori_loop(0, n_steps, body_norm, (psi2, coef0))
+        return p * coef[0, 0]
+
+    coef0 = jnp.concatenate(
+        [jnp.ones((1, 1), dtype), jnp.zeros((2 * n_lower, 1), dtype)]
+    )
+
+    def body(_i, carry):
+        p, coef = carry
+        p, norm2, overlaps = evolve_step_fused_sc(
+            p, b2, store2, order, scale, n_lower, True, interpret, coef
+        )
+        inv = (1.0 / jnp.sqrt(norm2)).astype(dtype)
+        coef = jnp.concatenate(
+            [inv.reshape(1, 1), (overlaps * inv).reshape(2 * n_lower, 1)]
+        )
+        return p, coef
+
+    p, coef = jax.lax.fori_loop(0, n_steps, body, (psi2, coef0))
+    # materialise the pending correction: ψ·inv − Σ (cr+i·ci)·lowerₛ
+    nxp = psi2.shape[0] // 2
+    out_r = p[:nxp] * coef[0, 0]
+    out_i = p[nxp:] * coef[0, 0]
+    for s in range(n_lower):
+        cr = coef[1 + 2 * s, 0]
+        ci = coef[2 + 2 * s, 0]
+        lr = store2[s, :nxp]
+        li = store2[s, nxp:]
+        out_r = out_r - (cr * lr - ci * li)
+        out_i = out_i - (cr * li + ci * lr)
+    return jnp.concatenate([out_r, out_i], axis=0)

@@ -541,6 +541,36 @@ def _solve_split(
     store_r = jnp.stack([w[0] for w in w_store[:n_lower]]) if n_lower else None
     store_i = jnp.stack([w[1] for w in w_store[:n_lower]]) if n_lower else None
 
+    # fused split-complex Pallas sweep when the platform and shapes allow
+    # (same gating as the real path: f32 on an accelerator, tile-aligned
+    # planes, VMEM fit); otherwise the XLA split path
+    split_backend = "xla"
+    if config.backend in ("auto", "pallas") and config.real_dtype == jnp.float32:
+        nx_, ny_, nz_ = config.work_size()
+        if (
+            jax.default_backend() not in ("cpu",)
+            and ny_ % 8 == 0
+            and nz_ % 128 == 0
+        ):
+            from wafer_tpu.ops import pallas_split as ps
+
+            if ps.step_fused_sc_supported(nx_, ny_, nz_, ext, 4, n_lower):
+                split_backend = "pallas"
+    log.info("Split-complex sweep backend for state %d: %s", wnum, split_backend)
+    if split_backend == "pallas":
+        from wafer_tpu.ops import pallas_split as ps
+
+        b2 = jnp.concatenate(
+            [geometry.work_area(br, ext), geometry.work_area(bi, ext)], axis=0
+        )
+        store2 = (
+            jnp.stack(
+                [ps.to_xpad_sc(w[0], w[1], ext) for w in w_store[:n_lower]]
+            )
+            if n_lower
+            else None
+        )
+
     terminal.print_observable_header(wnum)
     step = 0
     converged = False
@@ -607,11 +637,23 @@ def _solve_split(
         if config.max_steps is not None and step > config.max_steps:
             break
 
-        pr, pi = sc.evolve_chunk_sc(
-            pr, pi, ar, ai, br, bi, store_r, store_i,
-            order, dt, dn, mass, config.output.screen_update, n_lower,
-            per_step_norm=per_step_norm,
-        )
+        if split_backend == "pallas":
+            pr, pi = ps.from_xpad_sc(
+                ps.evolve_chunk_fused_sc(
+                    ps.to_xpad_sc(pr, pi, ext),
+                    b2,
+                    store2,
+                    order, dt, dn, mass, config.output.screen_update, n_lower,
+                    per_step_norm=per_step_norm,
+                ),
+                ext,
+            )
+        else:
+            pr, pi = sc.evolve_chunk_sc(
+                pr, pi, ar, ai, br, bi, store_r, store_i,
+                order, dt, dn, mass, config.output.screen_update, n_lower,
+                per_step_norm=per_step_norm,
+            )
         diff_old = float(diff)
         step += config.output.screen_update
 
