@@ -101,3 +101,27 @@ def test_split_fused_chunk_excited():
     o_re = float(jnp.sum(lr * or_ + li * oi_))
     o_im = float(jnp.sum(lr * oi_ - li * or_))
     assert abs(o_re) < 1e-4 and abs(o_im) < 1e-4
+
+
+def test_split_fused_analytic_b():
+    """In-kernel complex coordinate-B == streamed (Br, Bi) arrays, ground
+    and excited paths."""
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
+    order = "ThreePoint"
+    dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
+    g = cfg.grid
+    analytic = (
+        "Harmonic", g.dn, g.dt, cfg.mass,
+        g.size.x, g.size.y, g.size.z, cfg.sig, 0.0, cfg.absorb,
+    )
+    ref2 = ps.evolve_chunk_fused_sc(
+        ps.to_xpad_sc(pr, pi, ext), _stack_b(br, bi, ext), None,
+        order, dt, dn, mass, 3, 0, interpret=True,
+    )
+    out2 = ps.evolve_chunk_fused_sc(
+        ps.to_xpad_sc(pr, pi, ext), None, None,
+        order, dt, dn, mass, 3, 0, interpret=True, analytic=analytic,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref2), rtol=2e-5, atol=2e-6
+    )

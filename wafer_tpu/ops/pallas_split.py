@@ -37,10 +37,26 @@ from jax.experimental.pallas import tpu as pltpu
 from wafer_tpu import geometry
 from wafer_tpu.ops.pallas_stencil import (
     _EXT,
+    _analytic_v,
     _shift_y,
     _shift_z,
     to_xpad,
 )
+
+
+def _analytic_b_sc(analytic, shp, x0, y0, z0):
+    """Complex B = 1/(1 + dt·V/2) with V = vr + i·absorb·vr from
+    coordinates, returned as (Br, Bi). ``analytic`` extends the real tuple
+    with [8] = vshift (real-part gauge) and [9] = absorb (imaginary scale,
+    models/potentials.generate_split)."""
+    dt_ = analytic[2]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    absorb = float(analytic[9]) if len(analytic) > 9 else 0.0
+    v_raw = _analytic_v(analytic, shp, x0, y0, z0)
+    dr = 1.0 + (0.5 * dt_) * (v_raw - vshift)
+    di = (0.5 * dt_) * (absorb * v_raw)
+    mag = dr * dr + di * di
+    return dr / mag, -di / mag
 
 
 # Tighter than the real kernel's 11 MB: Mosaic's scoped-vmem accounting for
@@ -49,7 +65,8 @@ from wafer_tpu.ops.pallas_stencil import (
 _SC_VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _pick_tx_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int):
+def _pick_tx_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int,
+                analytic_b: bool = False):
     """Largest slab height fitting VMEM for the split kernel (everything is
     doubled vs the real kernel), or None → caller falls back to XLA."""
     plane = ny * nz * itemsize
@@ -59,7 +76,7 @@ def _pick_tx_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int
         need = (
             2 * 2 * (tx + 2 * ext) * plane  # double-buffered re+im windows
             + 2 * 2 * tx * plane            # double-buffered re+im results
-            + 2 * tx * plane                # Br+Bi chunk
+            + (0 if analytic_b else 2 * tx * plane)  # Br+Bi chunk
             + n_lower * 2 * (tx + 2 * ext) * plane
         )
         if need <= _SC_VMEM_BUDGET:
@@ -100,6 +117,7 @@ def _evolve_kernel_sc(
     ext: int,
     n_lower: int,
     with_norm: bool,
+    analytic=None,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -134,18 +152,19 @@ def _evolve_kernel_sc(
         for c_ in in_copies(i + 1, next_slot):
             c_.start()
 
-    b_copies = [
-        pltpu.make_async_copy(
-            b_hbm.at[pl.ds(i * tx, tx)], b_slab.at[pl.ds(0, tx)], sem_b
-        ),
-        pltpu.make_async_copy(
-            b_hbm.at[pl.ds(jnp.int32(nx) + i * tx, tx)],
-            b_slab.at[pl.ds(tx, tx)],
-            sem_b,
-        ),
-    ]
-    for bc in b_copies:
-        bc.start()
+    if analytic is None:
+        b_copies = [
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(i * tx, tx)], b_slab.at[pl.ds(0, tx)], sem_b
+            ),
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(jnp.int32(nx) + i * tx, tx)],
+                b_slab.at[pl.ds(tx, tx)],
+                sem_b,
+            ),
+        ]
+        for bc in b_copies:
+            bc.start()
 
     lower_copies = []
     for s_idx in range(2 * n_lower):  # re/im blocks of each stored state
@@ -238,10 +257,16 @@ def _evolve_kernel_sc(
         acc_i = acc_i + cf * (_shift_y(ci_, off) + _shift_y(ci_, -off))
         acc_i = acc_i + cf * (_shift_z(ci_, off) + _shift_z(ci_, -off))
 
-    for bc in b_copies:
-        bc.wait()
-    br = b_slab[0:tx]
-    bi = b_slab[tx : 2 * tx]
+    if analytic is None:
+        for bc in b_copies:
+            bc.wait()
+        br = b_slab[0:tx]
+        bi = b_slab[tx : 2 * tx]
+    else:
+        x0 = (i * tx + jnp.int32(ext)).astype(jnp.float32)
+        br, bi = _analytic_b_sc(
+            analytic, (tx, psi_hbm.shape[1], psi_hbm.shape[2]), x0, ext, ext
+        )
     new_r = 2.0 * (br * cr_ - bi * ci_) - cr_ + scale * (br * acc_r - bi * acc_i)
     new_i = 2.0 * (br * ci_ + bi * cr_) - ci_ + scale * (br * acc_i + bi * acc_r)
     result[slot, 0:tx] = new_r
@@ -283,11 +308,13 @@ def _evolve_kernel_sc(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("order", "scale", "n_lower", "with_norm", "interpret"),
+    static_argnames=(
+        "order", "scale", "n_lower", "with_norm", "interpret", "analytic"
+    ),
 )
 def evolve_step_fused_sc(
     psi2: jnp.ndarray,
-    b2: jnp.ndarray,
+    b2: Optional[jnp.ndarray],
     store2: Optional[jnp.ndarray],
     order: str,
     scale: float,
@@ -295,6 +322,7 @@ def evolve_step_fused_sc(
     with_norm: bool = True,
     interpret: bool = False,
     coef: Optional[jnp.ndarray] = None,
+    analytic=None,
 ):
     """One fused split-complex sweep.
 
@@ -312,7 +340,10 @@ def evolve_step_fused_sc(
     ny, nz = psi2.shape[1], psi2.shape[2]
     nx = nxp - 2 * ext
     dtype = psi2.dtype
-    tx = _pick_tx_sc(nx, ny, nz, ext, dtype.itemsize, n_lower)
+    if b2 is None:
+        assert analytic is not None
+        b2 = jnp.zeros((2, 1, 1), dtype=dtype)
+    tx = _pick_tx_sc(nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None)
     if tx is None:
         raise ValueError(
             f"fused split sweep does not fit VMEM for plane {ny}x{nz}; "
@@ -335,6 +366,7 @@ def evolve_step_fused_sc(
         ext=ext,
         n_lower=n_lower,
         with_norm=with_norm,
+        analytic=analytic,
     )
     win = tx + 2 * ext
     with jax.enable_x64(False):
@@ -359,7 +391,10 @@ def evolve_step_fused_sc(
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, 2 * win, ny, nz), dtype),
-                pltpu.VMEM((2 * tx, ny, nz), dtype),
+                pltpu.VMEM(
+                    (1, 1, 128) if analytic is not None else (2 * tx, ny, nz),
+                    dtype,
+                ),
                 pltpu.VMEM((2, 2 * tx, ny, nz), dtype),
                 # minimal when unused: the dummy store must not eat VMEM
                 pltpu.VMEM(
@@ -395,12 +430,12 @@ def from_xpad_sc(psi2: jnp.ndarray, ext: int):
     jax.jit,
     static_argnames=(
         "order", "dt", "dn", "mass", "n_steps", "n_lower", "interpret",
-        "per_step_norm",
+        "per_step_norm", "analytic",
     ),
 )
 def evolve_chunk_fused_sc(
     psi2: jnp.ndarray,
-    b2: jnp.ndarray,
+    b2: Optional[jnp.ndarray],
     store2: Optional[jnp.ndarray],
     order: str,
     dt: float,
@@ -410,6 +445,7 @@ def evolve_chunk_fused_sc(
     n_lower: int,
     interpret: bool = False,
     per_step_norm: bool = False,
+    analytic=None,
 ):
     """``n_steps`` fused split-complex sweeps with the same carried-coef
     cadence as ops/pallas_stencil.evolve_chunk_fused (oracle:
@@ -421,7 +457,8 @@ def evolve_chunk_fused_sc(
     if n_lower == 0 and not per_step_norm:
         def body(_i, p):
             p, _n2, _ov = evolve_step_fused_sc(
-                p, b2, None, order, scale, 0, False, interpret
+                p, b2, None, order, scale, 0, False, interpret,
+                analytic=analytic,
             )
             return p
 
@@ -431,7 +468,8 @@ def evolve_chunk_fused_sc(
         def body_norm(_i, carry):
             p, coef = carry
             p, norm2, _ov = evolve_step_fused_sc(
-                p, b2, None, order, scale, 0, True, interpret, coef
+                p, b2, None, order, scale, 0, True, interpret, coef,
+                analytic,
             )
             inv = (1.0 / jnp.sqrt(norm2)).astype(dtype)
             return p, inv.reshape(1, 1)
@@ -447,7 +485,8 @@ def evolve_chunk_fused_sc(
     def body(_i, carry):
         p, coef = carry
         p, norm2, overlaps = evolve_step_fused_sc(
-            p, b2, store2, order, scale, n_lower, True, interpret, coef
+            p, b2, store2, order, scale, n_lower, True, interpret, coef,
+            analytic,
         )
         inv = (1.0 / jnp.sqrt(norm2)).astype(dtype)
         coef = jnp.concatenate(

@@ -48,7 +48,12 @@ from wafer_tpu import geometry
 _EXT = {"ThreePoint": 1, "FivePoint": 2, "SevenPoint": 3}
 
 
-def _analytic_b(analytic, shp, x0, y0, z0):
+def _analytic_v(analytic, shp, x0, y0, z0):
+    """Raw V (unshifted) from padded-grid coordinates — see _analytic_b."""
+    return _analytic_b(analytic, shp, x0, y0, z0, _raw_v=True)
+
+
+def _analytic_b(analytic, shp, x0, y0, z0, _raw_v: bool = False):
     """B = 1/(1 + dt·V/2) computed from padded-grid coordinates.
 
     ``analytic`` = (kind, dn, dt, mass, ngx, ngy, ngz[, sig[, vshift]]);
@@ -101,6 +106,8 @@ def _analytic_b(analytic, shp, x0, y0, z0):
         v = 1.0 - sx * sy * sz
     else:  # pragma: no cover
         raise ValueError(f"unsupported analytic potential {kind}")
+    if _raw_v:
+        return v
     return 1.0 / (1.0 + (0.5 * dt_) * (v - vshift))
 
 

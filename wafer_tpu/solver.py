@@ -545,6 +545,7 @@ def _solve_split(
     # (same gating as the real path: f32 on an accelerator, tile-aligned
     # planes, VMEM fit); otherwise the XLA split path
     split_backend = "xla"
+    sc_analytic = None
     if config.backend in ("auto", "pallas") and config.real_dtype == jnp.float32:
         nx_, ny_, nz_ = config.work_size()
         if (
@@ -552,16 +553,46 @@ def _solve_split(
             and ny_ % 8 == 0
             and nz_ % 128 == 0
         ):
+            from wafer_tpu.config import PotentialType
             from wafer_tpu.ops import pallas_split as ps
 
-            if ps.step_fused_sc_supported(nx_, ny_, nz_, ext, 4, n_lower):
+            _sc_kinds = {
+                PotentialType.COMPLEX_HARMONIC: "Harmonic",
+                PotentialType.COMPLEX_COULOMB: "Coulomb",
+            }
+            # analytic complex B (no Br/Bi streams) when the formula and
+            # VMEM allow; else the streamed-B split kernel; else XLA
+            if (
+                config.potential in _sc_kinds
+                and ps._pick_tx_sc(nx_, ny_, nz_, ext, 4, n_lower, True)
+                is not None
+            ):
+                split_backend = "pallas"
+                g = config.grid
+                sc_analytic = (
+                    _sc_kinds[config.potential],
+                    g.dn,
+                    g.dt,
+                    config.mass,
+                    g.size.x,
+                    g.size.y,
+                    g.size.z,
+                    config.sig,
+                    v_shift,
+                    config.absorb,
+                )
+            elif ps.step_fused_sc_supported(nx_, ny_, nz_, ext, 4, n_lower):
                 split_backend = "pallas"
     log.info("Split-complex sweep backend for state %d: %s", wnum, split_backend)
     if split_backend == "pallas":
         from wafer_tpu.ops import pallas_split as ps
 
-        b2 = jnp.concatenate(
-            [geometry.work_area(br, ext), geometry.work_area(bi, ext)], axis=0
+        b2 = (
+            None
+            if sc_analytic is not None
+            else jnp.concatenate(
+                [geometry.work_area(br, ext), geometry.work_area(bi, ext)], axis=0
+            )
         )
         store2 = (
             jnp.stack(
@@ -645,6 +676,7 @@ def _solve_split(
                     store2,
                     order, dt, dn, mass, config.output.screen_update, n_lower,
                     per_step_norm=per_step_norm,
+                    analytic=sc_analytic,
                 ),
                 ext,
             )
