@@ -145,6 +145,10 @@ def main() -> None:
         "value": round(value, 1),
         "unit": "updates/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        # disclosure: the host-CPU XLA baseline runs a smaller grid to keep
+        # wall-clock sane; updates/s is ~size-invariant for a bandwidth-bound
+        # sweep (measured 128³ vs 256³ on CPU within a few %)
+        "baseline": f"host-CPU XLA sweep at {N_CPU}^3" if baseline else None,
     }
     print(json.dumps(out))
 

@@ -69,48 +69,77 @@ def test_coulomb_ic_centre_is_finite():
     assert w[centre] == 3.0  # exp(0) + (2-0)·exp(0)
 
 
-def test_symmetrise_about_z_sevenpoint():
-    """Mirror semantics about the z mid-plane for the 7-point layout the
-    reference hardcodes (src/config.rs:701-713)."""
-    cfg = base_config(
-        central_difference="SevenPoint",
-        init_symmetry="AboutZ",
-        grid={"size": {"x": 8, "y": 8, "z": 8}, "dn": 0.1, "dt": 3e-3},
-    )
-    rng = np.random.default_rng(3)
-    w = jnp.asarray(rng.normal(size=cfg.padded_size()))
-    out = np.asarray(initial.symmetrise_wavefunction(cfg, w))
-    orig = np.asarray(w)
-    ext, n = 3, 8
-    mid = (ext + n) // 2  # 5
-    for p in range(ext, ext + n + 1):
-        src = p if p <= mid else ext + n + 1 - p
-        # lower half keeps sign·orig; upper half = orig at the mirror
-        for y in range(ext, ext + n + 1):
-            expected = orig[4, y, src]
-            assert out[4, y, p] == expected, (p, src)
-    # outside the y write-range: untouched
-    np.testing.assert_array_equal(out[:, 0, :], orig[:, 0, :])
+def _symmetrise_reference(cfg, arr):
+    """Sequential port of the reference loop (src/config.rs:691-728),
+    generalised to the configured ext with writes clamped to interior
+    planes (the reference's hardcoded ranges include one halo plane per
+    axis; at its only valid ext=3 those writes deposit zeros for solver
+    arrays — see initial.symmetrise_wavefunction)."""
+    out = np.array(arr, dtype=np.float64)
+    sym = cfg.init_symmetry.value
+    sign = -1.0 if sym.startswith("Antisym") else 1.0
+    ext = cfg.central_difference.ext
+    n = cfg.grid.size.as_tuple()
+    for sx in range(out.shape[0]):
+        for sy in range(ext, ext + n[1]):
+            for sz in range(ext, ext + n[2]):
+                if sym.endswith("Z"):
+                    z = sz
+                    if z > (ext + n[2]) // 2:
+                        z = (ext + n[2]) + 1 - z
+                    out[sx, sy, sz] = sign * out[sx, sy, z]
+                else:
+                    y = sy
+                    if y > (ext + n[1]) // 2:
+                        y = (ext + n[1]) + 1 - y
+                    out[sx, sy, sz] = sign * out[sx, y, sz]
+    return out
 
 
-def test_symmetrise_antisym_about_y():
+def _check_vs_sequential(sym, cd, size, seed):
     cfg = base_config(
-        central_difference="SevenPoint",
-        init_symmetry="AntisymAboutY",
-        grid={"size": {"x": 8, "y": 8, "z": 8}, "dn": 0.1, "dt": 3e-3},
+        central_difference=cd,
+        init_symmetry=sym,
+        grid={"size": {"x": size, "y": size, "z": size}, "dn": 0.1, "dt": 3e-3},
     )
-    rng = np.random.default_rng(4)
-    w = jnp.asarray(rng.normal(size=cfg.padded_size()))
-    out = np.asarray(initial.symmetrise_wavefunction(cfg, w))
-    orig = np.asarray(w)
-    ext, n = 3, 8
-    mid = (ext + n) // 2
-    for p in range(ext, ext + n + 1):
-        if p <= mid:
-            assert out[4, p, 6] == -orig[4, p, 6]
-        else:
-            src = ext + n + 1 - p
-            assert out[4, p, 6] == orig[4, src, 6]
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=cfg.padded_size())
+    out = np.asarray(initial.symmetrise_wavefunction(cfg, jnp.asarray(w)))
+    expected = _symmetrise_reference(cfg, w)
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+
+
+def test_symmetrise_matches_sequential_reference():
+    """Vectorised symmetrisation == the reference's sequential loop, for all
+    four constraints, both hardcoded-ext (SevenPoint) and generalised
+    (ThreePoint), even and odd pair-sums (self-mapped central plane)."""
+    for i, sym in enumerate(["AboutZ", "AntisymAboutZ", "AboutY", "AntisymAboutY"]):
+        _check_vs_sequential(sym, "SevenPoint", 8, 10 + i)
+        _check_vs_sequential(sym, "ThreePoint", 8, 20 + i)
+        _check_vs_sequential(sym, "ThreePoint", 9, 30 + i)  # odd N
+        _check_vs_sequential(sym, "FivePoint", 12, 40 + i)
+
+
+def test_symmetrise_keeps_dirichlet_halo_zero():
+    """Symmetrising a zero-halo array must not pollute the halo: the
+    generalisation at ext<3 would otherwise write an interior plane's value
+    into the z = ext+N halo plane, silently changing the operator's
+    boundary condition (round-2 regression)."""
+    for cd, ext in [("ThreePoint", 1), ("FivePoint", 2), ("SevenPoint", 3)]:
+        cfg = base_config(
+            central_difference=cd,
+            init_symmetry="AntisymAboutZ",
+            grid={"size": {"x": 8, "y": 8, "z": 8}, "dn": 0.1, "dt": 3e-3},
+        )
+        rng = np.random.default_rng(ext)
+        w = rng.normal(size=cfg.padded_size())
+        from wafer_tpu import geometry
+
+        w = np.asarray(geometry.zero_boundary(jnp.asarray(w), ext))
+        out = np.asarray(initial.symmetrise_wavefunction(cfg, jnp.asarray(w)))
+        halo = np.ones_like(out, dtype=bool)
+        halo[ext:-ext, ext:-ext, ext:-ext] = False
+        assert np.all(out[halo] == 0.0), cd
 
 
 def test_symmetrise_not_constrained_noop():

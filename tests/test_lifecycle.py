@@ -189,3 +189,61 @@ def test_cli_bad_config(tmp_run, capsys):
     rc = cli.main(["-c", "bad.yaml"])
     assert rc == 1
     assert "Error loading configuration" in capsys.readouterr().out
+
+
+def test_snapshot_mutates_live_psi(tmp_run):
+    """The reference's snapshot block mutates the *evolving* ψ
+    (src/grid.rs:137-141 operates on &mut phi): symmetrisation and a
+    re-normalisation with the stale norm² persist into the evolution.
+    Discriminator: on the converged iteration ψ was normalised (‖ψ‖² = 1)
+    and then divided again by √(stale norm²), so ‖ψ‖²·norm² == 1."""
+    cfg = _small_harmonic(output={"snap_update": 100})
+    run_dir.check_output_dir(cfg.project_name)
+    res = solver.run(cfg)[0]
+    n2_phi = float(np.sum(np.asarray(res.phi, dtype=np.float64) ** 2))
+    assert abs(n2_phi * res.observables.norm2 - 1.0) < 1e-3, (
+        n2_phi, res.observables.norm2,
+    )
+
+    # without snap_update the live ψ stays normalised — and the physics
+    # (scale-invariant energy) is identical either way
+    run_dir.reset_proj_date()
+    cfg2 = _small_harmonic()
+    run_dir.check_output_dir(cfg2.project_name)
+    res2 = solver.run(cfg2)[0]
+    n2_phi2 = float(np.sum(np.asarray(res2.phi, dtype=np.float64) ** 2))
+    assert abs(n2_phi2 - 1.0) < 1e-3
+    e1 = res.observables.energy / res.observables.norm2
+    e2 = res2.observables.energy / res2.observables.norm2
+    assert abs(e1 - e2) < 1e-4
+
+
+def test_snapshot_symmetrisation_reenforced_during_evolution(tmp_run):
+    """With a symmetry constraint plus snap_update, the in-place snapshot
+    symmetrisation is the only mechanism re-enforcing init_symmetry during
+    evolution (reference src/grid.rs:137-139). Verify the converged ψ is
+    antisymmetric about the z mid-plane — i.e. the run stays in the
+    requested parity sector and lands on the odd-z state."""
+    cfg = _small_harmonic(
+        init_condition="Gaussian",
+        init_symmetry="AntisymAboutZ",
+        output={"snap_update": 100},
+    )
+    run_dir.check_output_dir(cfg.project_name)
+    res = solver.run(cfg, seed=7)[0]
+    e0 = res.observables.energy / res.observables.norm2
+    # The reference's mirror plane (padded (ext+N+1)/2 = 9) is half a cell
+    # off the potential centre ((N+1)/2 = 8.5), so the constraint does not
+    # commute with H: the run converges to the fixed point of
+    # (evolve chunk → project), with E strictly above the E₀ = 1.5 ground
+    # state. Without the in-place re-projection the antisym IC decays to
+    # the symmetric ground state — E > 1.6 proves the mutation persists.
+    assert e0 > 1.6, e0
+    w = np.asarray(res.phi, dtype=np.float64)
+    # at the break ψ was just symmetrised; the antisym projector flips the
+    # overall sign of an already-antisymmetric state (P∘P = −P), so the
+    # fixed point satisfies symmetrise(ψ) = −ψ
+    from wafer_tpu.models import initial as init_mod
+
+    sym = np.asarray(init_mod.symmetrise_wavefunction(cfg, res.phi))
+    assert np.allclose(w, -sym, atol=2e-5 * np.abs(w).max())

@@ -103,3 +103,25 @@ def test_native_throughput(lib_ok):
 
     assert text == buf.getvalue()
     assert t_native < t_py / 3, (t_native, t_py)
+
+
+def test_csv_decode_fills_in_file_order():
+    """The reference fills CSV values in FILE order and reshapes
+    (src/input.rs:617-635); indices only infer dims. The native fast path
+    must agree with that and with the Python fallback for shuffled rows."""
+    import numpy as np
+
+    from wafer_tpu import native
+    from wafer_tpu.io import formats
+
+    rows = [
+        (0, 0, 1, 2.0), (0, 0, 0, 1.0), (0, 1, 0, 3.0), (0, 1, 1, 4.0),
+        (1, 0, 0, 5.0), (1, 0, 1, 6.0), (1, 1, 0, 7.0), (1, 1, 1, 8.0),
+    ]
+    text = "".join(f"{i},{j},{k},{v}\n" for i, j, k, v in rows)
+    expected = np.array([r[3] for r in rows]).reshape(2, 2, 2)
+    via_formats = formats.array_from_csv(text)
+    assert np.array_equal(via_formats, expected)
+    fast = native.csv_decode(text)
+    if fast is not None:  # toolchain present
+        assert np.array_equal(fast, expected)

@@ -117,12 +117,27 @@ def symmetrise_wavefunction(config: Config, w: jnp.ndarray) -> jnp.ndarray:
     """Force (anti)symmetry about the y or z mid-plane
     (reference: src/config.rs:691-728).
 
-    The reference's sequential in-place loop has the net effect (with
-    ``sign = ±1``): cells at or below the mid-plane are scaled by ``sign``;
-    cells above it receive the original value of their mirror image. Writes
-    cover padded indices ``[ext, ext+N]`` along both y and z (the reference
-    hardcodes ``ext = 3``/``bb = 6`` and therefore only functions for
-    SevenPoint; we generalise to the configured halo width)."""
+    The reference's sequential ascending in-place loop
+    (``w[p] = sign·w[m(p)]`` with ``m(p) = p`` for ``p ≤ mid`` else
+    ``ext+N+1−p``, ``mid = (ext+N)//2``) has the net effect:
+
+    - ``p ≤ mid``: scaled by ``sign``;
+    - self-mapped central plane (``m(p) == p > mid``, even ``ext+N+1``):
+      scaled by ``sign`` (single in-place application);
+    - ``p > mid`` with ``m(p) ≥ ext``: receives the mirror's *pre-scaled*
+      value (the mirror was already overwritten → net ``sign² = 1``);
+    - ``p > mid`` with ``m(p) < ext`` (mirror in the halo, never written):
+      receives ``sign``·halo — zero for solver arrays.
+
+    The reference hardcodes ``ext = 3`` (only functions for SevenPoint); we
+    generalise to the configured halo width. Its loop range ``[ext, ext+N]``
+    includes one halo plane per axis: at ``ext = 3`` those writes deposit
+    zeros (the mirror source is another halo plane), but for ``ext < 3`` the
+    mirror of plane ``ext+N`` is an *interior* plane — writing it would
+    pollute the Dirichlet shell and change the operator's spectrum. The
+    generalisation therefore clamps writes to interior planes
+    ``[ext, ext+N−1]``; for solver arrays (zero halos) this is observationally
+    identical to the reference at ``ext = 3``."""
     sym = config.init_symmetry
     axis = sym.axis
     if axis is None:
@@ -133,25 +148,23 @@ def symmetrise_wavefunction(config: Config, w: jnp.ndarray) -> jnp.ndarray:
 
     p = np.arange(w.shape[axis])
     mid = (ext + n) // 2
-    in_range = (p >= ext) & (p <= ext + n)
-    upper = in_range & (p > mid)
-    lower = in_range & (p <= mid)
     src = p.copy()
+    upper = p > mid
     src[upper] = ext + n + 1 - p[upper]
+    np.clip(src, 0, w.shape[axis] - 1, out=src)  # guard halo-mirror reads
     scale = np.ones(w.shape[axis])
-    scale[lower] = sym.sign
-    # upper cells copy the *pre-scaled* mirror → net scale 1 (sign² = 1)
+    scale[(p <= mid) | (src == p) | (src < ext)] = sym.sign
 
     mirrored = jnp.take(w, jnp.asarray(src), axis=axis)
     shape = [1, 1, 1]
     shape[axis] = w.shape[axis]
     mirrored = mirrored * jnp.asarray(scale, dtype=w.real.dtype).reshape(shape)
 
-    # Write region: y and z padded indices both within [ext, ext+N]; all x
-    # (reference loops: src/config.rs:701-726)
+    # Write region: interior y and z planes; all x
+    # (reference loops: src/config.rs:701-726, halo-clamped as above)
     yj = np.arange(w.shape[1])
     zk = np.arange(w.shape[2])
-    mask_y = (yj >= ext) & (yj <= ext + size[1])
-    mask_z = (zk >= ext) & (zk <= ext + size[2])
+    mask_y = (yj >= ext) & (yj < ext + size[1])
+    mask_z = (zk >= ext) & (zk < ext + size[2])
     write = jnp.asarray(mask_y[None, :, None] & mask_z[None, None, :])
     return jnp.where(write, mirrored, w)

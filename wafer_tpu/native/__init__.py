@@ -131,9 +131,11 @@ def csv_decode(text: str) -> Optional[np.ndarray]:
     dims = idx.max(axis=0) + 1
     if count != int(np.prod(dims)):
         return None
-    out = np.zeros(tuple(dims), dtype=np.float64)
-    out[idx[:, 0], idx[:, 1], idx[:, 2]] = vv
-    return out
+    # Fill in FILE order, like the reference (src/input.rs:617-635 pushes
+    # values and reshapes) and the Python fallback (formats.array_from_csv):
+    # indices only infer the dims. Scattering by (i,j,k) would disagree for
+    # rows not in row-major order.
+    return vv.reshape(tuple(dims))
 
 
 def mpk_encode(arr: np.ndarray) -> Optional[bytes]:

@@ -156,27 +156,39 @@ def backend_supports_complex() -> bool:
     platform = jax.devices()[0].platform
     if platform in _COMPLEX_SUPPORT_CACHE:
         return _COMPLEX_SUPPORT_CACHE[platform]
-    if platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
-        # remote-TPU tunnel (registers as "tpu" but complex64 is
-        # unimplemented and a failed complex op wedges the service)
-        result = False
-    elif platform in ("cpu", "gpu", "cuda", "rocm", "tpu"):
+    if platform in ("cpu", "gpu", "cuda", "rocm"):
+        # known-safe platforms: complex64 is always implemented
         result = True
+    elif platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # Remote-TPU tunnel: complex64 is unimplemented and a failed complex
+        # op wedges the *service-side* device grant (subsequent unrelated
+        # compiles hang for minutes), so even a subprocess probe is unsafe
+        # here. Misrouting a complex-capable TPU behind this env var to the
+        # split path would be benign (slower, same results); wedging the
+        # grant is not — so the env answer wins over probing.
+        result = False
     else:
-        import subprocess
-        import sys
-
-        probe = (
-            "import jax, jax.numpy as jnp;"
-            "x = jnp.asarray(1+1j, jnp.complex64);"
-            "print(float(jnp.real(x*x)))"
-        )
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True, timeout=300
-            )
-            result = r.returncode == 0
-        except Exception:
-            result = False
+        # Unknown platform, or a TPU runtime not behind the tunnel: probe in
+        # a subprocess (an in-process probe can poison this process's device
+        # stream on failure). Cached per platform for the process lifetime.
+        result = _probe_complex_subprocess()
     _COMPLEX_SUPPORT_CACHE[platform] = result
     return result
+
+
+def _probe_complex_subprocess() -> bool:
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.asarray(1+1j, jnp.complex64);"
+        "print(float(jnp.real(x*x)))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, timeout=300
+        )
+        return r.returncode == 0
+    except Exception:
+        return False

@@ -339,16 +339,20 @@ def solve(
                 )
         tau = step * dt
 
-        # Snapshot lifecycle (reference: src/grid.rs:137-158). Note the
-        # reference re-normalises the snapshot with the *stale* norm² after
-        # symmetrisation — preserved for file parity.
+        # Snapshot lifecycle (reference: src/grid.rs:137-158). The reference
+        # mutates the *live* ψ here — symmetrisation and a re-normalisation
+        # with the stale norm² (measured before the loop-head normalise)
+        # persist into the subsequent evolution (src/grid.rs:137-141 operates
+        # on &mut phi). Replicated exactly: the in-place symmetrisation is
+        # the only mechanism re-enforcing init_symmetry during evolution,
+        # and the stale rescale is a pure (physics-neutral) scale quirk.
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
-            snap = initial.symmetrise_wavefunction(config, phi)
-            snap = gram_schmidt.normalise_wavefunction(snap, obs.norm2)
+            phi = initial.symmetrise_wavefunction(config, phi)
+            phi = gram_schmidt.normalise_wavefunction(phi, obs.norm2)
             log.info("Saving partially converged wavefunction %d to disk.", wnum)
             try:
                 writers.wavefunction(
-                    device_get(geometry.work_area(snap, ext)),
+                    device_get(geometry.work_area(phi, ext)),
                     wnum,
                     False,
                     config.project_name,
@@ -517,22 +521,72 @@ def _solve_split(
     v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
     ar, ai, br, bi = pmod.build_ab_split(vr, vi, dt, v_shift)
 
-    # initial condition: real generator, zero imaginary part (w_store items
-    # are (re, im) pairs in this mode)
-    if wnum > 0 and w_store:
-        pr, pi = w_store[wnum - 1]
-        log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
-    else:
-        from wafer_tpu.config import PotentialType
+    # Initial condition (reference preference, src/grid.rs:60-100): disk
+    # (current state, incl. ``_partial``) → previous converged state →
+    # generator. w_store items are (re, im) pairs in this mode; disk loads
+    # are split host-side — complex arrays must never reach the device.
+    pr = pi = None
+    if wnum > 0:
+        from wafer_tpu.config import InitialCondition
+        from wafer_tpu.io import readers
 
-        real_counterpart = (
-            PotentialType.COULOMB
-            if config.potential is PotentialType.COMPLEX_COULOMB
-            else PotentialType.HARMONIC
-        )
-        real_cfg = dataclasses.replace(config, potential=real_counterpart)
-        pr = initial.set_initial_conditions(real_cfg, log, seed=seed)
-        pi = jnp.zeros_like(pr)
+        try:
+            wfn = np.asarray(
+                readers.wavefunction(
+                    wnum,
+                    config.padded_size(),
+                    config.central_difference.bb,
+                    config.output.file_type,
+                    log,
+                    input_dir=config.input_dir,
+                )
+            )
+            log.info("Loaded (current) wavefunction %d from disk", wnum)
+            if config.init_condition is not InitialCondition.FROM_FILE and wnum > config.wavenum:
+                log.warning(
+                    "Loaded a higher order wavefunction from disk although Initial "
+                    "conditions are set to '%s'.",
+                    config.init_condition.display(),
+                )
+            pr = jnp.asarray(np.real(wfn), dtype=config.real_dtype)
+            pi = jnp.asarray(np.imag(wfn), dtype=config.real_dtype)
+        except errors.WaferError:
+            pr, pi = w_store[wnum - 1]
+            log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
+    if pr is None:
+        from wafer_tpu.config import InitialCondition, PotentialType
+
+        if config.init_condition is InitialCondition.FROM_FILE:
+            # host-side load + split, then the generator's composition:
+            # Dirichlet shell → symmetrise (src/config.rs:577-627)
+            from wafer_tpu.io import readers
+
+            try:
+                wfn = np.asarray(
+                    readers.wavefunction(
+                        config.wavenum,
+                        config.padded_size(),
+                        config.central_difference.bb,
+                        config.output.file_type,
+                        log,
+                        input_dir=config.input_dir,
+                    )
+                )
+            except errors.WaferError as exc:
+                raise errors.LoadWavefunctionError(config.wavenum) from exc
+            pr = jnp.asarray(np.real(wfn), dtype=config.real_dtype)
+            pi = jnp.asarray(np.imag(wfn), dtype=config.real_dtype)
+            pr = initial.symmetrise_wavefunction(config, geometry.zero_boundary(pr, ext))
+            pi = initial.symmetrise_wavefunction(config, geometry.zero_boundary(pi, ext))
+        else:
+            real_counterpart = (
+                PotentialType.COULOMB
+                if config.potential is PotentialType.COMPLEX_COULOMB
+                else PotentialType.HARMONIC
+            )
+            real_cfg = dataclasses.replace(config, potential=real_counterpart)
+            pr = initial.set_initial_conditions(real_cfg, log, seed=seed)
+            pi = jnp.zeros_like(pr)
 
     r2_grid = geometry.r2_index_grid(
         config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
@@ -643,6 +697,31 @@ def _solve_split(
                 )
         tau = step * dt
 
+        # Snapshot lifecycle, mutating the live ψ exactly like solve() and
+        # the reference (src/grid.rs:137-158): symmetrise + stale-norm
+        # renormalise persist into the evolution. (re, im) are symmetrised
+        # componentwise and fused host-side only for the file write.
+        if config.output.snap_update is not None and step % config.output.snap_update == 0:
+            pr = initial.symmetrise_wavefunction(config, pr)
+            pi = initial.symmetrise_wavefunction(config, pi)
+            pr = gram_schmidt.normalise_wavefunction(pr, obs.norm2)
+            pi = gram_schmidt.normalise_wavefunction(pi, obs.norm2)
+            log.info("Saving partially converged wavefunction %d to disk.", wnum)
+            try:
+                writers.wavefunction(
+                    np.asarray(geometry.work_area(pr, ext))
+                    + 1j * np.asarray(geometry.work_area(pi, ext)),
+                    wnum,
+                    False,
+                    config.project_name,
+                    config.output.file_type,
+                    output_root=config.output_root,
+                )
+            except errors.WaferError as exc:
+                log.warning(
+                    "Could not output partial wavefunction per snap_update request: %s", exc
+                )
+
         diff = abs(norm_energy - last_energy)
         if diff < config.tolerance:
             if progress is not None:
@@ -652,6 +731,23 @@ def _solve_split(
                 obs, wnum, float(config.grid.size.x), config.project_name,
                 config.output.file_type, output_root=config.output_root,
             )
+            if config.output.snap_update is not None:
+                log.info("Removing partially converged wavefunction %d from disk.", wnum)
+                try:
+                    writers.remove_partial(
+                        wnum,
+                        config.project_name,
+                        config.output.file_type,
+                        output_root=config.output_root,
+                    )
+                except errors.WaferError as exc:
+                    log.warning(
+                        "The temporary wavefunction_%d_partial%s file could not be removed "
+                        "from the output directory: %s",
+                        wnum,
+                        config.output.file_type.extension,
+                        exc,
+                    )
             converged = True
             break
         last_energy = norm_energy
@@ -727,10 +823,12 @@ def run(
         return run_sharded(config, log, seed=seed, progress_factory=progress_factory)
 
     load_cfg = config
+    split_mode = False
     if config.potential.is_complex:
         from wafer_tpu.ops import split_complex as sc
 
         if not sc.backend_supports_complex():
+            split_mode = True
             # Split-complex mode: complex arrays must never reach the device.
             # Load real-counterpart arrays for the side effects (pot_sub,
             # optional potential save — real part only); the split solve
@@ -757,7 +855,18 @@ def run(
         from wafer_tpu.io import readers
 
         loaded = readers.load_wavefunctions(config, log)
-        w_store.extend(jnp.asarray(w, dtype=config.dtype) for w in loaded)
+        if split_mode:
+            # (re, im) real pairs, split host-side — complex arrays must
+            # never reach a device without complex dtypes
+            w_store.extend(
+                (
+                    jnp.asarray(np.real(np.asarray(w)), dtype=config.real_dtype),
+                    jnp.asarray(np.imag(np.asarray(w)), dtype=config.real_dtype),
+                )
+                for w in loaded
+            )
+        else:
+            w_store.extend(jnp.asarray(w, dtype=config.dtype) for w in loaded)
 
     log.info("Starting calculation")
     results = []
