@@ -191,28 +191,40 @@ def test_cli_bad_config(tmp_run, capsys):
     assert "Error loading configuration" in capsys.readouterr().out
 
 
-def test_snapshot_mutates_live_psi(tmp_run):
-    """The reference's snapshot block mutates the *evolving* ψ
-    (src/grid.rs:137-141 operates on &mut phi): symmetrisation and a
-    re-normalisation with the stale norm² persist into the evolution.
-    Discriminator: on the converged iteration ψ was normalised (‖ψ‖² = 1)
-    and then divided again by √(stale norm²), so ‖ψ‖²·norm² == 1."""
+def test_snapshot_keeps_live_psi_normalised(tmp_run):
+    """PARITY divergence 8: the stale-norm² rescale of the reference's
+    snapshot block applies to the written file only — the live (and stored)
+    ψ keeps unit norm, so later Gram-Schmidt projections stay exact and f32
+    convergence is free of scale oscillation. The written ``_partial`` file
+    carries the reference's rescale (checked via the spy below)."""
+    from wafer_tpu.io import writers
+
+    written = {}
+    orig = writers.wavefunction
+
+    def spy(data, wnum, converged, *a, **k):
+        if not converged:
+            written["norm2"] = float(np.sum(np.asarray(data, np.float64) ** 2))
+        return orig(data, wnum, converged, *a, **k)
+
+    import unittest.mock as mock
+
     cfg = _small_harmonic(output={"snap_update": 100})
     run_dir.check_output_dir(cfg.project_name)
-    res = solver.run(cfg)[0]
+    with mock.patch.object(writers, "wavefunction", spy):
+        res = solver.run(cfg)[0]
+    # live ψ normalised regardless of snapshots
     n2_phi = float(np.sum(np.asarray(res.phi, dtype=np.float64) ** 2))
-    assert abs(n2_phi * res.observables.norm2 - 1.0) < 1e-3, (
-        n2_phi, res.observables.norm2,
-    )
+    assert abs(n2_phi - 1.0) < 1e-3, n2_phi
+    # the file copy is ψ/√(stale norm²): its norm² == 1/norm2_stale
+    assert abs(written["norm2"] * res.observables.norm2 - 1.0) < 1e-2
 
-    # without snap_update the live ψ stays normalised — and the physics
-    # (scale-invariant energy) is identical either way
+    # snap cadence spanning several chunks must still converge in f32
+    # (period-2 scale oscillation regression)
     run_dir.reset_proj_date()
-    cfg2 = _small_harmonic()
+    cfg2 = _small_harmonic(output={"snap_update": 200})
     run_dir.check_output_dir(cfg2.project_name)
     res2 = solver.run(cfg2)[0]
-    n2_phi2 = float(np.sum(np.asarray(res2.phi, dtype=np.float64) ** 2))
-    assert abs(n2_phi2 - 1.0) < 1e-3
     e1 = res.observables.energy / res.observables.norm2
     e2 = res2.observables.energy / res2.observables.norm2
     assert abs(e1 - e2) < 1e-4

@@ -297,3 +297,116 @@ def test_sharded_pallas_analytic_cornell_with_shift():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 1, 1), (8, 1, 1)])
+def test_sharded_k_fused_matches_sharded_xla(mesh_shape):
+    """K=2 temporal blocking under shard_map (K·ext-wide halo exchange per
+    fused call) == the XLA sharded sweep, analytic-B, interpret mode."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 4},
+    )
+    ext = 1
+    rng = np.random.default_rng(11)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int), ops_x.put_store(None)
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.k_fuse == 2, ops_p.k_fuse
+    assert ops_p.analytic is not None
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int), ops_p.put_store(None)
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_k_fused_streamed_b():
+    """K=2 sharded with a non-analytic potential: B's (K−1)·ext neighbour
+    rows must be exchanged too (zero-padding them would corrupt the
+    intermediate step at shard seams)."""
+    cfg = base_config(
+        precision="f32",
+        potential="QuadWell",
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 4},
+    )
+    ext = 1
+    rng = np.random.default_rng(12)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int), ops_x.put_store(None)
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.k_fuse == 2 and ops_p.analytic is None
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int), ops_p.put_store(None)
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("with_analytic", [False, True])
+def test_sharded_zt_kernel_matches_sharded_xla(monkeypatch, with_analytic):
+    """The z-tiled kernel variant on x-sharded blocks (plain picker forced
+    off, as on ≥512² planes) == the XLA sharded sweep; both streamed-B and
+    analytic-B gating paths."""
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    monkeypatch.setattr(pk, "_pick_tx", lambda *a, **k: None)
+    monkeypatch.setattr(pk, "_pick_tx_k", lambda *a, **k: None)  # force 1-step zt
+    monkeypatch.setattr(pk, "_pick_tx_zt", lambda *a, **k: (2, 128))
+
+    cfg = base_config(
+        precision="f32",
+        potential="Harmonic" if with_analytic else "QuadWell",
+        grid={"size": {"x": 16, "y": 8, "z": 256}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(13)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int), ops_x.put_store(None)
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.k_fuse == 1
+    assert (ops_p.analytic is not None) == with_analytic
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int), ops_p.put_store(None)
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

@@ -840,6 +840,13 @@ def _evolve_kernel_k(
     # inputs
     phi_hbm,  # (NX+2Ke, NY, NZ) ANY
     b_hbm,  # (NX+2(K-1)e, NY, NZ) ANY
+    xorg_smem,  # (1, 1) SMEM i32: global x offset of this block's interior
+    # (non-zero under shard_map; feeds the analytic-B coordinates)
+    edge_smem,  # (2, 1) SMEM i32: [at_global_lo, at_global_hi] — whether the
+    # block's x edges are the *global* Dirichlet boundary (both 1 on a single
+    # device). Interior shards carry real neighbour data in their halos, so
+    # the intermediate-step edge masking and output-halo zeroing must be
+    # skipped there (the halo is refreshed by ppermute each fused call).
     # outputs
     out_hbm,  # (NX+2Ke, NY, NZ) ANY
     # scratch
@@ -866,6 +873,8 @@ def _evolve_kernel_k(
     slot = jax.lax.rem(i, jnp.int32(2))
     next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
     pad = k_steps * ext
+    at_lo = edge_smem[0, 0] == 1
+    at_hi = edge_smem[1, 0] == 1
 
     def in_copy(win, to_slot):
         return pltpu.make_async_copy(
@@ -888,14 +897,14 @@ def _evolve_kernel_k(
         )
         b_copy.start()
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(i == 0, at_lo))
     def _zero_lo():
         zeros_halo[...] = jnp.zeros_like(zeros_halo)
         c = pltpu.make_async_copy(zeros_halo, out_hbm.at[pl.ds(0, pad)], sem_halo)
         c.start()
         c.wait()
 
-    @pl.when(i == nprog - 1)
+    @pl.when(jnp.logical_and(i == nprog - 1, at_hi))
     def _zero_hi():
         zeros_halo[...] = jnp.zeros_like(zeros_halo)
         nxp = out_hbm.shape[0]
@@ -921,9 +930,10 @@ def _evolve_kernel_k(
         if analytic is None:
             return b_slab[b_off : b_off + rows_out]
         # padded coordinate of output row r: i·tx + b_off − (K−1)·ext + ext + r
-        x0 = (i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext)).astype(
-            jnp.float32
-        )
+        # (plus the shard's global interior origin)
+        x0 = (
+            i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext) + xorg_smem[0, 0]
+        ).astype(jnp.float32)
         shp = (rows_out, b_slab.shape[1], b_slab.shape[2])
         return _analytic_b(analytic, shp, x0, ext, ext)
 
@@ -942,7 +952,9 @@ def _evolve_kernel_k(
     # step 1 reads the DMA'd window; later steps read the previous result.
     # Dirichlet: after each inner step, re-zero intermediate rows that fall
     # outside the global interior (predicated ref stores — scalar selects
-    # do not legalize in Mosaic).
+    # do not legalize in Mosaic). Skipped on shard edges that carry real
+    # neighbour data (edge_smem 0): there the intermediate edge rows are
+    # exactly what the neighbour computes for them.
     cur = None
     for s in range(1, k_steps + 1):
         rows_out = tx + 2 * (k_steps - s) * ext
@@ -960,11 +972,11 @@ def _evolve_kernel_k(
         if s < k_steps:
             pong[:rows_out] = val
             if edge > 0:
-                @pl.when(i == 0)
+                @pl.when(jnp.logical_and(i == 0, at_lo))
                 def _mask_lo(_rows=rows_out, _edge=edge):
                     pong[0:_edge] = jnp.zeros_like(pong[0:_edge])
 
-                @pl.when(i == nprog - 1)
+                @pl.when(jnp.logical_and(i == nprog - 1, at_hi))
                 def _mask_hi(_rows=rows_out, _edge=edge):
                     pong[_rows - _edge : _rows] = jnp.zeros_like(
                         pong[_rows - _edge : _rows]
@@ -1026,15 +1038,25 @@ def evolve_steps_fused_k(
     k_steps: int,
     analytic=None,
     interpret: bool = False,
+    x_origin=None,
+    edges=None,
 ) -> jnp.ndarray:
     """K fused sweeps in one HBM pass (ground-state path).
 
     Args:
-      phi_xpad_k: (NX+2K·e, NY, NZ), halo rows zero.
-      b_xpad: (NX+2(K−1)·e, NY, NZ) B array padded with ignored rows.
+      phi_xpad_k: (NX+2K·e, NY, NZ), halo rows zero (single device) or
+        neighbour data (sharded callers).
+      b_xpad: (NX+2(K−1)·e, NY, NZ) B array; pad rows ignored at global
+        edges, neighbour B rows on interior shards.
       analytic: None, or a static tuple
-        (kind, dn, dt, mass, ngx, ngy, ngz) — B is then computed from
-        coordinates inside the kernel and ``b_xpad`` is never read.
+        (kind, dn, dt, mass, ngx, ngy, ngz[, sig[, vshift]]) — B is then
+        computed from coordinates inside the kernel and ``b_xpad`` is never
+        read.
+      x_origin: (1, 1) i32 global interior x offset of this block (sharded
+        callers; defaults to 0).
+      edges: (2, 1) i32 [at_global_lo, at_global_hi] flags controlling the
+        Dirichlet masking of the block's x edges (default: both 1 — the
+        single-device semantics).
     """
     ext = _EXT[order]
     nxp, ny, nz = phi_xpad_k.shape
@@ -1046,6 +1068,14 @@ def evolve_steps_fused_k(
             f"K={k_steps} fused sweep does not fit VMEM for plane {ny}x{nz}; "
             "reduce k_steps or use the XLA backend"
         )
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
+    if edges is None:
+        edges = jnp.ones((2, 1), jnp.int32)
+    else:
+        edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
 
     kernel = functools.partial(
         _evolve_kernel_k,
@@ -1068,6 +1098,8 @@ def evolve_steps_fused_k(
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
@@ -1083,7 +1115,7 @@ def evolve_steps_fused_k(
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(phi_xpad_k, b_xpad)
+        )(phi_xpad_k, b_xpad, x_origin, edges)
 
 
 @functools.partial(

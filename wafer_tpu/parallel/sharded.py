@@ -115,7 +115,11 @@ class ShardedOps:
         if (
             use_pallas
             and config.potential in _analytic_kinds
-            and pk._pick_tx(bx, ny, nz, ext, itemsize, n_lower, True) is not None
+            and (
+                pk._pick_tx(bx, ny, nz, ext, itemsize, n_lower, True) is not None
+                or pk._pick_tx_zt(bx, ny, nz, ext, itemsize, n_lower, True)
+                is not None
+            )
         ):
             g = config.grid
             analytic = (
@@ -130,6 +134,25 @@ class ShardedOps:
                 v_shift,  # gauge shift — must match the caller's a/b arrays
             )
         self.analytic = analytic
+
+        # K-step temporal blocking on the ground state (see
+        # ops/pallas_stencil._evolve_kernel_k): exchange K·ext-wide x-halos
+        # per fused call instead of ext per step, halving the per-shard HBM
+        # traffic like the single-chip ladder. The kernel's Dirichlet edge
+        # masking is driven by per-shard global-edge flags.
+        k_fuse = 1
+        if use_pallas and n_lower == 0:
+            for k_cand in (2, 3):
+                if (
+                    screen_update % k_cand == 0
+                    and bx >= k_cand * ext  # ppermute face ≤ block extent
+                    and pk.k_fuse_supported(
+                        bx, ny, nz, ext, itemsize, k_cand, analytic is not None
+                    )
+                ):
+                    k_fuse = k_cand
+                    break
+        self.k_fuse = k_fuse
 
         def orthogonalise(phi, store):
             for s in range(n_lower):
@@ -182,6 +205,44 @@ class ShardedOps:
             ).reshape(1, 1)
 
             if n_lower == 0 and not per_step_norm:
+                if k_fuse > 1:
+                    # K-fused chunk: one ppermute of K·ext-wide faces per
+                    # fused call; Dirichlet masking only on true global
+                    # edges (interior halos hold real neighbour data). B's
+                    # (K−1)·ext neighbour rows are exchanged once per chunk
+                    # (B is static within a state).
+                    ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(jnp.int32)
+                    edges = jnp.stack(
+                        [
+                            (ax_idx == 0).astype(jnp.int32),
+                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
+                        ]
+                    ).reshape(2, 1)
+                    pad = k_fuse * ext
+                    if analytic is not None:
+                        b_kpad = jnp.zeros((1, 1, 1), dtype=phi.dtype)
+                    else:
+                        b_kpad = _pad_axis(
+                            b, (k_fuse - 1) * ext, 0, AXIS_NAMES[0], mesh_shape[0]
+                        )
+
+                    def body_k(_i, p):
+                        xpad = _pad_axis(p, pad, 0, AXIS_NAMES[0], mesh_shape[0])
+                        out = pk.evolve_steps_fused_k(
+                            xpad,
+                            b_kpad,
+                            order,
+                            scale,
+                            k_fuse,
+                            analytic,
+                            pallas_interpret,
+                            x_origin=x_org,
+                            edges=edges,
+                        )
+                        return out[pad:-pad]
+
+                    return lax.fori_loop(0, screen_update // k_fuse, body_k, phi)
+
                 def body(_i, p):
                     xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
                     out_xpad, _n2, _ov = pk.evolve_step_fused(

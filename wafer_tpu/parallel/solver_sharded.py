@@ -161,10 +161,15 @@ def _solve_state(
         tau = step * config.grid.dt
 
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
-            # gather → pad → symmetrise → reference's stale-norm² rescale
-            snap = geometry.frame_with_halo(jnp.asarray(device_get(phi)), config.central_difference.ext)
-            snap = initial.symmetrise_wavefunction(config, snap)
-            snap = snap / jnp.sqrt(obs.norm2).astype(snap.dtype)
+            # gather → pad → symmetrise, then feed the symmetrised ψ back
+            # onto the mesh: the reference's snapshot block operates on the
+            # *live* wavefunction (src/grid.rs:137-141). The stale-norm²
+            # rescale applies to the written file only (matches
+            # solver.solve; PARITY divergence 8).
+            sym = geometry.frame_with_halo(jnp.asarray(device_get(phi)), config.central_difference.ext)
+            sym = initial.symmetrise_wavefunction(config, sym)
+            phi = ops.put(geometry.work_area(sym, config.central_difference.ext))
+            snap = sym / jnp.sqrt(obs.norm2).astype(sym.dtype)
             log.info("Saving partially converged wavefunction %d to disk.", wnum)
             try:
                 writers.wavefunction(

@@ -340,19 +340,24 @@ def solve(
         tau = step * dt
 
         # Snapshot lifecycle (reference: src/grid.rs:137-158). The reference
-        # mutates the *live* ψ here — symmetrisation and a re-normalisation
-        # with the stale norm² (measured before the loop-head normalise)
-        # persist into the subsequent evolution (src/grid.rs:137-141 operates
-        # on &mut phi). Replicated exactly: the in-place symmetrisation is
-        # the only mechanism re-enforcing init_symmetry during evolution,
-        # and the stale rescale is a pure (physics-neutral) scale quirk.
+        # mutates the *live* ψ here (src/grid.rs:137-141 operates on &mut
+        # phi): the symmetrisation — the only mechanism re-enforcing
+        # init_symmetry during evolution — persists, and so does a
+        # re-normalisation with the stale norm². We persist the
+        # symmetrisation but apply the stale rescale only to the written
+        # file (bit-identical file contents): a pure scale factor is
+        # physically inert, and persisting it both corrupts later
+        # Gram-Schmidt projections when a snapshot coincides with
+        # convergence (the stored lower state ends up with norm 1/√norm²)
+        # and stalls f32 convergence via period-2 scale oscillation — see
+        # docs/PARITY.md divergence 8.
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
             phi = initial.symmetrise_wavefunction(config, phi)
-            phi = gram_schmidt.normalise_wavefunction(phi, obs.norm2)
+            snap = gram_schmidt.normalise_wavefunction(phi, obs.norm2)
             log.info("Saving partially converged wavefunction %d to disk.", wnum)
             try:
                 writers.wavefunction(
-                    device_get(geometry.work_area(phi, ext)),
+                    device_get(geometry.work_area(snap, ext)),
                     wnum,
                     False,
                     config.project_name,
@@ -697,20 +702,20 @@ def _solve_split(
                 )
         tau = step * dt
 
-        # Snapshot lifecycle, mutating the live ψ exactly like solve() and
-        # the reference (src/grid.rs:137-158): symmetrise + stale-norm
-        # renormalise persist into the evolution. (re, im) are symmetrised
-        # componentwise and fused host-side only for the file write.
+        # Snapshot lifecycle, matching solve(): the symmetrisation persists
+        # in the live ψ (reference src/grid.rs:137-141); the stale-norm
+        # rescale applies to the written file only (PARITY divergence 8).
+        # (re, im) are symmetrised componentwise and fused host-side only
+        # for the file write.
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
             pr = initial.symmetrise_wavefunction(config, pr)
             pi = initial.symmetrise_wavefunction(config, pi)
-            pr = gram_schmidt.normalise_wavefunction(pr, obs.norm2)
-            pi = gram_schmidt.normalise_wavefunction(pi, obs.norm2)
+            inv_stale = 1.0 / math.sqrt(obs.norm2)
             log.info("Saving partially converged wavefunction %d to disk.", wnum)
             try:
                 writers.wavefunction(
-                    np.asarray(geometry.work_area(pr, ext))
-                    + 1j * np.asarray(geometry.work_area(pi, ext)),
+                    (np.asarray(geometry.work_area(pr, ext))
+                     + 1j * np.asarray(geometry.work_area(pi, ext))) * inv_stale,
                     wnum,
                     False,
                     config.project_name,
