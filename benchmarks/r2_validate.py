@@ -1,0 +1,313 @@
+"""Round-2 on-chip validation & benchmarks.
+
+Subcommands (run: PYTHONPATH=/root/repo:/root/.axon_site python
+benchmarks/r2_validate.py <cmd>):
+
+  kgs_bench     excited-state K=2 GS-fused sweep throughput at 256^3, S=1,
+                vs the 1-step carried-coefficient path (BASELINE.md 2.89e10)
+  kgs_e2e       solver end-to-end harmonic excited state through the kgs
+                dispatch (64x64x128): E1 vs the 2.5 oracle
+  sharded_bench 1x1x1-mesh ShardedOps K=2 analytic-B throughput at 256^3
+                (VERDICT: within ~10% of the single-chip 7.33e10)
+  cornell4      BASELINE config 3: SimpleCornell 128^3, 4 states, with a
+                restart-from-snapshot mid-run (phase 1 interrupts during
+                state 1; phase 2 resumes from the partial)
+
+Timing uses the chained-dispatch difference method (see bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_chain(chunk, p, n_steps, n_points, label):
+    def run(p, reps):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p = chunk(p)
+        np.asarray(p[:1, :1, :8])
+        return time.perf_counter() - t0, p
+
+    _t, p = run(p, 1)  # compile + warm
+    best = 0.0
+    for _ in range(3):
+        t1, p = run(p, 1)
+        t5, p = run(p, 5)
+        per_chunk = max((t5 - t1) / 4.0, 1e-9)
+        best = max(best, n_points * n_steps / per_chunk)
+    print(json.dumps({"bench": label, "updates_per_s": f"{best:.3e}"}))
+    return best
+
+
+def _harmonic_cfg(nx, ny, nz, steps, **over):
+    from wafer_tpu.config import Config
+
+    raw = {
+        "project_name": "r2v",
+        "grid": {"size": {"x": nx, "y": ny, "z": nz}, "dn": 0.01, "dt": 3e-5},
+        "tolerance": 1e-6,
+        "central_difference": "ThreePoint",
+        "wavenum": 0,
+        "wavemax": 0,
+        "output": {
+            "screen_update": steps,
+            "file_type": "Json",
+            "save_wavefns": False,
+            "save_potential": False,
+        },
+        "potential": "Harmonic",
+        "mass": 1.0,
+        "init_condition": "Boolean",
+        "sig": 1.0,
+        "init_symmetry": "NotConstrained",
+        "precision": "f32",
+    }
+    for k, v in over.items():
+        if isinstance(v, dict):
+            raw[k].update(v)
+        else:
+            raw[k] = v
+    return Config.from_dict(raw)
+
+
+def kgs_bench():
+    from wafer_tpu import geometry
+    from wafer_tpu.models import initial, potentials as pmod
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    n, steps = 256, 200
+    cfg = _harmonic_cfg(n, n, n, steps)
+    order, ext = "ThreePoint", 1
+    dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    analytic = ("Harmonic", dn, dt, mass, n, n, n)
+
+    rng = np.random.default_rng(0)
+    phi = initial.set_initial_conditions(cfg).astype(jnp.float32)
+    lower = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()).astype(np.float32)), ext
+    )
+    lower = lower / jnp.sqrt(jnp.sum(lower * lower))
+
+    # 1-step carried path (the round-1 number)
+    store_x = jnp.stack([pk.to_xpad(lower, ext)])
+
+    def chunk1(p):
+        return pk.evolve_chunk_fused(
+            p, None, store_x, order, dt, dn, mass, steps, 1, analytic=analytic
+        )
+
+    time_chain(chunk1, pk.to_xpad(phi, ext), steps, n ** 3, "excited 1-step S=1 analytic")
+
+    # kgs K=2 path
+    sl_x, _n2, _ov = pk.evolve_step_fused(
+        pk.to_xpad(lower, ext), None, None, order, scale, 0, False, analytic=analytic
+    )
+    sl = pk.from_xpad(sl_x, ext)
+    store2 = jnp.stack([pk.to_xpad_k(w, ext, 2) for w in (lower, sl)])
+    l_flat = lower.reshape(1, -1)
+    sl_flat = sl.reshape(1, -1)
+    gram_g = sl_flat @ sl_flat.T
+    gram_h = l_flat @ sl_flat.T
+
+    def chunk2(p):
+        return pk.evolve_chunk_fused_kgs(
+            p, None, store2, gram_g, gram_h, order, dt, dn, mass, steps, 1,
+            analytic=analytic,
+        )
+
+    time_chain(chunk2, pk.to_xpad_k(phi, ext, 2), steps, n ** 3, "excited kgs K=2 S=1 analytic")
+
+    # kgs S=0 (per-step-norm ground guard)
+    def chunk0(p):
+        return pk.evolve_chunk_fused_kgs(
+            p, None, None, None, None, order, dt, dn, mass, steps, 0,
+            analytic=analytic,
+        )
+
+    time_chain(chunk0, pk.to_xpad_k(phi, ext, 2), steps, n ** 3, "psn ground kgs K=2 analytic")
+
+
+def k3_bench():
+    """Ground-state K=2 vs K=3 analytic-B at 256^3: the measured roofline
+    (benchmarks/roofline.py: copy ~690 GB/s) shows headroom above the K=2
+    number, so deeper temporal blocking may now pay off."""
+    from wafer_tpu import geometry
+    from wafer_tpu.models import initial
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    n, steps = 256, 198  # divisible by 2 and 3
+    cfg = _harmonic_cfg(n, n, n, steps)
+    order, ext = "ThreePoint", 1
+    dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
+    analytic = ("Harmonic", dn, dt, mass, n, n, n)
+    phi = initial.set_initial_conditions(cfg).astype(jnp.float32)
+
+    for kf in (2, 3, 4):
+        itemsize = 4
+        if not pk.k_fuse_supported(n, n, n, ext, itemsize, kf, True):
+            print(json.dumps({"k": kf, "skipped": "VMEM"}))
+            continue
+
+        def chunk(p, _kf=kf):
+            return pk.evolve_chunk_fused_k(
+                p, None, order, dt, dn, mass, steps - steps % _kf, _kf,
+                analytic=analytic,
+            )
+
+        time_chain(
+            chunk, pk.to_xpad_k(phi, ext, kf), steps - steps % kf, n ** 3,
+            f"ground K={kf} analytic",
+        )
+
+
+def kgs_e2e():
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.chdir(d)
+    os.makedirs("input", exist_ok=True)
+    from wafer_tpu import solver
+    from wafer_tpu.io import run_dir
+
+    cfg = _harmonic_cfg(
+        64, 64, 128, 200,
+        grid={"dn": 0.15, "dt": 0.005},
+        wavemax=1,
+        max_steps=200000,
+        init_condition="Constant",
+    )
+    run_dir.check_output_dir(cfg.project_name)
+    t0 = time.perf_counter()
+    results = solver.run(cfg, seed=3)
+    wall = time.perf_counter() - t0
+    for r in results:
+        e = r.observables.energy / r.observables.norm2
+        print(json.dumps({"state": r.wnum, "E": float(np.real(e)), "steps": r.steps}))
+    print(json.dumps({"bench": "kgs_e2e harmonic 64x64x128", "wall_s": round(wall, 1)}))
+
+
+def sharded_bench():
+    from wafer_tpu import geometry
+    from wafer_tpu.models import initial, potentials as pmod
+    from wafer_tpu.parallel.mesh import make_mesh
+    from wafer_tpu.parallel.sharded import ShardedOps
+
+    n, steps = 256, 200
+    cfg = _harmonic_cfg(n, n, n, steps)
+    ext = 1
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    ops = ShardedOps(cfg, mesh, 0, use_pallas=True)
+    print(json.dumps({"k_fuse": ops.k_fuse, "analytic": ops.analytic is not None}))
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    phi = ops.put(geometry.work_area(initial.set_initial_conditions(cfg), ext).astype(jnp.float32))
+    a_d = ops.put(geometry.work_area(a, ext))
+    b_d = ops.put(geometry.work_area(b, ext))
+    store = ops.put_store(None)
+
+    def chunk(p):
+        return ops.evolve_chunk(p, a_d, b_d, store)
+
+    time_chain(chunk, phi, steps, n ** 3, "sharded 1x1x1 ground K-fused analytic")
+
+
+def cornell4():
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.chdir(d)
+    os.makedirs("input", exist_ok=True)
+    from wafer_tpu import errors, solver
+    from wafer_tpu.config import Config
+    from wafer_tpu.io import run_dir
+
+    def cfg_raw(wavenum, wavemax, max_steps):
+        return Config.from_dict(
+            {
+                "project_name": "cornell4",
+                "grid": {"size": {"x": 128, "y": 128, "z": 128}, "dn": 0.35, "dt": 0.04},
+                "tolerance": 1e-6,
+                "central_difference": "ThreePoint",
+                "wavenum": wavenum,
+                "wavemax": wavemax,
+                "max_steps": max_steps,
+                "output": {
+                    "screen_update": 500,
+                    "snap_update": 2000,
+                    "file_type": "Json",
+                    "save_wavefns": True,
+                    "save_potential": False,
+                },
+                "potential": "SimpleCornell",
+                "mass": 4.65,
+                "sig": 0.223,
+                "init_condition": "Gaussian",
+                "init_symmetry": "NotConstrained",
+                "precision": "f32",
+                "seed": 11,
+            }
+        )
+
+    # Phase 1: run 4 states but interrupt state 1 via max_steps
+    t0 = time.perf_counter()
+    cfg1 = cfg_raw(0, 3, 6000)
+    run_dir.check_output_dir(cfg1.project_name)
+    interrupted = False
+    try:
+        solver.run(cfg1, seed=11)
+    except errors.MaxStepError:
+        interrupted = True
+    wall1 = time.perf_counter() - t0
+    print(json.dumps({"phase": 1, "interrupted": interrupted, "wall_s": round(wall1, 1)}))
+
+    # Stage outputs as inputs: converged state 0 + state 1 partial snapshot
+    out_dir = run_dir.get_project_dir(cfg1.project_name)
+    for f in os.listdir(out_dir):
+        if f.startswith("wavefunction_"):
+            shutil.copy(os.path.join(out_dir, f), os.path.join("input", f))
+            print(json.dumps({"staged": f}))
+
+    # Phase 2: restart from snapshot, converge states 1..3
+    run_dir.reset_proj_date()
+    cfg2 = cfg_raw(1, 3, 400000)
+    run_dir.check_output_dir(cfg2.project_name)
+    t0 = time.perf_counter()
+    results = solver.run(cfg2, seed=11)
+    wall2 = time.perf_counter() - t0
+    n_pts = 128 ** 3
+    tot_steps = sum(r.steps for r in results)
+    for r in results:
+        e = float(np.real(r.observables.energy / r.observables.norm2))
+        vinf = r.observables.v_infinity / r.observables.norm2
+        print(json.dumps({
+            "state": r.wnum, "E_GeV": round(e, 6),
+            "binding_GeV": round(e - float(vinf), 6), "steps": r.steps,
+        }))
+    print(json.dumps({
+        "phase": 2, "wall_s": round(wall2, 1),
+        "updates_per_s": f"{n_pts * tot_steps / wall2:.3e}",
+    }))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "kgs_bench"
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}  cmd={cmd}")
+    {
+        "kgs_bench": kgs_bench,
+        "kgs_e2e": kgs_e2e,
+        "sharded_bench": sharded_bench,
+        "cornell4": cornell4,
+    }[cmd]()

@@ -501,3 +501,173 @@ def test_zt_kernel_analytic_b(monkeypatch):
         analytic=analytic,
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=5e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# K=2 temporal blocking WITH per-step normalise + Gram-Schmidt (kgs)
+# --------------------------------------------------------------------------- #
+
+
+def _kgs_setup(n_lower, seed=21, n=16):
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": n, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+    )
+    ext = 1
+    rng = np.random.default_rng(seed)
+    phi_pad = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()).astype(np.float32)), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    b_int = geometry.work_area(b, ext)
+    lowers = []
+    for _ in range(n_lower):
+        l = geometry.zero_boundary(
+            jnp.asarray(rng.normal(size=cfg.padded_size()).astype(np.float32)), ext
+        )
+        l = l / jnp.sqrt(jnp.sum(l * l))
+        lowers.append(l)
+    return cfg, ext, phi_pad, v, a, b, b_int, lowers
+
+
+def _kgs_inputs(cfg, ext, phi_pad, b_int, lowers, order="ThreePoint"):
+    """Build the kgs chunk inputs: K=2 layouts, swept lowers, Gram mats."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = cfg.grid.dt / (k * cfg.grid.dn ** 2 * cfg.mass)
+    sls = []
+    for l in lowers:
+        sl_x, _n2, _ov = pk.evolve_step_fused(
+            pk.to_xpad(l, ext), b_int, None, order, scale, 0, False, True
+        )
+        sls.append(pk.from_xpad(sl_x, ext))
+    store2 = (
+        jnp.stack([pk.to_xpad_k(w, ext, 2) for w in list(lowers) + sls])
+        if lowers
+        else None
+    )
+    if lowers:
+        l_flat = jnp.stack([w.reshape(-1) for w in lowers])
+        sl_flat = jnp.stack([w.reshape(-1) for w in sls])
+        gram_g = sl_flat @ sl_flat.T
+        gram_h = l_flat @ sl_flat.T
+    else:
+        gram_g = gram_h = None
+    b_xpad = pk.b_to_xpad_k(b_int, ext, 2)
+    return pk.to_xpad_k(phi_pad, ext, 2), b_xpad, store2, gram_g, gram_h
+
+
+@pytest.mark.parametrize("n_lower", [1, 2])
+def test_kgs_matches_one_step_fused(n_lower):
+    """K=2 GS-fused chunk == the 1-step carried-coefficient fused chunk
+    (same joint-projection semantics) to f32 rounding, interpret mode."""
+    order = "ThreePoint"
+    cfg, ext, phi_pad, v, a, b, b_int, lowers = _kgs_setup(n_lower)
+    store_x = jnp.stack([pk.to_xpad(w, ext) for w in lowers])
+    ref = pk.from_xpad(
+        pk.evolve_chunk_fused(
+            pk.to_xpad(phi_pad, ext), b_int, store_x, order,
+            cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, n_lower, interpret=True,
+        ),
+        ext,
+    )
+    phi2, b_xpad, store2, gram_g, gram_h = _kgs_inputs(cfg, ext, phi_pad, b_int, lowers)
+    out = pk.from_xpad_k(
+        pk.evolve_chunk_fused_kgs(
+            phi2, b_xpad, store2, gram_g, gram_h, order,
+            cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, n_lower, interpret=True,
+        ),
+        ext,
+        2,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=1e-5)
+
+
+def test_kgs_matches_xla_sequential():
+    """K=2 GS-fused chunk == the XLA per-step normalise+project sweep
+    (the reference semantics, src/grid.rs:674-681), one stored state."""
+    from wafer_tpu.ops import stencil
+
+    order = "ThreePoint"
+    cfg, ext, phi_pad, v, a, b, b_int, lowers = _kgs_setup(1, seed=22)
+    stacked = jnp.stack(lowers)
+    ref = np.asarray(
+        geometry.work_area(
+            stencil.evolve_chunk(
+                phi_pad, a, b, stacked, order, cfg.grid.dt, cfg.grid.dn,
+                cfg.mass, 4, 1,
+            ),
+            ext,
+        )
+    )
+    phi2, b_xpad, store2, gram_g, gram_h = _kgs_inputs(cfg, ext, phi_pad, b_int, lowers)
+    out = np.asarray(
+        geometry.work_area(
+            pk.from_xpad_k(
+                pk.evolve_chunk_fused_kgs(
+                    phi2, b_xpad, store2, gram_g, gram_h, order,
+                    cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 1, interpret=True,
+                ),
+                ext,
+                2,
+            ),
+            ext,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=1e-5)
+
+
+def test_kgs_per_step_norm_ground():
+    """S=0 variant: per-step-renormalised ground chunk (the f32 scale-drift
+    guard) at two steps per HBM pass == XLA per_step_norm chunk."""
+    from wafer_tpu.ops import stencil
+
+    order = "ThreePoint"
+    cfg, ext, phi_pad, v, a, b, b_int, _ = _kgs_setup(0, seed=23)
+    ref = np.asarray(
+        geometry.work_area(
+            stencil.evolve_chunk(
+                phi_pad, a, b, None, order, cfg.grid.dt, cfg.grid.dn,
+                cfg.mass, 4, 0, per_step_norm=True,
+            ),
+            ext,
+        )
+    )
+    phi2, b_xpad, _s, _g, _h = _kgs_inputs(cfg, ext, phi_pad, b_int, [])
+    out = np.asarray(
+        geometry.work_area(
+            pk.from_xpad_k(
+                pk.evolve_chunk_fused_kgs(
+                    phi2, b_xpad, None, None, None, order,
+                    cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 0, interpret=True,
+                ),
+                ext,
+                2,
+            ),
+            ext,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=1e-5)
+
+
+def test_kgs_analytic_b():
+    """Analytic-B kgs (no B stream) == streamed-B kgs, interpret mode."""
+    order = "ThreePoint"
+    cfg, ext, phi_pad, v, a, b, b_int, lowers = _kgs_setup(1, seed=24)
+    phi2, b_xpad, store2, gram_g, gram_h = _kgs_inputs(cfg, ext, phi_pad, b_int, lowers)
+    ref = np.asarray(
+        pk.evolve_chunk_fused_kgs(
+            phi2, b_xpad, store2, gram_g, gram_h, order,
+            cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 1, interpret=True,
+        )
+    )
+    g = cfg.grid
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+    out = np.asarray(
+        pk.evolve_chunk_fused_kgs(
+            phi2, None, store2, gram_g, gram_h, order,
+            cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 1,
+            analytic=analytic, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

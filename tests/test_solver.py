@@ -219,3 +219,40 @@ def test_deep_well_f32_overflow_guard(tmp_run):
     results = solver.run(cfg)
     e0 = results[0].observables.energy / results[0].observables.norm2
     assert results[0].converged and -101.0 < e0 < -10.0, e0
+
+
+def test_solver_kgs_dispatch_end_to_end(tmp_run, monkeypatch):
+    """solve()'s excited-state dispatch onto the K=2 GS-fused kernel
+    (interpret mode, backend gate spoofed): energies match the XLA path."""
+    import functools
+
+    import jax
+
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    common = dict(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-5,
+        potential="Harmonic",
+        init_condition="Constant",
+        output={"screen_update": 50, "file_type": "Json"},
+        max_steps=20000,
+        wavemax=1,
+    )
+    run_dir.check_output_dir("test")
+    cfg_x = base_config(**common)
+    cfg_x.backend = "xla"
+    ref = solver.run(cfg_x, seed=5)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for fn in ("evolve_step_fused", "evolve_chunk_fused", "evolve_chunk_fused_k",
+               "evolve_chunk_fused_kgs"):
+        monkeypatch.setattr(pk, fn, functools.partial(getattr(pk, fn), interpret=True))
+    cfg_p = base_config(**common)
+    out = solver.run(cfg_p, seed=5)
+
+    for r_ref, r_out in zip(ref, out):
+        e_ref = r_ref.observables.energy / r_ref.observables.norm2
+        e_out = r_out.observables.energy / r_out.observables.norm2
+        assert abs(e_ref - e_out) < 2e-4, (r_ref.wnum, e_ref, e_out)

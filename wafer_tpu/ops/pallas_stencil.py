@@ -1288,3 +1288,425 @@ def evolve_chunk_fused(
     # materialise the last step's pending correction
     proj = jnp.tensordot(coef[1:, 0], store_xpad, axes=1)
     return phi * coef[0, 0] - proj
+
+
+# --------------------------------------------------------------------------- #
+# K=2 temporal blocking WITH per-step normalise + Gram-Schmidt
+# (excited states; also the per-step-norm ground-state guard at S=0)
+# --------------------------------------------------------------------------- #
+#
+# The reference renormalises and projects after *every* step
+# (src/grid.rs:674-681), which looks like it forbids temporal blocking. But
+# the per-step correction is affine and the sweep S is linear:
+#
+#     ψ_{t+1}^raw = S(inv_t·ψ_t^raw − Σ_s corr_{t,s}·l_s)
+#                 = inv_t·S(ψ_t^raw) − Σ_s corr_{t,s}·Sl_s ,   Sl_s ≡ S(l_s)
+#
+# with Sl_s precomputed once per state (l_s is fixed for the whole solve).
+# One HBM pass can therefore run TWO trapezoidal sweeps and defer the
+# mid-pass correction algebraically: the kernel emits w = S(S(ψ̃)) plus the
+# reductions of the intermediate u = S(ψ̃) (‖u‖², ⟨l_s|u⟩ — accumulated over
+# each program's exclusive rows, since neighbouring windows overlap) and of
+# w (‖w‖², ⟨l_s|w⟩, ⟨Sl_s|w⟩). Scalar algebra between passes, using the
+# per-state Gram matrices G_st = ⟨Sl_s|Sl_t⟩ and H_st = ⟨l_s|Sl_t⟩,
+# reconstructs the exact next coefficients over the doubled basis
+# {l_s, Sl_s}:
+#
+#     inv₁ = 1/‖u‖,  corr₁ₛ = ⟨l_s|u⟩·inv₁
+#     ‖ψ₂‖² = inv₁²‖w‖² − 2·inv₁·Σₛ corr₁ₛ⟨Sl_s|w⟩ + corr₁ᵀ G corr₁
+#     ⟨l_s|ψ₂⟩ = inv₁⟨l_s|w⟩ − Σ_t H_st corr₁_t
+#
+# Exact in exact arithmetic (per-step semantics preserved); f32 equivalence
+# vs the sequential path is tested to tolerance. HBM traffic per two steps:
+# ψ read + write + 2S lower streams, vs 2·(2+S) for two 1-step passes — a
+# 1.5× cut at S=1 with analytic-B.
+
+
+def _evolve_kernel_kgs(
+    # inputs
+    phi_hbm,  # (NX+4e, NY, NZ) ANY
+    b_hbm,  # (NX+2e, NY, NZ) ANY (stub when analytic)
+    store_hbm,  # (2S·(NX+4e), NY, NZ) ANY — [l_0..l_{S−1}, Sl_0..Sl_{S−1}]
+    coef_smem,  # (1+2S, 1) SMEM: [c₀, c_l…, c_Sl…]
+    xorg_smem,  # (1, 1) SMEM i32 — shard's global interior x origin
+    edge_smem,  # (2, 1) SMEM i32 — [at_global_lo, at_global_hi]
+    # outputs
+    out_hbm,  # (NX+4e, NY, NZ) ANY
+    red_u,  # (1+S, 1) SMEM: [‖u‖², ⟨l_s|u⟩…]
+    red_w,  # (1+2S, 1) SMEM: [‖w‖², ⟨l_s|w⟩…, ⟨Sl_s|w⟩…]
+    # scratch
+    window,  # (2, TX+4e, NY, NZ) VMEM — double-buffered ψ windows
+    pong,  # (TX+2e, NY, NZ) VMEM — intermediate u
+    b_slab,  # (TX+2e, NY, NZ) VMEM (stub when analytic)
+    result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
+    lower_slab,  # (2S·(TX+4e), NY, NZ) VMEM
+    zeros_halo,  # (2e, NY, NZ) VMEM
+    sem_in,  # DMA (2,)
+    sem_b,
+    sem_lower,  # DMA (2S,)
+    sem_out,  # DMA (2,)
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    n_lower: int,
+    analytic=None,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    pad = 2 * ext
+    win_rows = tx + 2 * pad
+    n_store = 2 * n_lower
+    at_lo = edge_smem[0, 0] == 1
+    at_hi = edge_smem[1, 0] == 1
+    nxp_rows = phi_hbm.shape[0]
+
+    def in_copy(win, to_slot):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(win * tx, win_rows)],
+            window.at[to_slot],
+            sem_in.at[to_slot],
+        )
+
+    @pl.when(i == 0)
+    def _first_window():
+        in_copy(jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(i + 1 < nprog)
+    def _prefetch():
+        in_copy(i + 1, next_slot).start()
+
+    if analytic is None:
+        b_copy = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(i * tx, tx + 2 * ext)], b_slab, sem_b
+        )
+        b_copy.start()
+
+    lower_copies = []
+    for j in range(n_store):
+        lc = pltpu.make_async_copy(
+            store_hbm.at[pl.ds(jnp.int32(j * nxp_rows) + i * tx, win_rows)],
+            lower_slab.at[pl.ds(jnp.int32(j * win_rows), win_rows)],
+            sem_lower.at[jnp.int32(j)],
+        )
+        lc.start()
+        lower_copies.append(lc)
+
+    @pl.when(jnp.logical_and(i == 0, at_lo))
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        c = pltpu.make_async_copy(zeros_halo, out_hbm.at[pl.ds(0, pad)], sem_halo)
+        c.start()
+        c.wait()
+
+    @pl.when(jnp.logical_and(i == nprog - 1, at_hi))
+    def _zero_hi():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        c = pltpu.make_async_copy(
+            zeros_halo, out_hbm.at[pl.ds(nxp_rows - pad, pad)], sem_halo
+        )
+        c.start()
+        c.wait()
+
+    @pl.when(i >= 2)
+    def _drain_prev_out():
+        pltpu.make_async_copy(
+            result.at[slot], out_hbm.at[pl.ds((i - 2) * tx + pad, tx)], sem_out.at[slot]
+        ).wait()
+
+    @pl.when(i == 0)
+    def _init_reductions():
+        for r in range(1 + n_lower):
+            red_u[r, 0] = jnp.zeros((), red_u.dtype)
+        for r in range(1 + n_store):
+            red_w[r, 0] = jnp.zeros((), red_w.dtype)
+
+    in_copy(i, slot).wait()
+    for lc in lower_copies:
+        lc.wait()
+    if analytic is None:
+        b_copy.wait()
+
+    # pending affine correction: ψ̃ = c₀·ψ − Σⱼ cⱼ·lowerⱼ over {l_s, Sl_s}
+    win = window[slot] * coef_smem[0, 0]
+    for j in range(n_store):
+        win = win - coef_smem[j + 1, 0] * lower_slab[
+            j * win_rows : (j + 1) * win_rows
+        ]
+
+    def b_rows(rows_out, b_off):
+        if analytic is None:
+            return b_slab[b_off : b_off + rows_out]
+        # padded coord of output row r: i·tx + b_off − ext + ext + r + xorg
+        x0 = (i * tx + jnp.int32(b_off) + xorg_smem[0, 0]).astype(jnp.float32)
+        shp = (rows_out, phi_hbm.shape[1], phi_hbm.shape[2])
+        return _analytic_b(analytic, shp, x0, ext, ext)
+
+    def step(read, rows_out, b_off):
+        c = read(ext, rows_out)
+        acc = -center_c * c
+        for off, cf in zip(offsets, coeffs):
+            acc = acc + cf * (read(ext + off, rows_out) + read(ext - off, rows_out))
+            acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
+            acc = acc + cf * (_shift_z(c, off) + _shift_z(c, -off))
+        b = b_rows(rows_out, b_off)
+        return 2.0 * (b * c) - c + b * (scale * acc)
+
+    # step 1: u over tx+2e rows (coords [i·tx−e, i·tx+tx+e))
+    u = step(lambda r0, rows: win[r0 : r0 + rows], tx + 2 * ext, 0)
+    pong[...] = u
+    # re-zero beyond-boundary intermediate rows at true global edges only
+    @pl.when(jnp.logical_and(i == 0, at_lo))
+    def _mask_lo():
+        pong[0:ext] = jnp.zeros_like(pong[0:ext])
+
+    @pl.when(jnp.logical_and(i == nprog - 1, at_hi))
+    def _mask_hi():
+        rows = tx + 2 * ext
+        pong[rows - ext : rows] = jnp.zeros_like(pong[rows - ext : rows])
+
+    # reductions of u over this program's exclusive rows [i·tx, i·tx+tx)
+    u_ex = pong[ext : ext + tx]
+    red_u[0, 0] += jnp.sum(u_ex * u_ex)
+    for s in range(n_lower):
+        red_u[s + 1, 0] += jnp.sum(
+            lower_slab[s * win_rows + pad : s * win_rows + pad + tx] * u_ex
+        )
+
+    # step 2: w over tx rows
+    w = step(lambda r0, rows: pong[r0 : r0 + rows], tx, ext)
+    result[slot] = w
+    pltpu.make_async_copy(
+        result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+    ).start()
+
+    red_w[0, 0] += jnp.sum(w * w)
+    for j in range(n_store):
+        red_w[j + 1, 0] += jnp.sum(
+            lower_slab[j * win_rows + pad : j * win_rows + pad + tx] * w
+        )
+
+    @pl.when(i == nprog - 1)
+    def _drain_tail():
+        pltpu.make_async_copy(
+            result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+        ).wait()
+
+    if nprog > 1:
+
+        @pl.when(i == nprog - 1)
+        def _drain_other():
+            pltpu.make_async_copy(
+                result.at[next_slot],
+                out_hbm.at[pl.ds((i - 1) * tx + pad, tx)],
+                sem_out.at[next_slot],
+            ).wait()
+
+
+def _pick_tx_kgs(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                 n_lower: int, analytic_b: bool = False):
+    plane = ny * nz * itemsize
+    for tx in (32, 16, 8, 4, 2, 1):
+        if nx % tx:
+            continue
+        need = (
+            2 * (tx + 4 * ext) * plane       # ψ windows
+            + (tx + 2 * ext) * plane          # pong (u)
+            + (0 if analytic_b else (tx + 2 * ext) * plane)  # b
+            + 2 * tx * plane                  # results
+            + 2 * n_lower * (tx + 4 * ext) * plane  # lower windows
+        )
+        if need <= _VMEM_BUDGET:
+            return tx
+    return None
+
+
+def kgs_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                  n_lower: int, analytic_b: bool = False) -> bool:
+    return _pick_tx_kgs(nx, ny, nz, ext, itemsize, n_lower, analytic_b) is not None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "scale", "n_lower", "interpret", "analytic"),
+)
+def evolve_steps_fused_kgs(
+    phi_xpad2: jnp.ndarray,
+    b_xpad: Optional[jnp.ndarray],
+    store2: Optional[jnp.ndarray],
+    coef: jnp.ndarray,
+    order: str,
+    scale: float,
+    n_lower: int,
+    interpret: bool = False,
+    analytic=None,
+    x_origin=None,
+    edges=None,
+):
+    """Two fused sweeps with deferred per-step normalise/GS (see above).
+
+    Args:
+      phi_xpad2: (NX+4e, NY, NZ) — the K=2 x-pad layout (``to_xpad_k`` k=2).
+      b_xpad: (NX+2e, NY, NZ) or None (analytic).
+      store2: (2S, NX+4e, NY, NZ) stacked [l_s…, Sl_s…] in the same layout,
+        or None when ``n_lower == 0``.
+      coef: (1+2S, 1) pending affine correction [c₀, c_l…, c_Sl…].
+
+    Returns:
+      (w_xpad2, red_u[(1+S,1)], red_w[(1+2S,1)]).
+    """
+    ext = _EXT[order]
+    nxp, ny, nz = phi_xpad2.shape
+    nx = nxp - 4 * ext
+    dtype = phi_xpad2.dtype
+    tx = _pick_tx_kgs(nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None)
+    if tx is None:
+        raise ValueError(
+            f"K=2 GS-fused sweep does not fit VMEM for plane {ny}x{nz}"
+        )
+    if b_xpad is None:
+        assert analytic is not None
+        b_xpad = jnp.zeros((1, 1, 1), dtype=dtype)
+    if store2 is None or n_lower == 0:
+        store2 = jnp.zeros((1, nxp, ny, nz), dtype=dtype)
+    n_store = 2 * n_lower
+    store_flat = store2.reshape(store2.shape[0] * nxp, ny, nz)
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
+    if edges is None:
+        edges = jnp.ones((2, 1), jnp.int32)
+    else:
+        edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
+
+    kernel = functools.partial(
+        _evolve_kernel_kgs,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        n_lower=n_lower,
+        analytic=analytic,
+    )
+    b_rows_alloc = 1 if analytic is not None else tx + 2 * ext
+    lower_rows_alloc = max(n_store, 1) * (tx + 4 * ext)
+
+    with jax.enable_x64(False):
+        out, red_u, red_w = pl.pallas_call(
+            kernel,
+            grid=(nx // tx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+                jax.ShapeDtypeStruct((1 + n_lower, 1), dtype),
+                jax.ShapeDtypeStruct((1 + n_store, 1), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, tx + 4 * ext, ny, nz), dtype),
+                pltpu.VMEM((tx + 2 * ext, ny, nz), dtype),
+                pltpu.VMEM((b_rows_alloc, ny, nz), dtype),
+                pltpu.VMEM((2, tx, ny, nz), dtype),
+                pltpu.VMEM((lower_rows_alloc, ny, nz), dtype),
+                pltpu.VMEM((2 * ext, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((max(n_store, 1),)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(phi_xpad2, b_xpad, store_flat, coef, x_origin, edges)
+    return out, red_u, red_w
+
+
+def kgs_coef_update(red_u, red_w, gram_g, gram_h, n_lower: int, dtype):
+    """Scalar algebra between K=2 GS-fused passes (see module comment)."""
+    inv1 = 1.0 / jnp.sqrt(red_u[0, 0])
+    if n_lower == 0:
+        inv2 = 1.0 / jnp.sqrt(inv1 * inv1 * red_w[0, 0])
+        return (inv2 * inv1).reshape(1, 1).astype(dtype)
+    s = n_lower
+    corr1 = red_u[1:, 0] * inv1
+    ov_l_w = red_w[1 : 1 + s, 0]
+    ov_sl_w = red_w[1 + s :, 0]
+    n2_2 = (
+        inv1 * inv1 * red_w[0, 0]
+        - 2.0 * inv1 * jnp.dot(corr1, ov_sl_w)
+        + corr1 @ gram_g @ corr1
+    )
+    ov2 = inv1 * ov_l_w - gram_h @ corr1
+    inv2 = 1.0 / jnp.sqrt(n2_2)
+    return jnp.concatenate(
+        [
+            (inv2 * inv1).reshape(1, 1),
+            (ov2 * inv2).reshape(s, 1),
+            (inv2 * corr1).reshape(s, 1),
+        ]
+    ).astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "dt", "dn", "mass", "n_steps", "n_lower", "analytic", "interpret"
+    ),
+)
+def evolve_chunk_fused_kgs(
+    phi_xpad2: jnp.ndarray,
+    b_xpad: Optional[jnp.ndarray],
+    store2: Optional[jnp.ndarray],
+    gram_g: Optional[jnp.ndarray],
+    gram_h: Optional[jnp.ndarray],
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    n_lower: int,
+    analytic=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``n_steps`` sweeps (must be even) with per-step normalise + GS, two
+    per HBM pass. Preserves the reference's per-step semantics
+    (src/grid.rs:674-681) exactly in exact arithmetic; see the module
+    comment for the deferred-correction algebra."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    assert n_steps % 2 == 0
+    dtype = phi_xpad2.dtype
+    s = n_lower
+    coef0 = jnp.concatenate(
+        [jnp.ones((1, 1), dtype), jnp.zeros((2 * s, 1), dtype)]
+    )
+
+    def body(_i, carry):
+        phi, coef = carry
+        phi, red_u, red_w = evolve_steps_fused_kgs(
+            phi, b_xpad, store2, coef, order, scale, s, interpret, analytic
+        )
+        coef = kgs_coef_update(red_u, red_w, gram_g, gram_h, s, dtype)
+        return phi, coef
+
+    phi, coef = jax.lax.fori_loop(0, n_steps // 2, body, (phi_xpad2, coef0))
+    if s:
+        proj = jnp.tensordot(coef[1:, 0], store2, axes=1)
+        return phi * coef[0, 0] - proj
+    return phi * coef[0, 0]

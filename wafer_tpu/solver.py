@@ -266,6 +266,44 @@ def solve(
         if k_fuse > 1:
             b_xpad_k = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, k_fuse)
 
+        # K=2 temporal blocking *with* per-step normalise + Gram-Schmidt
+        # (excited states, and the per-step-norm drift guard at S=0): the
+        # per-step correction is deferred algebraically across the two
+        # in-pass sweeps using the precomputed swept lower states
+        # Sl_s = S(l_s) and their Gram matrices — exact per-step semantics,
+        # ~1.5× less HBM traffic (see ops/pallas_stencil._evolve_kernel_kgs).
+        kgs = config.output.screen_update % 2 == 0 and pk.kgs_supported(
+            nx, ny, nz, ext, itemsize, n_lower, analytic is not None
+        )
+        if kgs:
+            b_xpad2 = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, 2)
+            _scale = dt / (
+                geometry.stencil_coefficients(order)[3] * dn * dn * mass
+            )
+            if n_lower > 0:
+                sls = []
+                for w in w_store[:n_lower]:
+                    sl_x, _n2, _ov = pk.evolve_step_fused(
+                        pk.to_xpad(w, ext),
+                        None if analytic is not None else b_int,
+                        None,
+                        order,
+                        _scale,
+                        0,
+                        False,
+                        analytic=analytic,
+                    )
+                    sls.append(pk.from_xpad(sl_x, ext))
+                store2 = jnp.stack(
+                    [pk.to_xpad_k(w, ext, 2) for w in list(w_store[:n_lower]) + sls]
+                )
+                l_flat = jnp.stack([w.reshape(-1) for w in w_store[:n_lower]])
+                sl_flat = jnp.stack([w.reshape(-1) for w in sls])
+                gram_g = sl_flat @ sl_flat.T
+                gram_h = l_flat @ sl_flat.T
+            else:
+                store2 = gram_g = gram_h = None
+
     terminal.print_observable_header(wnum)
 
     step = 0
@@ -436,9 +474,28 @@ def solve(
                     ext,
                     k_fuse,
                 )
+            elif kgs and (n_lower > 0 or per_step_norm):
+                # excited states / per-step-norm ground: two sweeps per HBM
+                # pass with the correction deferred algebraically
+                phi = pk.from_xpad_k(
+                    pk.evolve_chunk_fused_kgs(
+                        pk.to_xpad_k(phi, ext, 2),
+                        b_xpad2,
+                        store2,
+                        gram_g,
+                        gram_h,
+                        order,
+                        dt,
+                        dn,
+                        mass,
+                        config.output.screen_update,
+                        n_lower,
+                        analytic=analytic,
+                    ),
+                    ext,
+                    2,
+                )
             else:
-                # per_step_norm forces the 1-step path: renormalisation
-                # between fused sub-steps cannot be carried through K-fusion
                 phi = pk.from_xpad(
                     pk.evolve_chunk_fused(
                         pk.to_xpad(phi, ext),
