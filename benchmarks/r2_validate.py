@@ -78,11 +78,13 @@ def _harmonic_cfg(nx, ny, nz, steps, **over):
 
 
 def kgs_bench():
+    import os
+
     from wafer_tpu import geometry
     from wafer_tpu.models import initial, potentials as pmod
     from wafer_tpu.ops import pallas_stencil as pk
 
-    n, steps = 256, 200
+    n, steps = int(os.environ.get("KGS_N", "256")), 200
     cfg = _harmonic_cfg(n, n, n, steps)
     order, ext = "ThreePoint", 1
     dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
@@ -307,6 +309,7 @@ if __name__ == "__main__":
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}  cmd={cmd}")
     {
         "kgs_bench": kgs_bench,
+        "k3_bench": k3_bench,
         "kgs_e2e": kgs_e2e,
         "sharded_bench": sharded_bench,
         "cornell4": cornell4,

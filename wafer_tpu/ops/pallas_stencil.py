@@ -1531,6 +1531,36 @@ def kgs_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
     return _pick_tx_kgs(nx, ny, nz, ext, itemsize, n_lower, analytic_b) is not None
 
 
+def kgs_profitable(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                   n_lower: int, analytic_b: bool = False) -> bool:
+    """Whether the K=2 GS-fused pass beats two 1-step passes on predicted
+    HBM traffic. The sweep is bandwidth-bound, and at VMEM-constrained slab
+    heights the (tx+4e)/tx window-overlap amplification can eat the fusion
+    gain — measured on-chip at 256³ S=1: ratio 0.80 predicted 4/5 by this
+    model. Per-step plane-traffic model (amp = window rows / output rows):
+
+      1-step:  amp₁·(1+S) + 1 + (B stream: 1 unless analytic)
+      kgs/2:  (amp₂·(1+2S) + 1 + (B: (tx+2e)/tx unless analytic)) / 2
+    """
+    tx2 = _pick_tx_kgs(nx, ny, nz, ext, itemsize, n_lower, analytic_b)
+    if tx2 is None:
+        return False
+    tx1 = _pick_tx(nx, ny, nz, ext, itemsize, n_lower, analytic_b)
+    if tx1 is None:
+        # the 1-step alternative is the z-tiled kernel (already paying halo
+        # re-reads); treat fitting kgs as profitable
+        return True
+    amp1 = (tx1 + 2 * ext) / tx1
+    amp2 = (tx2 + 4 * ext) / tx2
+    t1 = amp1 * (1 + n_lower) + 1 + (0.0 if analytic_b else 1.0)
+    t2 = (
+        amp2 * (1 + 2 * n_lower)
+        + 1
+        + (0.0 if analytic_b else (tx2 + 2 * ext) / tx2)
+    ) / 2.0
+    return t2 < 0.95 * t1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("order", "scale", "n_lower", "interpret", "analytic"),

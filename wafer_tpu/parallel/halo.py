@@ -44,12 +44,14 @@ def _pad_axis(block: jnp.ndarray, ext: int, axis: int, axis_name: str, axis_size
     return jnp.concatenate([from_left, block, from_right], axis=axis)
 
 
-def exchange_halos(block: jnp.ndarray, ext: int, mesh_shape) -> jnp.ndarray:
+def exchange_halos(block: jnp.ndarray, ext: int, mesh_shape, axis_names=AXIS_NAMES) -> jnp.ndarray:
     """Return the local block padded to ``(+2·ext)³`` with neighbour data.
 
     Must be called inside ``shard_map`` over a mesh with axes
-    ``('gx','gy','gz')``. The result is ready for a width-``ext`` stencil."""
+    ``('gx','gy','gz')``. ``axis_names[i]`` is the mesh axis partitioning
+    local array axis ``i`` (permuted for transposed layouts). The result is
+    ready for a width-``ext`` stencil."""
     out = block
     for axis in range(3):
-        out = _pad_axis(out, ext, axis, AXIS_NAMES[axis], mesh_shape[axis])
+        out = _pad_axis(out, ext, axis, axis_names[axis], mesh_shape[axis])
     return out

@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -59,7 +60,27 @@ class ShardedOps:
         self.mesh = mesh
         self.n_lower = n_lower
         self.has_pot_sub_array = has_pot_sub_array
-        self.mesh_shape = tuple(int(mesh.shape[a]) for a in AXIS_NAMES)
+        natural_shape = tuple(int(mesh.shape[a]) for a in AXIS_NAMES)
+
+        # Transposed layout for single-axis y/z meshes: store local blocks
+        # with the *sharded* axis leading, so the whole fused-kernel ladder
+        # (which exchanges/windows along the leading axis and applies the
+        # y/z Dirichlet in-register) applies unchanged — the stencil and the
+        # analytic radial/separable potentials are permutation-invariant
+        # once the grid extents are permuted with the coordinates. One
+        # transpose at host↔mesh boundaries (put/get), zero per-step cost.
+        sharded_axes = [i for i, s in enumerate(natural_shape) if s > 1]
+        if sharded_axes in ([1], [2]):
+            ax0 = sharded_axes[0]
+            perm = (ax0,) + tuple(i for i in range(3) if i != ax0)
+        else:
+            perm = (0, 1, 2)
+        self.perm = perm
+        self.inv_perm = tuple(int(i) for i in np.argsort(perm))
+        axis_names = tuple(AXIS_NAMES[i] for i in perm)
+        self.axis_names = axis_names
+        # local view: mesh extent per local-array axis
+        self.mesh_shape = tuple(natural_shape[i] for i in perm)
 
         order = config.central_difference.value
         ext = config.central_difference.ext
@@ -74,11 +95,13 @@ class ShardedOps:
         from wafer_tpu.ops.stencil import stencil_taps
         from wafer_tpu.parallel.halo import _pad_axis
 
-        # Fused-kernel shards: valid when only the leading axis is sharded
-        # (exchanged x-halo rows are exactly the neighbour rows the kernel
-        # expects; y/z keep the global Dirichlet handled in-kernel) and the
-        # per-shard block is tile-aligned and fits VMEM.
-        nx, ny, nz = config.work_size()
+        # Fused-kernel shards: valid when only the leading (local) axis is
+        # sharded (exchanged halo rows are exactly the neighbour rows the
+        # kernel expects; the other two axes keep the global Dirichlet
+        # handled in-kernel) and the per-shard block is tile-aligned and
+        # fits VMEM.
+        dims = config.work_size()
+        nx, ny, nz = (dims[i] for i in perm)
         bx = nx // mesh_shape[0]
         itemsize = jnp.dtype(config.real_dtype).itemsize
         pallas_ok = (
@@ -127,9 +150,9 @@ class ShardedOps:
                 g.dn,
                 g.dt,
                 config.mass,
-                g.size.x,
-                g.size.y,
-                g.size.z,
+                g.size.as_tuple()[perm[0]],
+                g.size.as_tuple()[perm[1]],
+                g.size.as_tuple()[perm[2]],
                 config.sig,
                 v_shift,  # gauge shift — must match the caller's a/b arrays
             )
@@ -166,7 +189,7 @@ class ShardedOps:
           # required in f32 when the potential's offset drifts ψ's scale out
           # of range within one chunk (see ops/stencil.evolve_chunk).
           def step_local(phi, a, b, store):
-            padded = exchange_halos(phi, ext, mesh_shape)
+            padded = exchange_halos(phi, ext, mesh_shape, axis_names)
             taps = stencil_taps(padded, order)
             phi = phi * a + b * (dt / denom) * taps
             if n_lower > 0 or per_step_norm:
@@ -191,7 +214,7 @@ class ShardedOps:
             store_x = (
                 jnp.stack(
                     [
-                        _pad_axis(store[s], ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                        _pad_axis(store[s], ext, 0, axis_names[0], mesh_shape[0])
                         for s in range(n_lower)
                     ]
                 )
@@ -199,19 +222,46 @@ class ShardedOps:
                 else None
             )
             dtype = phi.dtype
+            nxs = mesh_shape[0]
 
             x_org = (
-                jax.lax.axis_index(AXIS_NAMES[0]).astype(jnp.int32) * jnp.int32(bx)
+                jax.lax.axis_index(axis_names[0]).astype(jnp.int32) * jnp.int32(bx)
             ).reshape(1, 1)
+
+            def to_xpad(p, pad):
+                return jnp.pad(p, ((pad, pad), (0, 0), (0, 0)))
+
+            def refresh_halo(p_xpad, pad):
+                """Refresh the x halo rows in place from the neighbours —
+                no full-array pad/slice round trip per step (measured: the
+                per-call pad+slice cost the 1×1×1 mesh ~17% vs the
+                single-chip kernel). On an unsharded axis the kernel itself
+                re-zeroes the global-Dirichlet pad rows every call, so
+                nothing needs refreshing."""
+                if nxs == 1:
+                    return p_xpad
+                bx_l = p_xpad.shape[0] - 2 * pad
+                hi_face = lax.slice_in_dim(p_xpad, bx_l, bx_l + pad, axis=0)
+                lo_face = lax.slice_in_dim(p_xpad, pad, 2 * pad, axis=0)
+                from_left = lax.ppermute(
+                    hi_face, axis_names[0], [(i, i + 1) for i in range(nxs - 1)]
+                )
+                from_right = lax.ppermute(
+                    lo_face, axis_names[0], [(i + 1, i) for i in range(nxs - 1)]
+                )
+                p_xpad = lax.dynamic_update_slice_in_dim(p_xpad, from_left, 0, 0)
+                return lax.dynamic_update_slice_in_dim(
+                    p_xpad, from_right, pad + bx_l, 0
+                )
 
             if n_lower == 0 and not per_step_norm:
                 if k_fuse > 1:
-                    # K-fused chunk: one ppermute of K·ext-wide faces per
-                    # fused call; Dirichlet masking only on true global
+                    # K-fused chunk: one halo refresh of K·ext-wide faces
+                    # per fused call; Dirichlet masking only on true global
                     # edges (interior halos hold real neighbour data). B's
                     # (K−1)·ext neighbour rows are exchanged once per chunk
                     # (B is static within a state).
-                    ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(jnp.int32)
+                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
                     edges = jnp.stack(
                         [
                             (ax_idx == 0).astype(jnp.int32),
@@ -223,13 +273,13 @@ class ShardedOps:
                         b_kpad = jnp.zeros((1, 1, 1), dtype=phi.dtype)
                     else:
                         b_kpad = _pad_axis(
-                            b, (k_fuse - 1) * ext, 0, AXIS_NAMES[0], mesh_shape[0]
+                            b, (k_fuse - 1) * ext, 0, axis_names[0], mesh_shape[0]
                         )
 
                     def body_k(_i, p):
-                        xpad = _pad_axis(p, pad, 0, AXIS_NAMES[0], mesh_shape[0])
-                        out = pk.evolve_steps_fused_k(
-                            xpad,
+                        p = refresh_halo(p, pad)
+                        return pk.evolve_steps_fused_k(
+                            p,
                             b_kpad,
                             order,
                             scale,
@@ -239,14 +289,16 @@ class ShardedOps:
                             x_origin=x_org,
                             edges=edges,
                         )
-                        return out[pad:-pad]
 
-                    return lax.fori_loop(0, screen_update // k_fuse, body_k, phi)
+                    p = lax.fori_loop(
+                        0, screen_update // k_fuse, body_k, to_xpad(phi, pad)
+                    )
+                    return p[pad:-pad]
 
                 def body(_i, p):
-                    xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                    p = refresh_halo(p, ext)
                     out_xpad, _n2, _ov = pk.evolve_step_fused(
-                        xpad,
+                        p,
                         None if analytic is not None else b,
                         None,
                         order,
@@ -257,18 +309,19 @@ class ShardedOps:
                         analytic=analytic,
                         x_origin=x_org,
                     )
-                    return out_xpad[ext:-ext]
+                    return out_xpad
 
-                return lax.fori_loop(0, screen_update, body, phi)
+                p = lax.fori_loop(0, screen_update, body, to_xpad(phi, ext))
+                return p[ext:-ext]
 
             if n_lower == 0:
                 # ground state, per-step renormalisation carried as the
                 # inverse-norm coefficient (globally psum-reduced)
                 def body_norm(_i, carry):
                     p, coef = carry
-                    xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                    p = refresh_halo(p, ext)
                     out_xpad, n2_loc, _ov = pk.evolve_step_fused(
-                        xpad,
+                        p,
                         None if analytic is not None else b,
                         None,
                         order,
@@ -281,11 +334,13 @@ class ShardedOps:
                         x_org,
                     )
                     inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
-                    return out_xpad[ext:-ext], inv.reshape(1, 1)
+                    return out_xpad, inv.reshape(1, 1)
 
                 coef0 = jnp.ones((1, 1), dtype)
-                p, coef = lax.fori_loop(0, screen_update, body_norm, (phi, coef0))
-                return p * coef[0, 0]
+                p, coef = lax.fori_loop(
+                    0, screen_update, body_norm, (to_xpad(phi, ext), coef0)
+                )
+                return p[ext:-ext] * coef[0, 0]
 
             coef0 = jnp.concatenate(
                 [jnp.ones((1, 1), dtype), jnp.zeros((n_lower, 1), dtype)]
@@ -293,9 +348,9 @@ class ShardedOps:
 
             def body(_i, carry):
                 p, coef = carry
-                xpad = _pad_axis(p, ext, 0, AXIS_NAMES[0], mesh_shape[0])
+                p = refresh_halo(p, ext)
                 out_xpad, n2_loc, ov_loc = pk.evolve_step_fused(
-                    xpad,
+                    p,
                     None if analytic is not None else b,
                     store_x,
                     order,
@@ -307,22 +362,21 @@ class ShardedOps:
                     analytic,
                     x_org,
                 )
-                p = out_xpad[ext:-ext]
                 inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
                 ov = _psum(ov_loc)
                 coef = jnp.concatenate(
                     [inv.reshape(1, 1), (ov * inv).reshape(n_lower, 1)]
                 )
-                return p, coef
+                return out_xpad, coef
 
-            p, coef = lax.fori_loop(0, screen_update, body, (phi, coef0))
+            p, coef = lax.fori_loop(0, screen_update, body, (to_xpad(phi, ext), coef0))
             proj = jnp.tensordot(coef[1:, 0], store, axes=1)
-            return p * coef[0, 0] - proj
+            return p[ext:-ext] * coef[0, 0] - proj
 
           return evolve_chunk_local
 
         def measure_local(phi, v, r2_grid, pot_sub, store):
-            padded = exchange_halos(phi, ext, mesh_shape)
+            padded = exchange_halos(phi, ext, mesh_shape, axis_names)
             taps = stencil_taps(padded, order)
             wc = jnp.conj(phi) if jnp.iscomplexobj(phi) else phi
             abs2 = jnp.real(wc * phi)
@@ -339,8 +393,8 @@ class ShardedOps:
             phi = orthogonalise(phi, store)
             return (energy, norm2, v_inf, r2), phi
 
-        grid = P(*AXIS_NAMES)
-        store_spec = P(None, *AXIS_NAMES) if n_lower > 0 else P()
+        grid = P(*axis_names)
+        store_spec = P(None, *axis_names) if n_lower > 0 else P()
         sub_spec = grid if has_pot_sub_array else P()
         scalar = P()
 
@@ -384,11 +438,21 @@ class ShardedOps:
     # ------------------------------------------------------------------ #
 
     def sharding(self) -> NamedSharding:
-        return NamedSharding(self.mesh, P(*AXIS_NAMES))
+        return NamedSharding(self.mesh, P(*self.axis_names))
 
     def put(self, arr):
-        """Place a global interior array onto the mesh, block-partitioned."""
-        return jax.device_put(jnp.asarray(arr), self.sharding())
+        """Place a global interior array onto the mesh, block-partitioned
+        (transposed so the sharded axis leads, for single-axis y/z meshes)."""
+        return jax.device_put(
+            jnp.transpose(jnp.asarray(arr), self.perm), self.sharding()
+        )
+
+    def get(self, arr) -> jnp.ndarray:
+        """Gather a mesh array back to a host-global interior array in the
+        natural (x, y, z) layout (inverse of :meth:`put`)."""
+        from wafer_tpu.utils.host import device_get
+
+        return jnp.transpose(jnp.asarray(device_get(arr)), self.inv_perm)
 
     def put_replicated(self, arr):
         return jax.device_put(jnp.asarray(arr), NamedSharding(self.mesh, P()))
@@ -397,7 +461,8 @@ class ShardedOps:
         if self.n_lower == 0:
             return self.put_replicated(jnp.zeros((), dtype=self.config.dtype))
         return jax.device_put(
-            jnp.asarray(store), NamedSharding(self.mesh, P(None, *AXIS_NAMES))
+            jnp.transpose(jnp.asarray(store), (0,) + tuple(i + 1 for i in self.perm)),
+            NamedSharding(self.mesh, P(None, *self.axis_names)),
         )
 
     def dummy_pot_sub(self):

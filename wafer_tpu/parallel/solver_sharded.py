@@ -166,7 +166,7 @@ def _solve_state(
             # *live* wavefunction (src/grid.rs:137-141). The stale-norm²
             # rescale applies to the written file only (matches
             # solver.solve; PARITY divergence 8).
-            sym = geometry.frame_with_halo(jnp.asarray(device_get(phi)), config.central_difference.ext)
+            sym = geometry.frame_with_halo(ops.get(phi), config.central_difference.ext)
             sym = initial.symmetrise_wavefunction(config, sym)
             phi = ops.put(geometry.work_area(sym, config.central_difference.ext))
             snap = sym / jnp.sqrt(obs.norm2).astype(sym.dtype)
@@ -220,7 +220,7 @@ def _solve_state(
     if config.output.save_wavefns:
         try:
             writers.wavefunction(
-                device_get(phi), wnum, converged, config.project_name,
+                np.asarray(ops.get(phi)), wnum, converged, config.project_name,
                 config.output.file_type, output_root=config.output_root,
             )
         except errors.WaferError as exc:
@@ -230,5 +230,5 @@ def _solve_state(
         raise errors.MaxStepError()
 
     log.info("Calculation Converged")
-    w_store.append(jnp.asarray(device_get(phi)))
+    w_store.append(ops.get(phi))
     return SolveResult(wnum=wnum, converged=True, observables=obs, steps=step, phi=phi)

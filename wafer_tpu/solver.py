@@ -272,7 +272,7 @@ def solve(
         # in-pass sweeps using the precomputed swept lower states
         # Sl_s = S(l_s) and their Gram matrices — exact per-step semantics,
         # ~1.5× less HBM traffic (see ops/pallas_stencil._evolve_kernel_kgs).
-        kgs = config.output.screen_update % 2 == 0 and pk.kgs_supported(
+        kgs = config.output.screen_update % 2 == 0 and pk.kgs_profitable(
             nx, ny, nz, ext, itemsize, n_lower, analytic is not None
         )
         if kgs:
