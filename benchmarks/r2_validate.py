@@ -171,6 +171,33 @@ def k3_bench():
         )
 
 
+def f64_bench():
+    """f64 sweep throughput on this chip (XLA path — the Pallas kernels are
+    f32-only; TPU f64 is emulated). Feeds the BASELINE.md dtype-policy row:
+    below the f32 1e-6 noise floor users switch to precision: f64."""
+    import jax.numpy as jnp
+
+    from wafer_tpu.models import initial, potentials as pmod
+    from wafer_tpu.ops.stencil import evolve_step
+
+    jax.config.update("jax_enable_x64", True)
+    n, steps = 128, 100
+    cfg = _harmonic_cfg(n, n, n, steps, precision="f64")
+    order = cfg.central_difference.value
+    dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
+    v = pmod.generate(cfg).astype(jnp.float64)
+    a, b = pmod.build_ab(v, dt)
+    phi = initial.set_initial_conditions(cfg).astype(jnp.float64)
+
+    @jax.jit
+    def chunk(p):
+        return jax.lax.fori_loop(
+            0, steps, lambda _i, q: evolve_step(q, a, b, order, dt, dn, mass), p
+        )
+
+    time_chain(chunk, phi, steps, n ** 3, f"f64 XLA sweep {n}^3")
+
+
 def kgs_e2e():
     import os
     import tempfile
@@ -310,6 +337,7 @@ if __name__ == "__main__":
     {
         "kgs_bench": kgs_bench,
         "k3_bench": k3_bench,
+        "f64_bench": f64_bench,
         "kgs_e2e": kgs_e2e,
         "sharded_bench": sharded_bench,
         "cornell4": cornell4,

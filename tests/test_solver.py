@@ -249,6 +249,9 @@ def test_solver_kgs_dispatch_end_to_end(tmp_run, monkeypatch):
     for fn in ("evolve_step_fused", "evolve_chunk_fused", "evolve_chunk_fused_k",
                "evolve_chunk_fused_kgs"):
         monkeypatch.setattr(pk, fn, functools.partial(getattr(pk, fn), interpret=True))
+    # tiny grid → the VMEM-residency gate would route to the 1-step path;
+    # force the kgs dispatch so this test covers it
+    monkeypatch.setattr(pk, "kgs_profitable", lambda *a, **k: True)
     cfg_p = base_config(**common)
     out = solver.run(cfg_p, seed=5)
 

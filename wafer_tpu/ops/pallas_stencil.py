@@ -145,7 +145,8 @@ def _evolve_kernel(
     over_out,  # (S, 1) SMEM
     # scratch
     slab,  # (2, TX+2e, NY, NZ) VMEM — double-buffered ψ windows
-    result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
+    result,  # (TX, NY, NZ) VMEM — single-buffered (drained just before the
+    # next program overwrites it; frees VMEM for a taller slab)
     lower_slab,  # (S·(TX+2e), NY, NZ) VMEM — lower-state windows
     zeros_halo,  # (ext, NY, NZ) VMEM
     sem_in,  # DMA (2,)
@@ -217,14 +218,6 @@ def _evolve_kernel(
         halo_copy.start()
         halo_copy.wait()
 
-    # before overwriting result[slot], wait for the out-DMA issued two
-    # programs ago on the same slot
-    @pl.when(i >= 2)
-    def _drain_prev_out():
-        pltpu.make_async_copy(
-            result.at[slot], out_hbm.at[pl.ds((i - 2) * tx + ext, tx)], sem_out.at[slot]
-        ).wait()
-
     in_copy(i, slot).wait()
 
     if n_lower > 0 or with_norm:
@@ -265,10 +258,19 @@ def _evolve_kernel(
             analytic, (tx, phi_hbm.shape[1], phi_hbm.shape[2]), x0, ext, ext
         )
     new = 2.0 * (b * c) - c + b * (scale * acc)
-    result[slot] = new
+
+    # single-buffered result: drain the previous program's out-DMA (issued
+    # one full compute phase ago) just before overwriting
+    @pl.when(i >= 1)
+    def _drain_prev_out():
+        pltpu.make_async_copy(
+            result, out_hbm.at[pl.ds((i - 1) * tx + ext, tx)], sem_out
+        ).wait()
+
+    result[...] = new
 
     pltpu.make_async_copy(
-        result.at[slot], out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out.at[slot]
+        result, out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out
     ).start()
 
     # fused reductions (TPU grid runs sequentially → SMEM accumulation is ok)
@@ -289,22 +291,12 @@ def _evolve_kernel(
                 * new
             )
 
-    # epilogue: drain the in-flight out-DMAs (nprog is static)
+    # epilogue: drain the in-flight out-DMA (nprog is static)
     @pl.when(i == nprog - 1)
     def _drain_tail():
         pltpu.make_async_copy(
-            result.at[slot], out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out.at[slot]
+            result, out_hbm.at[pl.ds(i * tx + ext, tx)], sem_out
         ).wait()
-
-    if nprog > 1:
-
-        @pl.when(i == nprog - 1)
-        def _drain_other():
-            pltpu.make_async_copy(
-                result.at[next_slot],
-                out_hbm.at[pl.ds((i - 1) * tx + ext, tx)],
-                sem_out.at[next_slot],
-            ).wait()
 
 
 _VMEM_BUDGET = 11 * 1024 * 1024
@@ -318,10 +310,10 @@ def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int,
     for tx in (64, 32, 16, 8, 4, 2, 1):
         if nx % tx:
             continue
-        # 2× ψ windows + 2× results + double-buffered b + lower windows
+        # 2× ψ windows + single result + double-buffered b + lower windows
         need = (
             2 * (tx + 2 * ext) * plane
-            + 2 * tx * plane
+            + tx * plane
             + (0 if analytic_b else 2 * tx * plane)
             + n_lower * (tx + 2 * ext) * plane
         )
@@ -808,12 +800,12 @@ def evolve_step_fused(
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, tx + 2 * ext, ny, nz), dtype),
-                pltpu.VMEM((2, tx, ny, nz), dtype),
+                pltpu.VMEM((tx, ny, nz), dtype),
                 pltpu.VMEM((n_store * (tx + 2 * ext), ny, nz), dtype),
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((max(n_store, 1),)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
@@ -853,11 +845,14 @@ def _evolve_kernel_k(
     window,  # (2, TX+2Ke, NY, NZ) VMEM — double-buffered ψ windows
     pong,  # (TX+2(K-1)e, NY, NZ) VMEM — intermediate steps ping-pong
     b_slab,  # (TX+2(K-1)e, NY, NZ) VMEM
-    result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
+    result,  # (TX, NY, NZ) VMEM — single-buffered: the out-DMA drains
+    # during the next program's compute, and the freed VMEM buys a larger
+    # slab height (tx 4 → 8 at 256³ K=2 analytic: read amplification
+    # (tx+2Ke)/tx drops 2.0 → 1.5)
     zeros_halo,  # (K·ext, NY, NZ) VMEM
     sem_in,  # DMA (2,)
     sem_b,
-    sem_out,  # DMA (2,)
+    sem_out,
     sem_halo,
     *,
     order: str,
@@ -913,12 +908,6 @@ def _evolve_kernel_k(
         )
         c.start()
         c.wait()
-
-    @pl.when(i >= 2)
-    def _drain_prev_out():
-        pltpu.make_async_copy(
-            result.at[slot], out_hbm.at[pl.ds((i - 2) * tx + pad, tx)], sem_out.at[slot]
-        ).wait()
 
     in_copy(i, slot).wait()
     if analytic is None:
@@ -983,26 +972,24 @@ def _evolve_kernel_k(
                     )
             cur = pong[:rows_out]
         else:
-            result[slot] = val
+            # single-buffered result: drain the previous program's out-DMA
+            # (issued one full compute phase ago) just before overwriting
+            @pl.when(i >= 1)
+            def _drain_prev_out():
+                pltpu.make_async_copy(
+                    result, out_hbm.at[pl.ds((i - 1) * tx + pad, tx)], sem_out
+                ).wait()
+
+            result[...] = val
     pltpu.make_async_copy(
-        result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+        result, out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out
     ).start()
 
     @pl.when(i == nprog - 1)
     def _drain_tail():
         pltpu.make_async_copy(
-            result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+            result, out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out
         ).wait()
-
-    if nprog > 1:
-
-        @pl.when(i == nprog - 1)
-        def _drain_other():
-            pltpu.make_async_copy(
-                result.at[next_slot],
-                out_hbm.at[pl.ds((i - 1) * tx + pad, tx)],
-                sem_out.at[next_slot],
-            ).wait()
 
 
 def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int,
@@ -1015,7 +1002,7 @@ def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int,
             2 * (tx + 2 * k_steps * ext) * plane  # windows
             + (tx + 2 * (k_steps - 1) * ext) * plane  # pong
             + (0 if analytic_b else (tx + 2 * (k_steps - 1) * ext) * plane)  # b
-            + 2 * tx * plane  # results
+            + tx * plane  # result (single-buffered)
         )
         if need <= _VMEM_BUDGET:
             return tx
@@ -1107,11 +1094,11 @@ def evolve_steps_fused_k(
                 pltpu.VMEM((2, tx + 2 * k_steps * ext, ny, nz), dtype),
                 pltpu.VMEM((mid, ny, nz), dtype),
                 pltpu.VMEM((b_rows_alloc, ny, nz), dtype),
-                pltpu.VMEM((2, tx, ny, nz), dtype),
+                pltpu.VMEM((tx, ny, nz), dtype),
                 pltpu.VMEM((k_steps * ext, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
@@ -1338,7 +1325,7 @@ def _evolve_kernel_kgs(
     window,  # (2, TX+4e, NY, NZ) VMEM — double-buffered ψ windows
     pong,  # (TX+2e, NY, NZ) VMEM — intermediate u
     b_slab,  # (TX+2e, NY, NZ) VMEM (stub when analytic)
-    result,  # (2, TX, NY, NZ) VMEM — double-buffered outputs
+    result,  # (TX, NY, NZ) VMEM — single-buffered (see _evolve_kernel)
     lower_slab,  # (2S·(TX+4e), NY, NZ) VMEM
     zeros_halo,  # (2e, NY, NZ) VMEM
     sem_in,  # DMA (2,)
@@ -1413,12 +1400,6 @@ def _evolve_kernel_kgs(
         c.start()
         c.wait()
 
-    @pl.when(i >= 2)
-    def _drain_prev_out():
-        pltpu.make_async_copy(
-            result.at[slot], out_hbm.at[pl.ds((i - 2) * tx + pad, tx)], sem_out.at[slot]
-        ).wait()
-
     @pl.when(i == 0)
     def _init_reductions():
         for r in range(1 + n_lower):
@@ -1480,9 +1461,16 @@ def _evolve_kernel_kgs(
 
     # step 2: w over tx rows
     w = step(lambda r0, rows: pong[r0 : r0 + rows], tx, ext)
-    result[slot] = w
+
+    @pl.when(i >= 1)
+    def _drain_prev_out():
+        pltpu.make_async_copy(
+            result, out_hbm.at[pl.ds((i - 1) * tx + pad, tx)], sem_out
+        ).wait()
+
+    result[...] = w
     pltpu.make_async_copy(
-        result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+        result, out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out
     ).start()
 
     red_w[0, 0] += jnp.sum(w * w)
@@ -1494,18 +1482,8 @@ def _evolve_kernel_kgs(
     @pl.when(i == nprog - 1)
     def _drain_tail():
         pltpu.make_async_copy(
-            result.at[slot], out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out.at[slot]
+            result, out_hbm.at[pl.ds(i * tx + pad, tx)], sem_out
         ).wait()
-
-    if nprog > 1:
-
-        @pl.when(i == nprog - 1)
-        def _drain_other():
-            pltpu.make_async_copy(
-                result.at[next_slot],
-                out_hbm.at[pl.ds((i - 1) * tx + pad, tx)],
-                sem_out.at[next_slot],
-            ).wait()
 
 
 def _pick_tx_kgs(nx: int, ny: int, nz: int, ext: int, itemsize: int,
@@ -1518,7 +1496,7 @@ def _pick_tx_kgs(nx: int, ny: int, nz: int, ext: int, itemsize: int,
             2 * (tx + 4 * ext) * plane       # ψ windows
             + (tx + 2 * ext) * plane          # pong (u)
             + (0 if analytic_b else (tx + 2 * ext) * plane)  # b
-            + 2 * tx * plane                  # results
+            + tx * plane                      # result (single-buffered)
             + 2 * n_lower * (tx + 4 * ext) * plane  # lower windows
         )
         if need <= _VMEM_BUDGET:
@@ -1544,6 +1522,13 @@ def kgs_profitable(nx: int, ny: int, nz: int, ext: int, itemsize: int,
     """
     tx2 = _pick_tx_kgs(nx, ny, nz, ext, itemsize, n_lower, analytic_b)
     if tx2 is None:
+        return False
+    # VMEM-residency regime: pallas operands in ANY memory space stay
+    # VMEM-resident when the 1-step working set (ψ in + out + S lowers)
+    # fits on-chip — the sweep is then no longer HBM-bound and kgs's extra
+    # compute only hurts (measured at 128³ S=1 on v5e: 1-step 8.8e10 vs
+    # kgs 5.4e10 updates/s).
+    if nx * ny * nz * itemsize * (2 + n_lower) <= 96 * 1024 * 1024:
         return False
     tx1 = _pick_tx(nx, ny, nz, ext, itemsize, n_lower, analytic_b)
     if tx1 is None:
@@ -1653,13 +1638,13 @@ def evolve_steps_fused_kgs(
                 pltpu.VMEM((2, tx + 4 * ext, ny, nz), dtype),
                 pltpu.VMEM((tx + 2 * ext, ny, nz), dtype),
                 pltpu.VMEM((b_rows_alloc, ny, nz), dtype),
-                pltpu.VMEM((2, tx, ny, nz), dtype),
+                pltpu.VMEM((tx, ny, nz), dtype),
                 pltpu.VMEM((lower_rows_alloc, ny, nz), dtype),
                 pltpu.VMEM((2 * ext, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((max(n_store, 1),)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,

@@ -188,6 +188,17 @@ def solve(
     is_complex = jnp.iscomplexobj(phi)
     backend = _resolve_backend(config, phi)
     log.info("Sweep backend for state %d: %s", wnum, backend)
+    if (
+        backend == "xla"
+        and config.precision == "f64"
+        and jax.default_backend() not in ("cpu",)
+    ):
+        log.info(
+            "precision f64 runs the XLA sweep on this accelerator: the fused "
+            "Pallas kernels are f32-only (TPU f64 is emulated and Mosaic has "
+            "no f64 vector path) — measured throughput in BASELINE.md "
+            "'Measured', f64 row."
+        )
     if config.precision == "f32" and config.tolerance < 1e-6:
         log.warning(
             "tolerance %.1e is below the f32 noise floor (~1e-6 relative; "
