@@ -289,26 +289,37 @@ def cornell4():
             }
         )
 
-    # Phase 1: run 4 states but interrupt state 1 via max_steps
+    # Phase 1a: converge the ground state; 1b: start state 1 and interrupt
+    # it mid-flight (max_steps), leaving its _partial snapshot on disk
     t0 = time.perf_counter()
-    cfg1 = cfg_raw(0, 3, 6000)
+    cfg1 = cfg_raw(0, 0, 400000)
     run_dir.check_output_dir(cfg1.project_name)
+    solver.run(cfg1, seed=11)
+    out_dir = run_dir.get_project_dir(cfg1.project_name)
+    shutil.copy(
+        os.path.join(out_dir, "wavefunction_0.json"), "input/wavefunction_0.json"
+    )
+    run_dir.reset_proj_date()
+    cfg1b = cfg_raw(1, 1, 1500)
+    cfg1b.output.snap_update = 500
+    run_dir.check_output_dir(cfg1b.project_name)
     interrupted = False
     try:
-        solver.run(cfg1, seed=11)
+        solver.run(cfg1b, seed=11)
     except errors.MaxStepError:
         interrupted = True
     wall1 = time.perf_counter() - t0
     print(json.dumps({"phase": 1, "interrupted": interrupted, "wall_s": round(wall1, 1)}))
+    run_dir.reset_proj_date()
 
-    # Stage outputs as inputs: converged state 0 + state 1 partial snapshot
-    out_dir = run_dir.get_project_dir(cfg1.project_name)
-    for f in os.listdir(out_dir):
+    # Stage the interrupted state 1's partial snapshot as input
+    out_dir1b = run_dir.get_project_dir(cfg1b.project_name)
+    for f in os.listdir(out_dir1b):
         if f.startswith("wavefunction_"):
-            shutil.copy(os.path.join(out_dir, f), os.path.join("input", f))
+            shutil.copy(os.path.join(out_dir1b, f), os.path.join("input", f))
             print(json.dumps({"staged": f}))
 
-    # Phase 2: restart from snapshot, converge states 1..3
+    # Phase 2: resume state 1 from its _partial, converge states 1..3
     run_dir.reset_proj_date()
     cfg2 = cfg_raw(1, 3, 400000)
     run_dir.check_output_dir(cfg2.project_name)

@@ -524,3 +524,34 @@ def test_sharded_solver_end_to_end_y_mesh(tmp_run):
     # the 16³/dn=0.3 box confinement (matches the single-device run to 9
     # digits)
     assert abs(e1 - 3.65251) < 0.002, e1
+
+
+def test_sharded_split_complex_matches_single_device(tmp_run, monkeypatch):
+    """Complex potential + mesh on a complex-free backend routes to the
+    sharded split-complex path and reproduces the single-device split
+    result (complex arrays never reach the device)."""
+    import cmath
+
+    from wafer_tpu import solver
+    from wafer_tpu.ops import split_complex as sc
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    common = dict(
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        init_condition="Constant",
+        output={"screen_update": 100, "snap_update": 200, "file_type": "Json"},
+        max_steps=100000,
+        wavemax=1,
+    )
+    run_dir.check_output_dir("test")
+    single = solver.run(base_config(**common))
+    sharded = solver.run(base_config(mesh={"x": 2, "y": 2, "z": 2}, **common))
+    for r_s, r_m in zip(single, sharded):
+        e_s = r_s.observables.energy / r_s.observables.norm2
+        e_m = r_m.observables.energy / r_m.observables.norm2
+        assert abs(e_s - e_m) < 1e-6, (r_s.wnum, e_s, e_m)
+    e0 = sharded[0].observables.energy / sharded[0].observables.norm2
+    assert abs(e0 - 1.5 * cmath.sqrt(1 + 0.2j)) < 0.05

@@ -267,8 +267,12 @@ def _evolve_kernel_sc(
         br, bi = _analytic_b_sc(
             analytic, (tx, psi_hbm.shape[1], psi_hbm.shape[2]), x0, ext, ext
         )
-    new_r = 2.0 * (br * cr_ - bi * ci_) - cr_ + scale * (br * acc_r - bi * acc_i)
-    new_i = 2.0 * (br * ci_ + bi * cr_) - ci_ + scale * (br * acc_i + bi * acc_r)
+    # factored: br/bi each multiply (2c + s·acc) once — four fewer vector
+    # multiplies than expanding 2(b·c) and b·s·acc separately
+    ur = 2.0 * cr_ + scale * acc_r
+    ui = 2.0 * ci_ + scale * acc_i
+    new_r = br * ur - bi * ui - cr_
+    new_i = br * ui + bi * ur - ci_
     result[slot, 0:tx] = new_r
     result[slot, tx : 2 * tx] = new_i
 

@@ -53,7 +53,29 @@ def _analytic_v(analytic, shp, x0, y0, z0):
     return _analytic_b(analytic, shp, x0, y0, z0, _raw_v=True)
 
 
-def _analytic_b(analytic, shp, x0, y0, z0, _raw_v: bool = False):
+def _analytic_yz(analytic, ny, nz, y0, z0):
+    """Per-program precomputable (ny, nz) part of the analytic potential:
+    the stencil rows share their y/z coordinates, so only the x term varies
+    per row. Radial kinds return dy²+dz²; Periodic returns sin²y·sin²z."""
+    kind, _dn, _dt, _mass, _ngx, ngy, ngz = analytic[:7]
+    f32 = jnp.float32
+    dy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0).astype(f32) + (
+        y0 - (ngy + 1.0) / 2.0
+    )
+    dz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1).astype(f32) + (
+        z0 - (ngz + 1.0) / 2.0
+    )
+    if kind == "Periodic":
+        py = dy + (ngy + 1.0) / 2.0
+        pz = dz + (ngz + 1.0) / 2.0
+        two_pi = 2.0 * 3.14159265358979323846
+        sy = jnp.sin(two_pi * (py - 1.0) / (ngy - 1.0)) ** 2
+        sz = jnp.sin(two_pi * (pz - 1.0) / (ngz - 1.0)) ** 2
+        return sy * sz
+    return dy * dy + dz * dz
+
+
+def _analytic_b(analytic, shp, x0, y0, z0, _raw_v: bool = False, yz=None):
     """B = 1/(1 + dt·V/2) computed from padded-grid coordinates.
 
     ``analytic`` = (kind, dn, dt, mass, ngx, ngy, ngz[, sig[, vshift]]);
@@ -63,7 +85,9 @@ def _analytic_b(analytic, shp, x0, y0, z0, _raw_v: bool = False):
     models/potentials.generate and src/potential.rs:46-62). ``vshift`` is
     the energy-gauge shift also baked into the array factors (see
     models/potentials.build_ab) — it must match them so the array-B and
-    analytic-B paths produce identical trajectories."""
+    analytic-B paths produce identical trajectories. ``yz`` is the
+    :func:`_analytic_yz` precompute (built here when absent); kernels with
+    several B evaluations per program hoist it."""
     kind, dn, dt_, _mass, ngx, ngy, ngz = analytic[:7]
     vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
     f32 = jnp.float32
@@ -71,41 +95,35 @@ def _analytic_b(analytic, shp, x0, y0, z0, _raw_v: bool = False):
     dx = jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(f32) + (
         x0 - (ngx + 1.0) / 2.0
     )
-    dy = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(f32) + (
-        y0 - (ngy + 1.0) / 2.0
-    )
-    dz = jax.lax.broadcasted_iota(jnp.int32, shp, 2).astype(f32) + (
-        z0 - (ngz + 1.0) / 2.0
-    )
-    r2 = dx * dx + dy * dy + dz * dz
-    if kind == "NoPotential":
-        v = jnp.zeros(shp, f32)
-    elif kind == "Harmonic":
-        v = (0.5 * dn * dn) * r2
-    elif kind == "Coulomb":
-        r = dn * jnp.sqrt(r2)
-        r_safe = jnp.maximum(r, dn)
-        v = jnp.where(r < dn, -1.0 / dn, -1.0 / r_safe)
-    elif kind == "SimpleCornell":
-        # GeV units (src/potential.rs:241-249); sig = string tension
-        sig = analytic[7]
-        r = dn * jnp.sqrt(r2)
-        r_safe = jnp.maximum(r, dn)
-        far = -0.5 * (4.0 / 3.0) / r_safe + sig * r_safe + 4.0 * _mass
-        v = jnp.where(r < dn, 4.0 * _mass, far)
-    elif kind == "Periodic":
+    if yz is None:
+        yz = _analytic_yz(analytic, shp[1], shp[2], y0, z0)
+    yz = yz[None, :, :]
+    if kind == "Periodic":
         # sin² products on (idx−1)/(N−1) padded coords
         # (src/potential.rs:212-219); coordinate grids reused as indices
         px = dx + (ngx + 1.0) / 2.0
-        py = dy + (ngy + 1.0) / 2.0
-        pz = dz + (ngz + 1.0) / 2.0
         two_pi = 2.0 * 3.14159265358979323846
         sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
-        sy = jnp.sin(two_pi * (py - 1.0) / (ngy - 1.0)) ** 2
-        sz = jnp.sin(two_pi * (pz - 1.0) / (ngz - 1.0)) ** 2
-        v = 1.0 - sx * sy * sz
-    else:  # pragma: no cover
-        raise ValueError(f"unsupported analytic potential {kind}")
+        v = 1.0 - sx * yz
+    else:
+        r2 = dx * dx + yz
+        if kind == "NoPotential":
+            v = jnp.zeros(shp, f32)
+        elif kind == "Harmonic":
+            v = (0.5 * dn * dn) * r2
+        elif kind == "Coulomb":
+            r = dn * jnp.sqrt(r2)
+            r_safe = jnp.maximum(r, dn)
+            v = jnp.where(r < dn, -1.0 / dn, -1.0 / r_safe)
+        elif kind == "SimpleCornell":
+            # GeV units (src/potential.rs:241-249); sig = string tension
+            sig = analytic[7]
+            r = dn * jnp.sqrt(r2)
+            r_safe = jnp.maximum(r, dn)
+            far = -0.5 * (4.0 / 3.0) / r_safe + sig * r_safe + 4.0 * _mass
+            v = jnp.where(r < dn, 4.0 * _mass, far)
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported analytic potential {kind}")
     if _raw_v:
         return v
     return 1.0 / (1.0 + (0.5 * dt_) * (v - vshift))
@@ -257,7 +275,9 @@ def _evolve_kernel(
         b = _analytic_b(
             analytic, (tx, phi_hbm.shape[1], phi_hbm.shape[2]), x0, ext, ext
         )
-    new = 2.0 * (b * c) - c + b * (scale * acc)
+    # factored update: b·(2c + s·acc) − c == 2(bc) − c + b·s·acc, one fewer
+    # vector multiply
+    new = b * (2.0 * c + scale * acc) - c
 
     # single-buffered result: drain the previous program's out-DMA (issued
     # one full compute phase ago) just before overwriting
@@ -610,7 +630,7 @@ def _evolve_kernel_zt(
             # z starts at this chunk's static offset zi·tz+ext
             x0 = (i * tx + jnp.int32(ext) + xorg_smem[0, 0]).astype(jnp.float32)
             b = _analytic_b(analytic, (tx, phi_hbm.shape[1], tz), x0, ext, z0 + ext)
-        new = 2.0 * (b * c) - c + b * (scale * acc)
+        new = b * (2.0 * c + scale * acc) - c
         result[slot] = new
         out_copy(i, zi, slot).start()
 
@@ -912,6 +932,10 @@ def _evolve_kernel_k(
     in_copy(i, slot).wait()
     if analytic is None:
         b_copy.wait()
+        yz = None
+    else:
+        # y/z coordinate term shared by all K in-pass B evaluations
+        yz = _analytic_yz(analytic, b_slab.shape[1], b_slab.shape[2], ext, ext)
 
     def b_rows(rows_out, b_off):
         """Split-operator B — streamed from HBM, or computed from
@@ -924,7 +948,7 @@ def _evolve_kernel_k(
             i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext) + xorg_smem[0, 0]
         ).astype(jnp.float32)
         shp = (rows_out, b_slab.shape[1], b_slab.shape[2])
-        return _analytic_b(analytic, shp, x0, ext, ext)
+        return _analytic_b(analytic, shp, x0, ext, ext, yz=yz)
 
     def step(read, rows_out, b_off):
         """One inner sweep producing ``rows_out`` rows from ``read`` (a
@@ -936,7 +960,7 @@ def _evolve_kernel_k(
             acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
             acc = acc + cf * (_shift_z(c, off) + _shift_z(c, -off))
         b = b_rows(rows_out, b_off)
-        return 2.0 * (b * c) - c + b * (scale * acc)
+        return b * (2.0 * c + scale * acc) - c
 
     # step 1 reads the DMA'd window; later steps read the previous result.
     # Dirichlet: after each inner step, re-zero intermediate rows that fall
@@ -1420,13 +1444,19 @@ def _evolve_kernel_kgs(
             j * win_rows : (j + 1) * win_rows
         ]
 
+    yz = (
+        None
+        if analytic is None
+        else _analytic_yz(analytic, phi_hbm.shape[1], phi_hbm.shape[2], ext, ext)
+    )
+
     def b_rows(rows_out, b_off):
         if analytic is None:
             return b_slab[b_off : b_off + rows_out]
         # padded coord of output row r: i·tx + b_off − ext + ext + r + xorg
         x0 = (i * tx + jnp.int32(b_off) + xorg_smem[0, 0]).astype(jnp.float32)
         shp = (rows_out, phi_hbm.shape[1], phi_hbm.shape[2])
-        return _analytic_b(analytic, shp, x0, ext, ext)
+        return _analytic_b(analytic, shp, x0, ext, ext, yz=yz)
 
     def step(read, rows_out, b_off):
         c = read(ext, rows_out)
@@ -1436,7 +1466,7 @@ def _evolve_kernel_kgs(
             acc = acc + cf * (_shift_y(c, off) + _shift_y(c, -off))
             acc = acc + cf * (_shift_z(c, off) + _shift_z(c, -off))
         b = b_rows(rows_out, b_off)
-        return 2.0 * (b * c) - c + b * (scale * acc)
+        return b * (2.0 * c + scale * acc) - c
 
     # step 1: u over tx+2e rows (coords [i·tx−e, i·tx+tx+e))
     u = step(lambda r0, rows: win[r0 : r0 + rows], tx + 2 * ext, 0)

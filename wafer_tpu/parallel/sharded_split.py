@@ -1,0 +1,438 @@
+"""Sharded split-complex path: complex ψ as (re, im) real pairs over a mesh.
+
+Backends without complex dtypes (see ops/split_complex.backend_supports_complex)
+cannot run the native-complex sharded kernels, so this module re-expresses
+the sharded evolve/measure (parallel/sharded.py) with the complex algebra
+written out over real block-partitioned arrays — complex values exist only
+host-side (file I/O). Same maths as ops/split_complex.py; same reference
+semantics (update src/grid.rs:544-687, reductions src/grid.rs:303-445,
+per-step normalise+GS src/grid.rs:674-681).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wafer_tpu import errors, geometry
+from wafer_tpu.config import Config
+from wafer_tpu.ops.observables import Observables
+from wafer_tpu.parallel.halo import exchange_halos
+from wafer_tpu.parallel.mesh import AXIS_NAMES, make_mesh
+
+
+def _psum(x):
+    return lax.psum(x, AXIS_NAMES)
+
+
+class ShardedSplitOps:
+    """Jitted sharded split-complex kernels for one (config, mesh, n_lower)."""
+
+    def __init__(
+        self,
+        config: Config,
+        mesh,
+        n_lower: int,
+        has_pot_sub_array: bool = False,
+        pot_sub_scalar: Optional[float] = None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.n_lower = n_lower
+        self.mesh_shape = tuple(int(mesh.shape[a]) for a in AXIS_NAMES)
+        mesh_shape = self.mesh_shape
+
+        order = config.central_difference.value
+        ext = config.central_difference.ext
+        dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
+        _o, _c, _cc, k = geometry.stencil_coefficients(order)
+        denom = k * dn * dn * mass
+        s_ = dt / denom
+        screen_update = config.output.screen_update
+
+        from wafer_tpu.ops.stencil import stencil_taps
+
+        def norm2_g(pr, pi):
+            return _psum(jnp.sum(pr * pr + pi * pi))
+
+        def orthogonalise(pr, pi, sr, si):
+            for j in range(n_lower):
+                o_re = _psum(jnp.sum(sr[j] * pr + si[j] * pi))
+                o_im = _psum(jnp.sum(sr[j] * pi - si[j] * pr))
+                pr = pr - (sr[j] * o_re - si[j] * o_im)
+                pi = pi - (sr[j] * o_im + si[j] * o_re)
+            return pr, pi
+
+        def _make_evolve_chunk_local(per_step_norm: bool):
+            def step_local(pr, pi, ar, ai, br, bi, sr, si):
+                tr = stencil_taps(exchange_halos(pr, ext, mesh_shape), order)
+                ti = stencil_taps(exchange_halos(pi, ext, mesh_shape), order)
+                new_r = ar * pr - ai * pi + s_ * (br * tr - bi * ti)
+                new_i = ar * pi + ai * pr + s_ * (br * ti + bi * tr)
+                pr, pi = new_r, new_i
+                if n_lower > 0 or per_step_norm:
+                    inv = (1.0 / jnp.sqrt(norm2_g(pr, pi))).astype(pr.dtype)
+                    pr, pi = pr * inv, pi * inv
+                if n_lower > 0:
+                    pr, pi = orthogonalise(pr, pi, sr, si)
+                return pr, pi
+
+            def evolve_chunk_local(pr, pi, ar, ai, br, bi, sr, si):
+                return lax.fori_loop(
+                    0,
+                    screen_update,
+                    lambda _i, c: step_local(c[0], c[1], ar, ai, br, bi, sr, si),
+                    (pr, pi),
+                )
+
+            return evolve_chunk_local
+
+        def measure_local(pr, pi, vr, vi, r2_grid, pot_sub, sr, si):
+            tr = stencil_taps(exchange_halos(pr, ext, mesh_shape), order)
+            ti = stencil_taps(exchange_halos(pi, ext, mesh_shape), order)
+            abs2 = pr * pr + pi * pi
+            e_re = _psum(jnp.sum(vr * abs2 - (pr * tr + pi * ti) / denom))
+            e_im = _psum(jnp.sum(vi * abs2 - (pr * ti - pi * tr) / denom))
+            norm2 = _psum(jnp.sum(abs2))
+            if has_pot_sub_array:
+                v_inf = _psum(jnp.sum(abs2 * pot_sub))
+            elif pot_sub_scalar is not None:
+                v_inf = norm2 * pot_sub_scalar
+            else:
+                v_inf = jnp.zeros((), dtype=abs2.dtype)
+            r2 = _psum(jnp.sum(abs2 * r2_grid))
+            inv = (1.0 / jnp.sqrt(norm2)).astype(pr.dtype)
+            pr, pi = pr * inv, pi * inv
+            pr, pi = orthogonalise(pr, pi, sr, si)
+            return (e_re, e_im, norm2, v_inf, r2), (pr, pi)
+
+        grid = P(*AXIS_NAMES)
+        store_spec = P(None, *AXIS_NAMES) if n_lower > 0 else P()
+        sub_spec = grid if has_pot_sub_array else P()
+        scalar = P()
+        pair_specs = (grid, grid, grid, grid, grid, grid, store_spec, store_spec)
+
+        self.evolve_chunk = jax.jit(
+            jax.shard_map(
+                _make_evolve_chunk_local(False),
+                mesh=mesh,
+                in_specs=pair_specs,
+                out_specs=(grid, grid),
+                check_vma=False,
+            )
+        )
+        self.evolve_chunk_psn = (
+            jax.jit(
+                jax.shard_map(
+                    _make_evolve_chunk_local(True),
+                    mesh=mesh,
+                    in_specs=pair_specs,
+                    out_specs=(grid, grid),
+                    check_vma=False,
+                )
+            )
+            if n_lower == 0
+            else self.evolve_chunk
+        )
+        self.measure = jax.jit(
+            jax.shard_map(
+                measure_local,
+                mesh=mesh,
+                in_specs=(grid, grid, grid, grid, grid, sub_spec, store_spec, store_spec),
+                out_specs=(
+                    (scalar, scalar, scalar, scalar, scalar),
+                    (grid, grid),
+                ),
+                check_vma=False,
+            )
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def put(self, arr):
+        return jax.device_put(
+            jnp.asarray(arr), NamedSharding(self.mesh, P(*AXIS_NAMES))
+        )
+
+    def put_store(self, store):
+        if self.n_lower == 0:
+            return jax.device_put(
+                jnp.zeros((), dtype=self.config.real_dtype),
+                NamedSharding(self.mesh, P()),
+            )
+        return jax.device_put(
+            jnp.asarray(store), NamedSharding(self.mesh, P(None, *AXIS_NAMES))
+        )
+
+    def dummy_pot_sub(self):
+        return jax.device_put(
+            jnp.zeros((), dtype=self.config.real_dtype),
+            NamedSharding(self.mesh, P()),
+        )
+
+
+def run_sharded_split(
+    config: Config, log=None, seed=None, mesh=None, progress_factory=None
+) -> List:
+    """Sharded driver for complex potentials on complex-free backends:
+    the split counterpart of parallel/solver_sharded.run_sharded."""
+    from wafer_tpu.models import potentials as pmod
+    from wafer_tpu.solver import SolveResult
+
+    log = log or logging.getLogger("wafer")
+    mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
+    ext = config.central_difference.ext
+
+    # split potential + factors host-side (complex never reaches the device)
+    vr, vi = pmod.generate_split(config)
+    v_min = float(jnp.min(jnp.where(jnp.isfinite(vr), vr, jnp.inf)))
+    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
+    ar, ai, br, bi = pmod.build_ab_split(vr, vi, config.grid.dt, v_shift)
+
+    def interior(p):
+        return geometry.work_area(p, ext)
+
+    r2_grid = geometry.r2_index_grid(
+        config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
+    )
+
+    w_store: List = []  # (re, im) interior host pairs
+    if config.wavenum > 0:
+        from wafer_tpu.io import readers
+
+        for w in readers.load_wavefunctions(config, log):
+            w = np.asarray(w)
+            w_store.append(
+                (
+                    jnp.asarray(np.real(interior(w)), dtype=config.real_dtype),
+                    jnp.asarray(np.imag(interior(w)), dtype=config.real_dtype),
+                )
+            )
+
+    log.info(
+        "Starting split-complex calculation (sharded over mesh %s)", dict(mesh.shape)
+    )
+    results = []
+    for wnum in range(config.wavenum, config.wavemax + 1):
+        progress = progress_factory(wnum) if progress_factory is not None else None
+        results.append(
+            _solve_state_split(
+                config, log, mesh, wnum, w_store,
+                interior(vr), interior(vi),
+                interior(ar), interior(ai), interior(br), interior(bi),
+                r2_grid, v_shift, seed, progress,
+            )
+        )
+    return results
+
+
+def _select_ic_split(config, log, wnum, w_store, seed):
+    """Disk (current, incl. _partial) → previous state → generator — split
+    host-side (reference preference: src/grid.rs:60-100)."""
+    import dataclasses
+
+    from wafer_tpu.io import readers
+    from wafer_tpu.models import initial
+
+    ext = config.central_difference.ext
+    if wnum > 0:
+        try:
+            wfn = np.asarray(
+                readers.wavefunction(
+                    wnum,
+                    config.padded_size(),
+                    config.central_difference.bb,
+                    config.output.file_type,
+                    log,
+                    input_dir=config.input_dir,
+                )
+            )
+            log.info("Loaded (current) wavefunction %d from disk", wnum)
+            w = geometry.work_area(wfn, ext)
+            return (
+                jnp.asarray(np.real(w), dtype=config.real_dtype),
+                jnp.asarray(np.imag(w), dtype=config.real_dtype),
+            )
+        except errors.WaferError:
+            log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
+            return w_store[wnum - 1]
+    from wafer_tpu.config import PotentialType
+
+    real_counterpart = (
+        PotentialType.COULOMB
+        if config.potential is PotentialType.COMPLEX_COULOMB
+        else PotentialType.HARMONIC
+    )
+    real_cfg = dataclasses.replace(config, potential=real_counterpart)
+    pr = initial.set_initial_conditions(real_cfg, log, seed=seed)
+    return (
+        geometry.work_area(pr, ext),
+        jnp.zeros_like(geometry.work_area(pr, ext)),
+    )
+
+
+def _solve_state_split(
+    config, log, mesh, wnum, w_store, vr, vi, ar, ai, br, bi, r2_grid,
+    v_shift, seed, progress,
+):
+    from wafer_tpu.io import writers
+    from wafer_tpu.models import initial
+    from wafer_tpu.solver import SolveResult, eta, stable_dt_bound
+    from wafer_tpu.utils import terminal
+
+    n_lower = wnum
+    ops = ShardedSplitOps(config, mesh, n_lower)
+    pr0, pi0 = _select_ic_split(config, log, wnum, w_store, seed)
+    pr, pi = ops.put(pr0), ops.put(pi0)
+    vr_d, vi_d = ops.put(vr), ops.put(vi)
+    ar_d, ai_d = ops.put(ar), ops.put(ai)
+    br_d, bi_d = ops.put(br), ops.put(bi)
+    r2_d = ops.put(r2_grid)
+    sub_d = ops.dummy_pot_sub()
+    sr_d = ops.put_store(
+        jnp.stack([w[0] for w in w_store[:n_lower]]) if n_lower else None
+    )
+    si_d = ops.put_store(
+        jnp.stack([w[1] for w in w_store[:n_lower]]) if n_lower else None
+    )
+
+    terminal.print_observable_header(wnum)
+    ext = config.central_difference.ext
+    step = 0
+    converged = False
+    last_energy = complex(float("inf"), 0.0)
+    diff_old = float("inf")
+    obs = None
+    per_step_norm = False
+
+    while True:
+        (e_re, e_im, n2, vinf, r2), (pr, pi) = ops.measure(
+            pr, pi, vr_d, vi_d, r2_d, sub_d, sr_d, si_d
+        )
+        obs = Observables(
+            energy=complex(float(e_re), float(e_im)),
+            norm2=float(n2),
+            v_infinity=float(vinf),
+            r2=float(r2),
+        )
+        if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
+            raise errors.NonFiniteError("norm²", step)
+        norm_energy = obs.energy / obs.norm2
+        if (
+            step == 0
+            and n_lower == 0
+            and config.grid.dt
+            <= stable_dt_bound(
+                config.central_difference.value, config.grid.dn, config.mass
+            )
+        ):
+            _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
+            _drift = (
+                2.0
+                * abs(norm_energy.real - v_shift)
+                * config.grid.dt
+                * config.output.screen_update
+            )
+            if _drift > _efold_limit:
+                per_step_norm = True
+                log.info(
+                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
+                    "renormalising the ground state every step",
+                    _drift,
+                )
+        tau = step * config.grid.dt
+
+        # snapshot: symmetrisation persists (componentwise); the stale-norm
+        # rescale is file-only (PARITY divergence 8); complex exists only in
+        # the written file
+        if config.output.snap_update is not None and step % config.output.snap_update == 0:
+            from wafer_tpu.utils.host import device_get
+
+            sym_r = geometry.frame_with_halo(jnp.asarray(device_get(pr)), ext)
+            sym_i = geometry.frame_with_halo(jnp.asarray(device_get(pi)), ext)
+            sym_r = initial.symmetrise_wavefunction(config, sym_r)
+            sym_i = initial.symmetrise_wavefunction(config, sym_i)
+            pr = ops.put(geometry.work_area(sym_r, ext))
+            pi = ops.put(geometry.work_area(sym_i, ext))
+            inv_stale = 1.0 / math.sqrt(obs.norm2)
+            log.info("Saving partially converged wavefunction %d to disk.", wnum)
+            try:
+                writers.wavefunction(
+                    (
+                        np.asarray(geometry.work_area(sym_r, ext))
+                        + 1j * np.asarray(geometry.work_area(sym_i, ext))
+                    )
+                    * inv_stale,
+                    wnum, False, config.project_name, config.output.file_type,
+                    output_root=config.output_root,
+                )
+            except errors.WaferError as exc:
+                log.warning("Could not output partial wavefunction: %s", exc)
+
+        diff = abs(norm_energy - last_energy)
+        if diff < config.tolerance:
+            if progress is not None:
+                progress.finish()
+            print(terminal.print_measurements(tau, diff, obs))
+            writers.finalise_measurement(
+                obs, wnum, float(config.grid.size.x), config.project_name,
+                config.output.file_type, output_root=config.output_root,
+            )
+            if config.output.snap_update is not None:
+                try:
+                    writers.remove_partial(
+                        wnum, config.project_name, config.output.file_type,
+                        output_root=config.output_root,
+                    )
+                except errors.WaferError:
+                    pass
+            converged = True
+            break
+        last_energy = norm_energy
+
+        if progress is not None:
+            estimate = eta(step, diff_old, float(diff), config)
+            if estimate is not None:
+                cycles = step / config.output.screen_update
+                progress.set_position(
+                    int(math.floor(100.0 - estimate / (cycles + estimate) * 100.0))
+                )
+            progress.set_message(terminal.print_measurements(tau, diff, obs))
+
+        if config.max_steps is not None and step > config.max_steps:
+            break
+
+        chunk_fn = ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
+        pr, pi = chunk_fn(pr, pi, ar_d, ai_d, br_d, bi_d, sr_d, si_d)
+        diff_old = float(diff)
+        step += config.output.screen_update
+
+    if config.output.save_wavefns:
+        from wafer_tpu.utils.host import device_get
+
+        try:
+            writers.wavefunction(
+                np.asarray(device_get(pr)) + 1j * np.asarray(device_get(pi)),
+                wnum, converged, config.project_name, config.output.file_type,
+                output_root=config.output_root,
+            )
+        except errors.WaferError as exc:
+            log.warning("Could not write wavefunction to disk: %s", exc)
+
+    if not converged:
+        raise errors.MaxStepError()
+    log.info("Calculation Converged")
+    from wafer_tpu.utils.host import device_get
+
+    pair = (jnp.asarray(device_get(pr)), jnp.asarray(device_get(pi)))
+    w_store.append(pair)
+    return SolveResult(
+        wnum=wnum, converged=True, observables=obs, steps=step, phi=(pr, pi)
+    )

@@ -40,6 +40,20 @@ def run_sharded(
     from wafer_tpu.io import writers
     from wafer_tpu.utils import terminal
 
+    if config.potential.is_complex:
+        from wafer_tpu.ops import split_complex as sc
+
+        if not sc.backend_supports_complex():
+            from wafer_tpu.parallel.sharded_split import run_sharded_split
+
+            log.info(
+                "Backend lacks complex dtypes; using the sharded "
+                "split-complex path"
+            )
+            return run_sharded_split(
+                config, log, seed=seed, mesh=mesh, progress_factory=progress_factory
+            )
+
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
     pots = potentials_mod.load_arrays(config, log)
     ext = config.central_difference.ext
