@@ -310,7 +310,6 @@ def cornell4():
         interrupted = True
     wall1 = time.perf_counter() - t0
     print(json.dumps({"phase": 1, "interrupted": interrupted, "wall_s": round(wall1, 1)}))
-    run_dir.reset_proj_date()
 
     # Stage the interrupted state 1's partial snapshot as input
     out_dir1b = run_dir.get_project_dir(cfg1b.project_name)
