@@ -348,7 +348,45 @@ if __name__ == "__main__":
         "kgs_bench": kgs_bench,
         "k3_bench": k3_bench,
         "f64_bench": f64_bench,
+        "yt_bench": yt_bench,
         "kgs_e2e": kgs_e2e,
         "sharded_bench": sharded_bench,
         "cornell4": cornell4,
     }[cmd]()
+
+
+def yt_bench():
+    """512^3 ground sweep: y-tiled kernel (8-sublane halo granularity) vs
+    the z-tiled kernel it supersedes (128-lane halo refetch ~doubles reads).
+    Round-1 zt number: 2.43e10 analytic."""
+    import unittest.mock as mock
+
+    from wafer_tpu import geometry
+    from wafer_tpu.models import initial
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    n, steps = 512, 50
+    cfg = _harmonic_cfg(n, n, n, steps)
+    order, ext = "ThreePoint", 1
+    dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
+    analytic = ("Harmonic", dn, dt, mass, n, n, n)
+    phi = initial.set_initial_conditions(cfg).astype(jnp.float32)
+    print(json.dumps({"yt pick": pk._pick_tx_yt(n, n, n, ext, 4, 0, True),
+                      "zt pick": pk._pick_tx_zt(n, n, n, ext, 4, 0, True)}))
+
+    def chunk(p):
+        return pk.evolve_chunk_fused(
+            p, None, None, order, dt, dn, mass, steps, 0, analytic=analytic
+        )
+
+    time_chain(chunk, pk.to_xpad(phi, ext), steps, n ** 3, "512^3 ground yt analytic")
+
+    with mock.patch.object(pk, "_pick_tx_yt", lambda *a, **k: None):
+        def chunk_zt(p):
+            return pk.evolve_chunk_fused(
+                p, None, None, order, dt, dn, mass, steps, 0, analytic=analytic
+            )
+
+        time_chain(
+            chunk_zt, pk.to_xpad(phi, ext), steps, n ** 3, "512^3 ground zt analytic"
+        )

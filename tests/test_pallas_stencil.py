@@ -671,3 +671,124 @@ def test_kgs_analytic_b():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+# --------------------------------------------------------------------------- #
+# y-tiled variant (yt): large planes streamed in sublane chunks
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("order", ["ThreePoint", "SevenPoint"])
+def test_yt_kernel_matches_xla(monkeypatch, order):
+    """y-tiled slab streaming (supersedes zt for large planes: 8-sublane
+    halo granularity instead of 128-lane), forced by disabling the plain
+    picker; ground + excited chunks vs the XLA reference."""
+    monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
+    monkeypatch.setattr(pk, "_pick_tx_yt", lambda *a, **k: (4, 16))
+
+    n = 8 if order == "ThreePoint" else 16
+    cfg = base_config(
+        precision="f32",
+        central_difference=order,
+        grid={"size": {"x": n, "y": 32, "z": 128}, "dn": 0.2, "dt": 0.005},
+    )
+    ext = cfg.central_difference.ext
+    rng = np.random.default_rng(31)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 0
+    )
+    out = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), geometry.work_area(b, ext), None, order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 4, 0, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+    # excited state with the carried-coef correction
+    lower = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    lower = lower / jnp.sqrt(gram_schmidt.get_norm_squared(lower)).astype(jnp.float32)
+    ref2 = stencil.evolve_chunk(
+        phi, a, b, jnp.stack([lower]), order, cfg.grid.dt, cfg.grid.dn,
+        cfg.mass, 3, 1,
+    )
+    out2 = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), geometry.work_area(b, ext),
+        jnp.stack([pk.to_xpad(lower, ext)]), order,
+        cfg.grid.dt, cfg.grid.dn, cfg.mass, 3, 1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out2, ext)), np.asarray(ref2), rtol=5e-4, atol=2e-5
+    )
+
+
+def test_yt_kernel_analytic_b(monkeypatch):
+    """Analytic-B yt (no B stream) == streamed-B yt, with a shard x-origin."""
+    monkeypatch.setattr(pk, "_pick_tx", lambda *a: None)
+    monkeypatch.setattr(pk, "_pick_tx_yt", lambda *a, **k: (4, 16))
+
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 8, "y": 32, "z": 128}, "dn": 0.2, "dt": 0.005},
+    )
+    ext = 1
+    order = "ThreePoint"
+    rng = np.random.default_rng(32)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    _a, b = pmod.build_ab(v, cfg.grid.dt)
+    b_int = geometry.work_area(b.astype(jnp.float32), ext)
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = cfg.grid.dt / (k * cfg.grid.dn ** 2 * cfg.mass)
+
+    ref, n2r, _ = pk.evolve_step_fused(
+        pk.to_xpad(phi, ext), b_int, None, order, scale, 0, True, True
+    )
+    g = cfg.grid
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+    out, n2o, _ = pk.evolve_step_fused(
+        pk.to_xpad(phi, ext), None, None, order, scale, 0, True, True,
+        analytic=analytic,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+    assert abs(float(n2o) - float(n2r)) < 1e-4 * abs(float(n2r))
+
+
+def test_kgs_degenerate_start_stays_finite():
+    """A kgs chunk starting from ψ nearly parallel to the stored state (the
+    excited-state clone-start regime) must not NaN: the reconstructed
+    post-projection norm² catastrophically cancels in f32 and is floored
+    by kgs_coef_update's guard (round-2 regression)."""
+    order = "ThreePoint"
+    cfg, ext, phi_pad, v, a, b, b_int, lowers = _kgs_setup(1, seed=41)
+    l = lowers[0]
+    # ψ = l + tiny noise — the pathological near-parallel start
+    rng = np.random.default_rng(42)
+    noise = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()).astype(np.float32)), ext
+    )
+    psi = l + 3e-6 * noise
+    phi2, b_xpad, store2, gram_g, gram_h = _kgs_inputs(cfg, ext, psi, b_int, lowers)
+    out = np.asarray(
+        pk.evolve_chunk_fused_kgs(
+            phi2, b_xpad, store2, gram_g, gram_h, order,
+            cfg.grid.dt, cfg.grid.dn, cfg.mass, 6, 1, interpret=True,
+        )
+    )
+    assert np.isfinite(out).all()
+    # and the result is orthogonal to the stored state after projection
+    w = pk.from_xpad_k(jnp.asarray(out), ext, 2)
+    w = w / jnp.sqrt(jnp.sum(w * w))
+    assert abs(float(jnp.sum(w * l))) < 1e-2

@@ -246,9 +246,20 @@ def test_solver_kgs_dispatch_end_to_end(tmp_run, monkeypatch):
     ref = solver.run(cfg_x, seed=5)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    for fn in ("evolve_step_fused", "evolve_chunk_fused", "evolve_chunk_fused_k",
-               "evolve_chunk_fused_kgs"):
+    for fn in ("evolve_chunk_fused", "evolve_chunk_fused_k", "evolve_chunk_fused_kgs"):
         monkeypatch.setattr(pk, fn, functools.partial(getattr(pk, fn), interpret=True))
+    # evolve_step_fused receives `interpret` positionally from the chunk
+    # drivers, so a keyword partial would clash — rewrite the slot instead
+    orig_step = pk.evolve_step_fused
+
+    def step_interp(*a, **k):
+        if len(a) >= 8:
+            a = a[:7] + (True,) + a[8:]
+        else:
+            k["interpret"] = True
+        return orig_step(*a, **k)
+
+    monkeypatch.setattr(pk, "evolve_step_fused", step_interp)
     # tiny grid → the VMEM-residency gate would route to the 1-step path;
     # force the kgs dispatch so this test covers it
     monkeypatch.setattr(pk, "kgs_profitable", lambda *a, **k: True)

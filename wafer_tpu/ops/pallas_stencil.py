@@ -346,6 +346,7 @@ def step_fused_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                          n_lower: int) -> bool:
     return (
         _pick_tx(nx, ny, nz, ext, itemsize, n_lower) is not None
+        or _pick_tx_yt(nx, ny, nz, ext, itemsize, n_lower) is not None
         or _pick_tx_zt(nx, ny, nz, ext, itemsize, n_lower) is not None
     )
 
@@ -384,7 +385,7 @@ def _pick_tx_zt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int
             need = (
                 2 * (tx + 2 * ext) * pcz      # ψ windows (double-buffered)
                 + (0 if analytic_b else tx * pc)  # b chunk
-                + 2 * tx * pc                  # results (double-buffered)
+                + tx * pc                      # result (single-buffered)
                 + n_lower * (tx + 2 * ext) * pcz  # lower windows
             )
             if need <= _VMEM_BUDGET:
@@ -406,7 +407,7 @@ def _evolve_kernel_zt(
     # scratch
     slab,  # (2, TX+2e, NY, TZ+2·ZPAD) VMEM — window at [ZPAD−e, ZPAD+tz+e)
     b_slab,  # (TX, NY, TZ) VMEM
-    result,  # (2, TX, NY, TZ) VMEM
+    result,  # (TX, NY, TZ) VMEM — single-buffered (see _evolve_kernel)
     lower_slab,  # (S·(TX+2e), NY, TZ+2·ZPAD) VMEM
     zeros_xhalo,  # (ext, NY, TZ) VMEM
     sem_in,  # DMA (2,)
@@ -463,12 +464,12 @@ def _evolve_kernel_zt(
             )
         return copies
 
-    def out_copy(x_idx, zi: int, from_slot):
+    def out_copy(x_idx, zi: int):
         z0 = zi * tz
         return pltpu.make_async_copy(
-            result.at[from_slot],
+            result,
             out_hbm.at[pl.ds(x_idx * tx + ext, tx), :, pl.ds(z0, tz)],
-            sem_out.at[from_slot],
+            sem_out,
         )
 
     def slot_of(zi: int):
@@ -534,16 +535,6 @@ def _evolve_kernel_zt(
                 nslot = jax.lax.rem((i + 1) * jnp.int32(nzc), jnp.int32(2))
                 for c_ in in_copies(i + 1, 0, nslot):
                     c_.start()
-
-        # drain the out-DMA issued two chunks ago on this slot
-        if zi >= 2:
-            out_copy(i, zi - 2, slot).wait()
-        else:
-            prev_zi = zi - 2 + nzc  # chunk in the previous program
-
-            @pl.when(i >= 1)
-            def _drain_prev_program(_pz=prev_zi):
-                out_copy(i - 1, _pz, slot).wait()
 
         # zero the output's global-x Dirichlet halo rows (once per z-chunk)
         @pl.when(i == 0)
@@ -631,8 +622,18 @@ def _evolve_kernel_zt(
             x0 = (i * tx + jnp.int32(ext) + xorg_smem[0, 0]).astype(jnp.float32)
             b = _analytic_b(analytic, (tx, phi_hbm.shape[1], tz), x0, ext, z0 + ext)
         new = b * (2.0 * c + scale * acc) - c
-        result[slot] = new
-        out_copy(i, zi, slot).start()
+        # single-buffered result: drain the previous chunk's out-DMA (one
+        # full compute phase old) just before overwriting
+        if zi >= 1:
+            out_copy(i, zi - 1).wait()
+        else:
+
+            @pl.when(i >= 1)
+            def _drain_prev_program():
+                out_copy(i - 1, nzc - 1).wait()
+
+        result[...] = new
+        out_copy(i, zi).start()
 
         if with_norm or n_lower > 0:
             norm_out[0, 0] += jnp.sum(new * new)
@@ -646,14 +647,302 @@ def _evolve_kernel_zt(
                 * new
             )
 
-    # epilogue: the last program drains its final two out-DMAs (nzc ≥ 2)
+    # epilogue: the last program drains its final out-DMA
     @pl.when(i == nprog - 1)
     def _drain_last():
-        out_copy(i, nzc - 1, slot_of(nzc - 1)).wait()
+        out_copy(i, nzc - 1).wait()
 
+
+# --------------------------------------------------------------------------- #
+# y-tiled variant: planes too large for VMEM stream in Y-chunks
+# --------------------------------------------------------------------------- #
+#
+# Supersedes the z-tiled kernel for large planes: tiling along the sublane
+# axis needs only 8-element DMA granularity, so the halo refetch overhead is
+# (ty+2·YPAD)/ty with YPAD = 8 (~6% at ty = 128) instead of the z-tiled
+# kernel's (tz+2·128)/tz (100% at tz = 256). Each x-program statically
+# unrolls over y-chunks; the ψ/lower windows overlap by ext in x and y.
+# y-shifts are computed with pltpu.roll on the YPAD-padded window (aligned
+# slices: offsets/widths are 8-multiples); z keeps the full extent with the
+# in-register Dirichlet shifts; x uses window rows.
+
+
+_YPAD = 8  # sublane-aligned window pad (≥ max ext = 3)
+
+
+def _pick_tx_yt(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int,
+                analytic_b: bool = False):
+    """(tx, ty) minimising the read amplification (tx+2e)/tx · (ty+16)/ty
+    within the VMEM budget, or None."""
+    best = None
+    best_amp = None
+    for ty in (256, 128, 64, 32, 16, 8):
+        if ny % ty or ty < 2 * _YPAD or ny // ty < 2:
+            continue
+        pcy = (ty + 2 * _YPAD) * nz * itemsize
+        pc = ty * nz * itemsize
+        for tx in (16, 8, 4, 2, 1):
+            if nx % tx:
+                continue
+            need = (
+                2 * (tx + 2 * ext) * pcy        # ψ windows (double-buffered)
+                + (0 if analytic_b else tx * pc)  # b chunk
+                + tx * pc                        # result (single-buffered)
+                + n_lower * (tx + 2 * ext) * pcy  # lower windows
+            )
+            if need > _VMEM_BUDGET:
+                continue
+            amp = ((tx + 2 * ext) / tx) * ((ty + 2 * _YPAD) / ty)
+            if best_amp is None or amp < best_amp - 1e-9:
+                best, best_amp = (tx, ty), amp
+            break  # larger tx within this ty cannot fit; move on
+    return best
+
+
+def _evolve_kernel_yt(
+    # inputs
+    phi_hbm,  # (NX+2e, NY, NZ) ANY
+    b_hbm,  # (NX, NY, NZ) ANY (dummy (1,1,1) when analytic)
+    store_hbm,  # (S·(NX+2e), NY, NZ) ANY
+    coef_smem,  # (1+S, 1) SMEM
+    xorg_smem,  # (1, 1) SMEM i32 — shard's global x origin (0 single-device)
+    # outputs
+    out_hbm,  # (NX+2e, NY, NZ) ANY
+    norm_out,  # (1, 1) SMEM
+    over_out,  # (S, 1) SMEM
+    # scratch
+    slab,  # (2, TX+2e, TY+2·YPAD, NZ) VMEM — window at [YPAD−e, YPAD+ty+e)
+    b_slab,  # (TX, TY, NZ) VMEM
+    result,  # (TX, TY, NZ) VMEM — single-buffered
+    lower_slab,  # (S·(TX+2e), TY+2·YPAD, NZ) VMEM
+    zeros_xhalo,  # (ext, TY, NZ) VMEM
+    sem_in,  # DMA (2,)
+    sem_b,
+    sem_lower,  # DMA (S,)
+    sem_out,
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ty: int,
+    ext: int,
+    ny: int,
+    n_lower: int,
+    with_norm: bool,
+    analytic=None,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    nyc = ny // ty
+    win_rows = tx + 2 * ext
+    nxp_rows = phi_hbm.shape[0]
+    yw = ty + 2 * _YPAD
+
+    def in_copies(x_idx, yi: int, to_slot):
+        y0 = yi * ty
+        copies = [
+            pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(x_idx * tx, win_rows), pl.ds(y0, ty), :],
+                slab.at[to_slot, :, pl.ds(_YPAD, ty), :],
+                sem_in.at[to_slot],
+            )
+        ]
+        if yi > 0:
+            copies.append(
+                pltpu.make_async_copy(
+                    phi_hbm.at[pl.ds(x_idx * tx, win_rows), pl.ds(y0 - _YPAD, _YPAD), :],
+                    slab.at[to_slot, :, pl.ds(0, _YPAD), :],
+                    sem_in.at[to_slot],
+                )
+            )
+        if yi < nyc - 1:
+            copies.append(
+                pltpu.make_async_copy(
+                    phi_hbm.at[pl.ds(x_idx * tx, win_rows), pl.ds(y0 + ty, _YPAD), :],
+                    slab.at[to_slot, :, pl.ds(_YPAD + ty, _YPAD), :],
+                    sem_in.at[to_slot],
+                )
+            )
+        return copies
+
+    def out_copy(x_idx, yi: int):
+        y0 = yi * ty
+        return pltpu.make_async_copy(
+            result,
+            out_hbm.at[pl.ds(x_idx * tx + ext, tx), pl.ds(y0, ty), :],
+            sem_out,
+        )
+
+    def slot_of(yi: int):
+        return jax.lax.rem(i * jnp.int32(nyc) + jnp.int32(yi), jnp.int32(2))
+
+    # prologue
+    @pl.when(i == 0)
+    def _first():
+        for c_ in in_copies(jnp.int32(0), 0, jnp.int32(0)):
+            c_.start()
+
+    if with_norm or n_lower > 0:
+
+        @pl.when(i == 0)
+        def _init_reductions():
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+            for si in range(n_lower):
+                over_out[si, 0] = jnp.zeros((), over_out.dtype)
+
+    for yi in range(nyc):
+        slot = slot_of(yi)
+        y0 = yi * ty
+        pad_lo = yi == 0
+        pad_hi = yi == nyc - 1
+
+        if analytic is None:
+            b_copy = pltpu.make_async_copy(
+                b_hbm.at[pl.ds(i * tx, tx), pl.ds(y0, ty), :], b_slab, sem_b
+            )
+            b_copy.start()
+
+        lower_copies = []
+        for si in range(n_lower):
+            segs = [(y0, ty, _YPAD)]
+            if yi > 0:
+                segs.append((y0 - _YPAD, _YPAD, 0))
+            if yi < nyc - 1:
+                segs.append((y0 + ty, _YPAD, _YPAD + ty))
+            for src0, w_, dst0 in segs:
+                lc = pltpu.make_async_copy(
+                    store_hbm.at[
+                        pl.ds(jnp.int32(si * nxp_rows) + i * tx, win_rows),
+                        pl.ds(src0, w_),
+                        :,
+                    ],
+                    lower_slab.at[
+                        pl.ds(jnp.int32(si * win_rows), win_rows), pl.ds(dst0, w_), :
+                    ],
+                    sem_lower.at[jnp.int32(si)],
+                )
+                lc.start()
+                lower_copies.append(lc)
+
+        # prefetch the next window
+        if yi + 1 < nyc:
+            for c_ in in_copies(i, yi + 1, slot_of(yi + 1)):
+                c_.start()
+        else:
+
+            @pl.when(i + 1 < nprog)
+            def _prefetch_next_program():
+                nslot = jax.lax.rem((i + 1) * jnp.int32(nyc), jnp.int32(2))
+                for c_ in in_copies(i + 1, 0, nslot):
+                    c_.start()
+
+        # zero the output's global-x Dirichlet halo rows (once per y-chunk)
+        @pl.when(i == 0)
+        def _zero_xlo():
+            zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+            hc = pltpu.make_async_copy(
+                zeros_xhalo, out_hbm.at[pl.ds(0, ext), pl.ds(y0, ty), :], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+        @pl.when(i == nprog - 1)
+        def _zero_xhi():
+            zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+            hc = pltpu.make_async_copy(
+                zeros_xhalo,
+                out_hbm.at[pl.ds(nxp_rows - ext, ext), pl.ds(y0, ty), :],
+                sem_halo,
+            )
+            hc.start()
+            hc.wait()
+
+        for c_ in in_copies(i, yi, slot):
+            c_.wait()
+
+        # global-y Dirichlet pads: zero the window edges the DMA skipped
+        if pad_lo:
+            slab[slot, :, 0:_YPAD, :] = jnp.zeros_like(slab[slot, :, 0:_YPAD, :])
+        if pad_hi:
+            slab[slot, :, yw - _YPAD : yw, :] = jnp.zeros_like(
+                slab[slot, :, yw - _YPAD : yw, :]
+            )
+
+        if n_lower > 0:
+            for lc in lower_copies:
+                lc.wait()
+            if pad_lo:
+                lower_slab[:, 0:_YPAD, :] = jnp.zeros_like(lower_slab[:, 0:_YPAD, :])
+            if pad_hi:
+                lower_slab[:, yw - _YPAD : yw, :] = jnp.zeros_like(
+                    lower_slab[:, yw - _YPAD : yw, :]
+                )
+        if n_lower > 0 or with_norm:
+            # affine correction (see _evolve_kernel)
+            win = slab[slot] * coef_smem[0, 0]
+            for si in range(n_lower):
+                win = win - coef_smem[si + 1, 0] * lower_slab[
+                    si * win_rows : (si + 1) * win_rows
+                ]
+        else:
+            win = slab[slot]
+
+        def rows(x0):
+            return win[x0 : x0 + tx]
+
+        def center(x0):
+            return rows(x0)[:, _YPAD : _YPAD + ty, :]
+
+        c = center(ext)
+        cr = rows(ext)
+        acc = -center_c * c
+        for off, cf in zip(offsets, coeffs):
+            acc = acc + cf * (center(ext + off) + center(ext - off))
+            # y-shifts as aligned sublane rolls on the padded window
+            acc = acc + cf * (
+                pltpu.roll(cr, yw - off, 1)[:, _YPAD : _YPAD + ty, :]
+                + pltpu.roll(cr, off, 1)[:, _YPAD : _YPAD + ty, :]
+            )
+            acc = acc + cf * (_shift_z(c, off) + _shift_z(c, -off))
+
+        if analytic is None:
+            b_copy.wait()
+            b = b_slab[...]
+        else:
+            x0 = (i * tx + jnp.int32(ext) + xorg_smem[0, 0]).astype(jnp.float32)
+            b = _analytic_b(analytic, (tx, ty, phi_hbm.shape[2]), x0, y0 + ext, ext)
+        new = b * (2.0 * c + scale * acc) - c
+
+        # single-buffered result (see _evolve_kernel)
+        if yi >= 1:
+            out_copy(i, yi - 1).wait()
+        else:
+
+            @pl.when(i >= 1)
+            def _drain_prev_program():
+                out_copy(i - 1, nyc - 1).wait()
+
+        result[...] = new
+        out_copy(i, yi).start()
+
+        if with_norm or n_lower > 0:
+            norm_out[0, 0] += jnp.sum(new * new)
+        for si in range(n_lower):
+            over_out[si, 0] += jnp.sum(
+                lower_slab[
+                    si * win_rows + ext : si * win_rows + ext + tx,
+                    _YPAD : _YPAD + ty,
+                    :,
+                ]
+                * new
+            )
+
+    # epilogue: the last program drains its final out-DMA
     @pl.when(i == nprog - 1)
-    def _drain_second_last():
-        out_copy(i, nzc - 2, slot_of(nzc - 2)).wait()
+    def _drain_last():
+        out_copy(i, nyc - 1).wait()
 
 
 @functools.partial(
@@ -697,8 +986,13 @@ def evolve_step_fused(
         assert analytic is not None
         b_int = jnp.zeros((1, 1, 1), dtype=dtype)
     tx = _pick_tx(nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None)
+    txty = None
     txtz = None
     if tx is None:
+        txty = _pick_tx_yt(
+            nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None
+        )
+    if tx is None and txty is None:
         txtz = _pick_tx_zt(
             nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None
         )
@@ -720,6 +1014,61 @@ def evolve_step_fused(
         x_origin = jnp.zeros((1, 1), jnp.int32)
     else:
         x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
+
+    if txty is not None:
+        tx_y, ty = txty
+        kernel_yt = functools.partial(
+            _evolve_kernel_yt,
+            order=order,
+            scale=scale,
+            tx=tx_y,
+            ty=ty,
+            ext=ext,
+            ny=ny,
+            n_lower=n_lower,
+            with_norm=with_norm,
+            analytic=analytic,
+        )
+        win_rows = tx_y + 2 * ext
+        b_slab_shape = (1, 1, _YPAD * 16) if analytic is not None else (tx_y, ty, nz)
+        with jax.enable_x64(False):
+            out_xpad, norm2, overlaps = pl.pallas_call(
+                kernel_yt,
+                grid=(nx // tx_y,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+                    jax.ShapeDtypeStruct((1, 1), dtype),
+                    jax.ShapeDtypeStruct((n_store, 1), dtype),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, win_rows, ty + 2 * _YPAD, nz), dtype),
+                    pltpu.VMEM(b_slab_shape, dtype),
+                    pltpu.VMEM((tx_y, ty, nz), dtype),
+                    pltpu.VMEM(
+                        (max(n_store, 1) * win_rows, ty + 2 * _YPAD, nz), dtype
+                    ),
+                    pltpu.VMEM((ext, ty, nz), dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA((max(n_store, 1),)),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                ],
+                interpret=interpret,
+            )(phi_xpad, b_int, store_flat, coef, x_origin)
+        return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
     if txtz is not None:
         tx_z, tz = txtz
@@ -762,13 +1111,13 @@ def evolve_step_fused(
                 scratch_shapes=[
                     pltpu.VMEM((2, win_rows, ny, tz + 2 * _ZPAD), dtype),
                     pltpu.VMEM(b_slab_shape, dtype),
-                    pltpu.VMEM((2, tx_z, ny, tz), dtype),
+                    pltpu.VMEM((tx_z, ny, tz), dtype),
                     pltpu.VMEM((n_store * win_rows, ny, tz + 2 * _ZPAD), dtype),
                     pltpu.VMEM((ext, ny, tz), dtype),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA,
                     pltpu.SemaphoreType.DMA((max(n_store, 1),)),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA,
                     pltpu.SemaphoreType.DMA,
                 ],
                 interpret=interpret,
@@ -1692,11 +2041,20 @@ def kgs_coef_update(red_u, red_w, gram_g, gram_h, n_lower: int, dtype):
     corr1 = red_u[1:, 0] * inv1
     ov_l_w = red_w[1 : 1 + s, 0]
     ov_sl_w = red_w[1 + s :, 0]
+    lead = inv1 * inv1 * red_w[0, 0]
     n2_2 = (
-        inv1 * inv1 * red_w[0, 0]
+        lead
         - 2.0 * inv1 * jnp.dot(corr1, ov_sl_w)
         + corr1 @ gram_g @ corr1
     )
+    # Cancellation guard: when ψ is nearly parallel to the stored states
+    # (e.g. an excited state freshly cloned from its lower state), the
+    # post-projection norm² is the difference of O(1) terms and f32 input
+    # noise can drive it ≤ 0 → NaN. Flooring it only mis-scales ψ (pure
+    # scale errors are re-measured away at the next loop head); the solver
+    # additionally runs each state's first chunk on the 1-step path so this
+    # regime is never steady-state.
+    n2_2 = jnp.maximum(n2_2, 1e-6 * lead)
     ov2 = inv1 * ov_l_w - gram_h @ corr1
     inv2 = 1.0 / jnp.sqrt(n2_2)
     return jnp.concatenate(

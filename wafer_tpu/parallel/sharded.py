@@ -140,6 +140,8 @@ class ShardedOps:
             and config.potential in _analytic_kinds
             and (
                 pk._pick_tx(bx, ny, nz, ext, itemsize, n_lower, True) is not None
+                or pk._pick_tx_yt(bx, ny, nz, ext, itemsize, n_lower, True)
+                is not None
                 or pk._pick_tx_zt(bx, ny, nz, ext, itemsize, n_lower, True)
                 is not None
             )

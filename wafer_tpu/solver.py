@@ -245,6 +245,8 @@ def solve(
             config.potential in _analytic_kinds
             and (
                 pk._pick_tx(nx, ny, nz, ext, itemsize, n_lower, True) is not None
+                or pk._pick_tx_yt(nx, ny, nz, ext, itemsize, n_lower, True)
+                is not None
                 or pk._pick_tx_zt(nx, ny, nz, ext, itemsize, n_lower, True)
                 is not None
             )
@@ -485,9 +487,15 @@ def solve(
                     ext,
                     k_fuse,
                 )
-            elif kgs and (n_lower > 0 or per_step_norm):
+            elif kgs and (per_step_norm or (n_lower > 0 and step > 0)):
                 # excited states / per-step-norm ground: two sweeps per HBM
-                # pass with the correction deferred algebraically
+                # pass with the correction deferred algebraically. Excited
+                # states take their FIRST chunk on the 1-step path: a state
+                # cloned from its lower neighbour starts nearly parallel to
+                # the store, where the deferred-correction scalar algebra is
+                # catastrophically cancelled in f32 (see kgs_coef_update);
+                # one chunk of per-step array projections orthogonalises ψ
+                # properly.
                 phi = pk.from_xpad_k(
                     pk.evolve_chunk_fused_kgs(
                         pk.to_xpad_k(phi, ext, 2),
