@@ -340,19 +340,6 @@ def cornell4():
     }))
 
 
-if __name__ == "__main__":
-    cmd = sys.argv[1] if len(sys.argv) > 1 else "kgs_bench"
-    dev = jax.devices()[0]
-    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}  cmd={cmd}")
-    {
-        "kgs_bench": kgs_bench,
-        "k3_bench": k3_bench,
-        "f64_bench": f64_bench,
-        "yt_bench": yt_bench,
-        "kgs_e2e": kgs_e2e,
-        "sharded_bench": sharded_bench,
-        "cornell4": cornell4,
-    }[cmd]()
 
 
 def yt_bench():
@@ -390,3 +377,76 @@ def yt_bench():
         time_chain(
             chunk_zt, pk.to_xpad(phi, ext), steps, n ** 3, "512^3 ground zt analytic"
         )
+
+
+def tx_sweep():
+    """Empirical slab-height sweep at 256^3: the VMEM budget now admits
+    tx up to 64, but measured throughput peaks at moderate tx (pipeline
+    granularity vs window amplification). Feeds the picker caps."""
+    import unittest.mock as mock
+
+    from wafer_tpu import geometry
+    from wafer_tpu.models import initial
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    n, steps = 256, 200
+    cfg = _harmonic_cfg(n, n, n, steps)
+    order, ext = "ThreePoint", 1
+    dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
+    analytic = ("Harmonic", dn, dt, mass, n, n, n)
+    phi = initial.set_initial_conditions(cfg).astype(jnp.float32)
+
+    for kf in (2, 4):
+        for tx in (8, 16, 32):
+            with mock.patch.object(pk, "_pick_tx_k", lambda *a, _tx=tx, **k: _tx):
+                def chunk(p, _kf=kf):
+                    return pk.evolve_chunk_fused_k(
+                        p, None, order, dt, dn, mass, steps, _kf, analytic=analytic
+                    )
+
+                time_chain(
+                    chunk, pk.to_xpad_k(phi, ext, kf), steps, n ** 3,
+                    f"K={kf} tx={tx}",
+                )
+
+    # excited kgs tx sweep
+    rng = np.random.default_rng(0)
+    lower = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()).astype(np.float32)), ext
+    )
+    lower = lower / jnp.sqrt(jnp.sum(lower * lower))
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    sl_x, _n2, _ov = pk.evolve_step_fused(
+        pk.to_xpad(lower, ext), None, None, order, scale, 0, False, analytic=analytic
+    )
+    sl = pk.from_xpad(sl_x, ext)
+    store2 = jnp.stack([pk.to_xpad_k(w, ext, 2) for w in (lower, sl)])
+    gram_g = sl.reshape(1, -1) @ sl.reshape(-1, 1)
+    gram_h = lower.reshape(1, -1) @ sl.reshape(-1, 1)
+    for tx in (8, 16, 32):
+        with mock.patch.object(pk, "_pick_tx_kgs", lambda *a, _tx=tx, **k: _tx):
+            def chunk2(p):
+                return pk.evolve_chunk_fused_kgs(
+                    p, None, store2, gram_g, gram_h, order, dt, dn, mass,
+                    steps, 1, analytic=analytic,
+                )
+
+            time_chain(chunk2, pk.to_xpad_k(phi, ext, 2), steps, n ** 3,
+                       f"kgs S=1 tx={tx}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "kgs_bench"
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}  cmd={cmd}")
+    {
+        "kgs_bench": kgs_bench,
+        "k3_bench": k3_bench,
+        "f64_bench": f64_bench,
+        "yt_bench": yt_bench,
+        "tx_sweep": tx_sweep,
+        "kgs_e2e": kgs_e2e,
+        "sharded_bench": sharded_bench,
+        "cornell4": cornell4,
+    }[cmd]()

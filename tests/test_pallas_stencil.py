@@ -792,3 +792,46 @@ def test_kgs_degenerate_start_stays_finite():
     w = pk.from_xpad_k(jnp.asarray(out), ext, 2)
     w = w / jnp.sqrt(jnp.sum(w * w))
     assert abs(float(jnp.sum(w * l))) < 1e-2
+
+
+def test_k_fused_chunk_remainder_steps():
+    """evolve_chunk_fused_k with n_steps not a multiple of K runs the
+    remainder as in-chunk 1-step sweeps — exact chunk cadence preserved."""
+    order = "ThreePoint"
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+    )
+    ext = 1
+    rng = np.random.default_rng(51)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()).astype(np.float32)), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    b_int = geometry.work_area(b, ext)
+    ref = np.asarray(
+        geometry.work_area(
+            stencil.evolve_chunk(
+                phi, a, b, None, order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 7, 0
+            ),
+            ext,
+        )
+    )
+    for analytic in (None, ("Harmonic", cfg.grid.dn, cfg.grid.dt, cfg.mass,
+                            16, 8, 128)):
+        out = np.asarray(
+            geometry.work_area(
+                pk.from_xpad_k(
+                    pk.evolve_chunk_fused_k(
+                        pk.to_xpad_k(phi, ext, 3),
+                        None if analytic else pk.b_to_xpad_k(b_int, ext, 3),
+                        order, cfg.grid.dt, cfg.grid.dn, cfg.mass, 7, 3,
+                        analytic=analytic, interpret=True,
+                    ),
+                    ext, 3,
+                ),
+                ext,
+            )
+        )
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

@@ -324,7 +324,7 @@ def test_sharded_k_fused_matches_sharded_xla(mesh_shape):
         )
     )
     ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
-    assert ops_p.k_fuse == 2, ops_p.k_fuse
+    assert ops_p.k_fuse >= 2, ops_p.k_fuse
     assert ops_p.analytic is not None
     out = np.asarray(
         ops_p.evolve_chunk(
@@ -360,7 +360,7 @@ def test_sharded_k_fused_streamed_b():
         )
     )
     ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
-    assert ops_p.k_fuse == 2 and ops_p.analytic is None
+    assert ops_p.k_fuse >= 2 and ops_p.analytic is None
     out = np.asarray(
         ops_p.evolve_chunk(
             ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int), ops_p.put_store(None)
@@ -447,7 +447,7 @@ def test_sharded_pallas_transposed_yz_mesh(mesh_shape, size):
         )
     )
     ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
-    assert ops_p.k_fuse == 2 and ops_p.analytic is not None
+    assert ops_p.k_fuse >= 2 and ops_p.analytic is not None
     out = np.asarray(
         ops_p.get(
             ops_p.evolve_chunk(

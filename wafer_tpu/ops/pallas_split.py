@@ -62,7 +62,11 @@ def _analytic_b_sc(analytic, shp, x0, y0, z0):
 # Tighter than the real kernel's 11 MB: Mosaic's scoped-vmem accounting for
 # this kernel runs ~35% above the raw scratch sum (measured on v5e: a 12.7 MB
 # naive sum compiled to a 17.1 MB scoped allocation), so size against 8 MB.
-_SC_VMEM_BUDGET = 8 * 1024 * 1024
+# See pallas_stencil._VMEM_BUDGET: Mosaic's default scoped limit (16 MiB)
+# is raised via compiler_params; 40 MiB raw keeps the measured ~1.35×
+# scoped-accounting overhead of this kernel family well under the 128 MiB
+# v5e VMEM.
+_SC_VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def _pick_tx_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int,
@@ -413,6 +417,9 @@ def evolve_step_fused_sc(
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(psi2, b2, store_flat, coef)
     return out2, norm2[0, 0], overlaps[: 2 * (n_lower or 1), 0]
 

@@ -319,7 +319,44 @@ def _evolve_kernel(
         ).wait()
 
 
-_VMEM_BUDGET = 11 * 1024 * 1024
+# Slab-height budget for the kernel pickers. Mosaic's DEFAULT scoped-VMEM
+# limit is 16 MiB, but v5e hardware has 128 MiB — pallas_calls raise it via
+# compiler_params. Measured trade-off (256³ K=2): the limit itself taxes
+# throughput (the compiler reserves VMEM the pipeline otherwise uses):
+# no param/tx8 7.89e10, limit 100 MiB/tx32 6.25e10, but limit 32 MiB/tx16
+# is the sweet spot at 8.25e10 — so the default budget/limit sit there.
+# Env overrides for experiments: WAFER_VMEM_BUDGET_MB / WAFER_VMEM_LIMIT_MB
+# (limit 0 → no compiler param, Mosaic default 16 MiB).
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("WAFER_VMEM_BUDGET_MB", "24")) * 1024 * 1024
+_VMEM_LIMIT_BYTES = int(_os.environ.get("WAFER_VMEM_LIMIT_MB", "32")) * 1024 * 1024
+# Second tier for big-plane K-fusion: at 512³ the K=2 window needs ~42 MiB —
+# the limit tax at 64 MiB is far outweighed by halving the HBM passes
+# (measured: 6.34e10 vs 2.99e10 for the tier-1 1-step path).
+_VMEM_BUDGET_T2 = int(_os.environ.get("WAFER_VMEM_BUDGET_T2_MB", "48")) * 1024 * 1024
+_VMEM_LIMIT_T2 = int(_os.environ.get("WAFER_VMEM_LIMIT_T2_MB", "64")) * 1024 * 1024
+
+
+def _compiler_params(need_bytes: int = 0):
+    """Compiler params for a kernel whose raw scratch need is known: tier-1
+    tiles get the low-tax 32 MiB limit; bigger tiles the 64 MiB tier."""
+    if need_bytes > _VMEM_BUDGET:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_T2)
+    if _VMEM_LIMIT_BYTES <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
+
+def _need_k(tx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int,
+            analytic_b: bool) -> int:
+    plane = ny * nz * itemsize
+    return (
+        2 * (tx + 2 * k_steps * ext) * plane
+        + (tx + 2 * (k_steps - 1) * ext) * plane
+        + (0 if analytic_b else (tx + 2 * (k_steps - 1) * ext) * plane)
+        + tx * plane
+    )
 
 
 def _pick_tx(nx: int, ny: int, nz: int, ext: int, itemsize: int, n_lower: int,
@@ -1067,6 +1104,7 @@ def evolve_step_fused(
                     pltpu.SemaphoreType.DMA,
                 ],
                 interpret=interpret,
+                compiler_params=_compiler_params(),
             )(phi_xpad, b_int, store_flat, coef, x_origin)
         return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
@@ -1121,6 +1159,7 @@ def evolve_step_fused(
                     pltpu.SemaphoreType.DMA,
                 ],
                 interpret=interpret,
+                compiler_params=_compiler_params(),
             )(phi_xpad, b_int, store_flat, coef, x_origin)
         return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
 
@@ -1178,6 +1217,7 @@ def evolve_step_fused(
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(phi_xpad, b_int, store_flat, coef, x_origin)
 
     return out_xpad, norm2[0, 0], overlaps[:n_lower or 1, 0]
@@ -1367,18 +1407,15 @@ def _evolve_kernel_k(
 
 def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int,
                analytic_b: bool = False):
-    plane = ny * nz * itemsize
-    for tx in (64, 32, 16, 8, 4, 2, 1):
-        if nx % tx:
-            continue
-        need = (
-            2 * (tx + 2 * k_steps * ext) * plane  # windows
-            + (tx + 2 * (k_steps - 1) * ext) * plane  # pong
-            + (0 if analytic_b else (tx + 2 * (k_steps - 1) * ext) * plane)  # b
-            + tx * plane  # result (single-buffered)
-        )
-        if need <= _VMEM_BUDGET:
-            return tx
+    """Two-tier search: prefer a tile inside the low-tax tier-1 budget;
+    planes too large for that (512³+) fall into tier 2, whose higher VMEM
+    limit taxes throughput less than losing K-fusion would."""
+    for budget in (_VMEM_BUDGET, _VMEM_BUDGET_T2):
+        for tx in (64, 32, 16, 8, 4, 2, 1):
+            if nx % tx:
+                continue
+            if _need_k(tx, ny, nz, ext, itemsize, k_steps, analytic_b) <= budget:
+                return tx
     return None
 
 
@@ -1475,6 +1512,9 @@ def evolve_steps_fused_k(
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(
+                _need_k(tx, ny, nz, ext, dtype.itemsize, k_steps, analytic is not None)
+            ),
         )(phi_xpad_k, b_xpad, x_origin, edges)
 
 
@@ -1496,13 +1536,15 @@ def evolve_chunk_fused_k(
     analytic=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Ground-state chunk via K-step fused sweeps. ``n_steps`` must be a
-    multiple of ``k_steps`` (the solver pads screen_update accordingly).
-    With ``analytic`` set, B is computed in-kernel and ``b_xpad`` is
-    ignored (pass None)."""
+    """Ground-state chunk via K-step fused sweeps. ``n_steps`` need not be
+    a multiple of ``k_steps``: the remainder runs as 1-step fused sweeps in
+    the same chunk (identical cadence to the reference — a chunk is always
+    exactly ``n_steps`` sweeps). With ``analytic`` set, B is computed
+    in-kernel and ``b_xpad`` is ignored (pass None)."""
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
-    assert n_steps % k_steps == 0
+    ext = _EXT[order]
+    streamed = b_xpad is not None
     if b_xpad is None:
         b_xpad = jnp.zeros((1, 1, 1), dtype=phi_xpad_k.dtype)
 
@@ -1511,7 +1553,25 @@ def evolve_chunk_fused_k(
             phi, b_xpad, order, scale, k_steps, analytic, interpret
         )
 
-    return jax.lax.fori_loop(0, n_steps // k_steps, body, phi_xpad_k)
+    phi = jax.lax.fori_loop(0, n_steps // k_steps, body, phi_xpad_k)
+    rem = n_steps % k_steps
+    if rem:
+        extra = (k_steps - 1) * ext
+        p1 = phi[extra:-extra] if extra else phi
+        # b in the 1-step layout: the K layout's pad rows are ignored
+        b_int = b_xpad[extra:-extra] if (streamed and extra) else (
+            b_xpad if streamed else None
+        )
+        for _ in range(rem):
+            p1, _n2, _ov = evolve_step_fused(
+                p1, b_int, None, order, scale, 0, False, interpret,
+                analytic=analytic,
+            )
+        if extra:
+            phi = jnp.pad(p1, ((extra, extra), (0, 0), (0, 0)))
+        else:
+            phi = p1
+    return phi
 
 
 def to_xpad_k(phi_padded: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
@@ -2027,6 +2087,7 @@ def evolve_steps_fused_kgs(
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(phi_xpad2, b_xpad, store_flat, coef, x_origin, edges)
     return out, red_u, red_w
 

@@ -167,10 +167,9 @@ class ShardedOps:
         # masking is driven by per-shard global-edge flags.
         k_fuse = 1
         if use_pallas and n_lower == 0:
-            for k_cand in (2, 3):
+            for k_cand in (3, 2):  # K=3 measured fastest (see solver.solve)
                 if (
-                    screen_update % k_cand == 0
-                    and bx >= k_cand * ext  # ppermute face ≤ block extent
+                    bx >= k_cand * ext  # ppermute face ≤ block extent
                     and pk.k_fuse_supported(
                         bx, ny, nz, ext, itemsize, k_cand, analytic is not None
                     )
@@ -295,7 +294,24 @@ class ShardedOps:
                     p = lax.fori_loop(
                         0, screen_update // k_fuse, body_k, to_xpad(phi, pad)
                     )
-                    return p[pad:-pad]
+                    p = p[pad:-pad]
+                    # remainder steps (screen_update % K) via the 1-step body
+                    for _ in range(screen_update % k_fuse):
+                        p1 = refresh_halo(to_xpad(p, ext), ext)
+                        out1, _n2, _ov = pk.evolve_step_fused(
+                            p1,
+                            None if analytic is not None else b,
+                            None,
+                            order,
+                            scale,
+                            0,
+                            False,
+                            pallas_interpret,
+                            analytic=analytic,
+                            x_origin=x_org,
+                        )
+                        p = out1[ext:-ext]
+                    return p
 
                 def body(_i, p):
                     p = refresh_halo(p, ext)

@@ -265,13 +265,15 @@ def solve(
             )
 
         # temporal blocking: fuse K sweeps per HBM pass on the ground state
-        # (excited states renormalise+project every step, forbidding fusion).
-        # K=2 measures fastest: deeper fusion turns the sweep compute/VMEM
-        #-bound (measured: K=2 73 Gup/s vs K=4 61 Gup/s at 256³ analytic-B).
+        # (per-step-norm/excited states use the kgs machinery instead).
+        # K=3 measures fastest at the tier-1 VMEM budget (9.76e10 vs
+        # K=2 8.24e10 / K=4 8.88e10 at 256³ analytic-B); chunks that are
+        # not multiples of K run the remainder as in-chunk 1-step sweeps,
+        # so no screen_update divisibility is required.
         k_fuse = 1
         if n_lower == 0:
-            for k_cand in (2, 3):
-                if config.output.screen_update % k_cand == 0 and pk.k_fuse_supported(
+            for k_cand in (3, 2):
+                if pk.k_fuse_supported(
                     nx, ny, nz, ext, itemsize, k_cand, analytic is not None
                 ):
                     k_fuse = k_cand
