@@ -81,16 +81,8 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
             from wafer_tpu import geometry
             from wafer_tpu.ops import pallas_stencil as pk
 
-            # K preference mirrors the solver: K=3 measured fastest at the
-            # tier-1 VMEM budget (remainder steps run in-chunk)
-            k_fuse = next(
-                (
-                    k
-                    for k in (3, 2)
-                    if pk.k_fuse_supported(n, n, n, ext, 4, k, True)
-                ),
-                1,
-            )
+            # K depth mirrors the solver's cost-model choice
+            k_fuse = pk.pick_k_fuse(n, n, n, ext, 4, True)
             # harmonic is analytic: B computed in-kernel from coordinates
             g = cfg.grid
             analytic = ("Harmonic", g.dn, g.dt, cfg.mass, n, n, n)

@@ -323,7 +323,11 @@ def test_sharded_k_fused_matches_sharded_xla(mesh_shape):
             ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int), ops_x.put_store(None)
         )
     )
-    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    # force K=2 on these deliberately tiny blocks (the cost model would
+    # decline fusion at this scale — correctness is what's under test)
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True, k_fuse=2
+    )
     assert ops_p.k_fuse >= 2, ops_p.k_fuse
     assert ops_p.analytic is not None
     out = np.asarray(

@@ -1405,23 +1405,69 @@ def _evolve_kernel_k(
         ).wait()
 
 
+def _tile_cost_k(tx: int, ext: int, k_steps: int, analytic_b: bool,
+                 tax: float) -> float:
+    """Predicted HBM planes per step for a K-fused tile: window read
+    amplification + 1 write + B stream, divided by K, times the VMEM-tier
+    tax (the higher vmem_limit taxes throughput ~25%, measured)."""
+    amp = (tx + 2 * k_steps * ext) / tx
+    b_stream = 0.0 if analytic_b else (tx + 2 * (k_steps - 1) * ext) / tx
+    return (amp + 1.0 + b_stream) / k_steps * tax
+
+
 def _pick_tx_k(nx: int, ny: int, nz: int, ext: int, itemsize: int, k_steps: int,
-               analytic_b: bool = False):
-    """Two-tier search: prefer a tile inside the low-tax tier-1 budget;
-    planes too large for that (512³+) fall into tier 2, whose higher VMEM
-    limit taxes throughput less than losing K-fusion would."""
-    for budget in (_VMEM_BUDGET, _VMEM_BUDGET_T2):
+               analytic_b: bool = False, budget=None):
+    """Cost-based two-tier search: within a tier the largest fitting tx has
+    the lowest window amplification, so one candidate per tier is compared
+    by :func:`_tile_cost_k` — a tier-2 tile (bigger budget, taxed VMEM
+    limit) wins when tier-1 only fits amplification-heavy slivers (512³:
+    tier-1 tx=2 at amp 4 loses to tier-2 tx=8 at amp 1.75)."""
+    if budget is not None:
         for tx in (64, 32, 16, 8, 4, 2, 1):
-            if nx % tx:
-                continue
-            if _need_k(tx, ny, nz, ext, itemsize, k_steps, analytic_b) <= budget:
+            if nx % tx == 0 and _need_k(
+                tx, ny, nz, ext, itemsize, k_steps, analytic_b
+            ) <= budget:
                 return tx
-    return None
+        return None
+    best, best_cost = None, None
+    for b, tax in ((_VMEM_BUDGET, 1.0), (_VMEM_BUDGET_T2, 1.25)):
+        tx = _pick_tx_k(nx, ny, nz, ext, itemsize, k_steps, analytic_b, budget=b)
+        if tx is None:
+            continue
+        cost = _tile_cost_k(tx, ext, k_steps, analytic_b, tax)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = tx, cost
+    return best
 
 
 def k_fuse_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                      k_steps: int, analytic_b: bool = False) -> bool:
     return _pick_tx_k(nx, ny, nz, ext, itemsize, k_steps, analytic_b) is not None
+
+
+def pick_k_fuse(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                analytic_b: bool = False) -> int:
+    """Choose the temporal-blocking depth by predicted per-step HBM traffic.
+
+    cost(K) = (window amplification + 1 write + B stream) / K, with a 1.25×
+    tax for tiles that need the tier-2 VMEM limit (measured overhead of the
+    higher ``vmem_limit_bytes``) and an amplification cap of 2 (beyond it
+    the window refetch erases the fusion gain — e.g. K=3 at tx=1). K=4 is
+    excluded: measured slower than K=3 despite lower modelled traffic
+    (edge-row recompute + VPU pressure; 8.88e10 vs 9.76e10 at 256³)."""
+    best_k, best_cost = 1, None
+    for k_steps in (3, 2):
+        for budget, tax in ((_VMEM_BUDGET, 1.0), (_VMEM_BUDGET_T2, 1.25)):
+            tx = _pick_tx_k(nx, ny, nz, ext, itemsize, k_steps, analytic_b,
+                            budget=budget)
+            if tx is None:
+                continue
+            if (tx + 2 * k_steps * ext) / tx > 2.0:
+                continue
+            cost = _tile_cost_k(tx, ext, k_steps, analytic_b, tax)
+            if best_cost is None or cost < best_cost:
+                best_k, best_cost = k_steps, cost
+    return best_k
 
 
 @functools.partial(

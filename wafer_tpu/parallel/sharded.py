@@ -55,6 +55,7 @@ class ShardedOps:
         use_pallas: Optional[bool] = None,
         pallas_interpret: bool = False,
         v_shift: float = 0.0,
+        k_fuse: Optional[int] = None,
     ):
         self.config = config
         self.mesh = mesh
@@ -165,17 +166,17 @@ class ShardedOps:
         # per fused call instead of ext per step, halving the per-shard HBM
         # traffic like the single-chip ladder. The kernel's Dirichlet edge
         # masking is driven by per-shard global-edge flags.
+        forced_k = k_fuse
         k_fuse = 1
         if use_pallas and n_lower == 0:
-            for k_cand in (3, 2):  # K=3 measured fastest (see solver.solve)
-                if (
-                    bx >= k_cand * ext  # ppermute face ≤ block extent
-                    and pk.k_fuse_supported(
-                        bx, ny, nz, ext, itemsize, k_cand, analytic is not None
-                    )
-                ):
-                    k_fuse = k_cand
-                    break
+            if forced_k is not None:  # explicit override (tests/benchmarks)
+                k_fuse = forced_k
+            else:
+                k_fuse = pk.pick_k_fuse(bx, ny, nz, ext, itemsize, analytic is not None)
+            if bx < k_fuse * ext:  # ppermute face must fit the block extent
+                k_fuse = 2 if bx >= 2 * ext and pk.k_fuse_supported(
+                    bx, ny, nz, ext, itemsize, 2, analytic is not None
+                ) else 1
         self.k_fuse = k_fuse
 
         def orthogonalise(phi, store):

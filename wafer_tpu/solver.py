@@ -272,12 +272,7 @@ def solve(
         # so no screen_update divisibility is required.
         k_fuse = 1
         if n_lower == 0:
-            for k_cand in (3, 2):
-                if pk.k_fuse_supported(
-                    nx, ny, nz, ext, itemsize, k_cand, analytic is not None
-                ):
-                    k_fuse = k_cand
-                    break
+            k_fuse = pk.pick_k_fuse(nx, ny, nz, ext, itemsize, analytic is not None)
         if k_fuse > 1:
             b_xpad_k = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, k_fuse)
 
