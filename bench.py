@@ -81,17 +81,28 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
             from wafer_tpu import geometry
             from wafer_tpu.ops import pallas_stencil as pk
 
-            # K depth mirrors the solver's cost-model choice
-            k_fuse = pk.pick_k_fuse(n, n, n, ext, 4, True)
             # harmonic is analytic: B computed in-kernel from coordinates
             g = cfg.grid
             analytic = ("Harmonic", g.dn, g.dt, cfg.mass, n, n, n)
-            phi = pk.to_xpad_k(phi, ext, k_fuse)
+            if pk.resident_supported(n, n, n, ext, 4, True):
+                # whole-chunk VMEM-resident kernel (solver's first choice)
+                phi = pk.to_xpad(phi, ext)
 
-            def chunk(p):
-                return pk.evolve_chunk_fused_k(
-                    p, None, order, dt, dn, mass, STEPS, k_fuse, analytic=analytic
-                )
+                def chunk(p):
+                    return pk.evolve_chunk_resident(
+                        p, order, dt, dn, mass, STEPS, analytic
+                    )
+
+            else:
+                # K depth mirrors the solver's cost-model choice
+                k_fuse = pk.pick_k_fuse(n, n, n, ext, 4, True)
+                phi = pk.to_xpad_k(phi, ext, k_fuse)
+
+                def chunk(p):
+                    return pk.evolve_chunk_fused_k(
+                        p, None, order, dt, dn, mass, STEPS, k_fuse,
+                        analytic=analytic,
+                    )
 
         else:
 

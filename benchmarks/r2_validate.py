@@ -225,6 +225,76 @@ def kgs_e2e():
     print(json.dumps({"bench": "kgs_e2e harmonic 64x64x128", "wall_s": round(wall, 1)}))
 
 
+def resident_e2e():
+    """Solver end-to-end through both VMEM-resident dispatches:
+    harmonic 128³ ground (plain resident; E₀ vs the 1.5 oracle) and
+    SimpleCornell 128³ ground (per-step-norm drift-guard resident;
+    binding < 0 oracle, BASELINE.md has −0.27163)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.chdir(d)
+    os.makedirs("input", exist_ok=True)
+    from wafer_tpu import solver
+    from wafer_tpu.config import Config
+    from wafer_tpu.io import run_dir
+
+    cfg = _harmonic_cfg(
+        128, 128, 128, 200,
+        grid={"dn": 0.15, "dt": 0.005},
+        max_steps=200000,
+        init_condition="Constant",
+    )
+    run_dir.check_output_dir(cfg.project_name)
+    t0 = time.perf_counter()
+    results = solver.run(cfg, seed=3)
+    wall = time.perf_counter() - t0
+    e0 = float(np.real(results[0].observables.energy / results[0].observables.norm2))
+    print(json.dumps({
+        "bench": "resident_e2e harmonic 128^3",
+        "E0": e0, "oracle": 1.5, "steps": results[0].steps,
+        "wall_s": round(wall, 1),
+        "updates_per_s": f"{128**3 * results[0].steps / wall:.3e}",
+    }))
+    assert abs(e0 - 1.5) < 5e-3, e0
+
+    cfgc = Config.from_dict({
+        "project_name": "res-cornell",
+        "grid": {"size": {"x": 128, "y": 128, "z": 128}, "dn": 0.35, "dt": 0.04},
+        "tolerance": 1e-6,
+        "central_difference": "ThreePoint",
+        "wavenum": 0,
+        "wavemax": 0,
+        "max_steps": 200000,
+        "output": {
+            "screen_update": 500,
+            "file_type": "Json",
+            "save_wavefns": False,
+            "save_potential": False,
+        },
+        "potential": "SimpleCornell",
+        "mass": 4.65,
+        "sig": 0.223,
+        "init_condition": "Gaussian",
+        "init_symmetry": "NotConstrained",
+        "precision": "f32",
+    })
+    run_dir.check_output_dir(cfgc.project_name)
+    t0 = time.perf_counter()
+    resc = solver.run(cfgc, seed=5)
+    wall = time.perf_counter() - t0
+    oc = resc[0].observables
+    binding = float(np.real(oc.energy / oc.norm2)) - float(oc.v_infinity / oc.norm2)
+    print(json.dumps({
+        "bench": "resident_e2e cornell 128^3 (per-step-norm guard)",
+        "binding": round(binding, 5), "expected": -0.27163,
+        "steps": resc[0].steps, "wall_s": round(wall, 1),
+        "updates_per_s": f"{128**3 * resc[0].steps / wall:.3e}",
+    }))
+    assert binding < 0, binding
+
+
 def sharded_bench():
     from wafer_tpu import geometry
     from wafer_tpu.models import initial, potentials as pmod
@@ -447,6 +517,7 @@ if __name__ == "__main__":
         "yt_bench": yt_bench,
         "tx_sweep": tx_sweep,
         "kgs_e2e": kgs_e2e,
+        "resident_e2e": resident_e2e,
         "sharded_bench": sharded_bench,
         "cornell4": cornell4,
     }[cmd]()

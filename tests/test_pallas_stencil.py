@@ -835,3 +835,136 @@ def test_k_fused_chunk_remainder_steps():
             )
         )
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+# --------------------------------------------------------------------------- #
+# VMEM-resident chunk kernel
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("order", ["ThreePoint", "FivePoint", "SevenPoint"])
+def test_resident_chunk_matches_xla(order):
+    """Whole-chunk VMEM-resident in-place sweep == n_steps XLA sweeps."""
+    cfg, ext, phi, a, b = _setup(order)
+    g = cfg.grid
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, g.dt, g.dn, cfg.mass, 5, 0
+    )
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 5, analytic,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5,
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize(
+    "pot", ["Coulomb", "SimpleCornell", "Periodic", "NoPotential"]
+)
+def test_resident_chunk_all_analytic_kinds(pot):
+    """Hoisted-B (Periodic/NoPotential) and generic-B (Coulomb/Cornell)
+    resident paths vs the XLA sweep."""
+    cfg = base_config(
+        precision="f32",
+        potential=pot,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.2, "dt": 0.004},
+    )
+    ext, order = 1, "ThreePoint"
+    rng = np.random.default_rng(7)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    g = cfg.grid
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, g.dt, g.dn, cfg.mass, 4, 0
+    )
+    analytic = (pot, g.dn, g.dt, cfg.mass, 16, 16, 16, cfg.sig)
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 4, analytic,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5,
+        atol=2e-6,
+    )
+
+
+def test_resident_chunk_with_gauge_shift():
+    """vshift in the analytic tuple must match shifted array factors."""
+    cfg = base_config(
+        precision="f32",
+        potential="SimpleCornell",
+        mass=4.65,
+        sig=0.223,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.35, "dt": 0.004},
+    )
+    ext, order = 1, "ThreePoint"
+    rng = np.random.default_rng(9)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    vshift = float(jnp.min(v))
+    a, b = pmod.build_ab(v, cfg.grid.dt, v_shift=vshift)
+    g = cfg.grid
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, g.dt, g.dn, cfg.mass, 3, 0
+    )
+    analytic = (
+        "SimpleCornell", g.dn, g.dt, cfg.mass, 16, 16, 16, cfg.sig, vshift
+    )
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 3, analytic,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5,
+        atol=2e-6,
+    )
+
+
+def test_resident_supported_gating():
+    # analytic-B required
+    assert not pk.resident_supported(256, 256, 256, 1, 4, False)
+    # f32 only
+    assert not pk.resident_supported(256, 256, 256, 1, 8, True)
+    # 256³ fits the default budget; 512³ does not
+    assert pk.resident_supported(256, 256, 256, 1, 4, True)
+    assert not pk.resident_supported(512, 512, 512, 1, 4, True)
+    # no slab height divides a prime NX
+    assert not pk.resident_supported(13, 256, 256, 1, 4, True)
+
+
+def test_resident_per_step_norm_matches_carried_coef():
+    """Resident drift-guard (in-SMEM carried inverse norm) vs the 1-step
+    carried-coefficient path, and vs the XLA per-step-normalised chunk."""
+    cfg, ext, phi, a, b = _setup("ThreePoint")
+    order, g = "ThreePoint", cfg.grid
+    b_int = geometry.work_area(b, ext)
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), b_int, None, order, g.dt, g.dn, cfg.mass, 6, 0,
+        interpret=True, per_step_norm=True,
+    )
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 6, analytic,
+        interpret=True, per_step_norm=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=2e-6
+    )
+    # and against the XLA chunk with per-step normalisation
+    ref_xla = stencil.evolve_chunk(
+        phi, a, b, None, order, g.dt, g.dn, cfg.mass, 6, 0, per_step_norm=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)),
+        np.asarray(ref_xla),
+        rtol=3e-5,
+        atol=2e-6,
+    )

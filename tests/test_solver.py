@@ -242,11 +242,29 @@ def test_solver_kgs_dispatch_end_to_end(tmp_run, monkeypatch):
     )
     run_dir.check_output_dir("test")
     cfg_x = base_config(**common)
+    # Seed state 1 from a deterministic noisy partial on disk (the IC
+    # arbitration prefers it, src/grid.rs:60-85): a state-1 IC cloned from
+    # the converged ground has a pure-rounding residual after projection,
+    # and which excited state it then relaxes to is a race between the odd
+    # noise-seeded level and the even contamination of the stored ground —
+    # i.e. dependent on which ground-state kernel ran. A noisy start
+    # overlaps every level and both legs converge to the true E₁.
+    from wafer_tpu.io import formats
+
+    _rng = np.random.default_rng(11)
+    _noisy = _rng.normal(size=cfg_x.work_size())
+    with open("input/wavefunction_1_partial.json", "w") as fh:
+        fh.write(formats.array_to_json(_noisy))
     cfg_x.backend = "xla"
     ref = solver.run(cfg_x, seed=5)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    for fn in ("evolve_chunk_fused", "evolve_chunk_fused_k", "evolve_chunk_fused_kgs"):
+    for fn in (
+        "evolve_chunk_fused",
+        "evolve_chunk_fused_k",
+        "evolve_chunk_fused_kgs",
+        "evolve_chunk_resident",
+    ):
         monkeypatch.setattr(pk, fn, functools.partial(getattr(pk, fn), interpret=True))
     # evolve_step_fused receives `interpret` positionally from the chunk
     # drivers, so a keyword partial would clash — rewrite the slot instead

@@ -1646,6 +1646,230 @@ def b_to_xpad_k(b_int: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------- #
+# VMEM-resident chunk kernel: the whole ψ stays on-chip for a full chunk
+# --------------------------------------------------------------------------- #
+#
+# When the x-padded ψ fits in VMEM (v5e: 128 MiB; 256³ f32 = 64.5 MiB), an
+# entire ``screen_update`` chunk runs on-chip: one HBM read and one write per
+# *chunk* instead of per K steps. Each grid program is one full sweep over
+# all x-slabs, updated **in place** — a lag buffer carries the ``ext`` old
+# planes the previous slab already overwrote, so there is zero halo
+# recompute (the K-fused trapezoids recompute ~1.4× at K=3, which is what
+# bounds them: the sweep is VPU-bound well below the HBM roofline).
+# Measured at 256³ f32 3-point (TPU v5e): 1.16e11 updates/s vs 8.6e10 for
+# the K=3 ladder. Analytic-B only (a streamed B would re-open an HBM stream
+# per step); for Harmonic/NoPotential/Periodic the plane-constant part of B
+# is hoisted across all steps (b = 1/(P_yz + q_x), two VPU ops per cell).
+#
+# This is the TPU-native counterpart of the reference's per-step rayon sweep
+# (src/grid.rs:544-687) for the ground state (no per-step reductions,
+# src/grid.rs:674-681 applies to excited states only).
+
+_RES_BUDGET = int(_os.environ.get("WAFER_RES_BUDGET_MB", "72")) * 1024 * 1024
+
+
+def _pick_tx_res(nx: int, ext: int):
+    for tx in (64, 32, 16, 8):
+        if nx % tx == 0 and tx > ext:
+            return tx
+    return None
+
+
+def resident_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                       analytic_b: bool) -> bool:
+    """Whether the VMEM-resident chunk kernel applies: f32, analytic-B,
+    x-padded ψ within the resident budget, and a slab height dividing NX."""
+    if itemsize != 4 or not analytic_b:
+        return False
+    if _pick_tx_res(nx, ext) is None:
+        return False
+    return (nx + 2 * ext) * ny * nz * itemsize <= _RES_BUDGET
+
+
+def _evolve_kernel_res(
+    phi_hbm,   # (NX+2e, NY, NZ) ANY
+    out_hbm,   # (NX+2e, NY, NZ) ANY
+    psi_buf,   # (NX+2e, NY, NZ) VMEM — resident across all grid programs
+    lag,       # (ext, NY, NZ) VMEM — old planes the previous slab overwrote
+    yz_buf,    # (NY, NZ) VMEM — per-kind hoisted plane constant (see below)
+    nacc,      # (2, 1) SMEM f32 — per-step norm² ping-pong (with_norm)
+    sem_in,
+    sem_out,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    analytic,
+    nx: int,
+    with_norm: bool = False,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    ny, nz = psi_buf.shape[1], psi_buf.shape[2]
+    kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+
+    @pl.when(i == 0)
+    def _load():
+        cp = pltpu.make_async_copy(phi_hbm, psi_buf, sem_in)
+        cp.start()
+        cp.wait()
+        yz = _analytic_yz(analytic, ny, nz, ext, ext)
+        if kind == "Harmonic":
+            # b = 1/(P + q_x): P = 1 − dt/2·vshift + dt·dn²/4·(dy²+dz²)
+            yz_buf[...] = (1.0 - 0.5 * dt_ * vshift) + (
+                0.25 * dt_ * dn * dn
+            ) * yz
+        elif kind == "Periodic":
+            # b = 1/(C − s_x·S): S = dt/2·sin²y·sin²z (yz is the product)
+            yz_buf[...] = (0.5 * dt_) * yz
+        else:
+            yz_buf[...] = yz  # raw dy²+dz² for the generic per-slab B
+
+    # Per-step renormalisation (the f32 drift guard): the sweep is linear,
+    # so normalising the *input* (the 1-step kernel's carried-coefficient
+    # semantics, evolve_chunk_fused per_step_norm) equals scaling the
+    # *output* by the same inv — one multiply per cell instead of one per
+    # tap. inv comes from the previous program's accumulated ‖new‖².
+    if with_norm:
+        slot = jax.lax.rem(i, jnp.int32(2))
+        prev = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        inv = jnp.where(
+            i == 0,
+            jnp.float32(1.0),
+            jax.lax.rsqrt(jnp.maximum(nacc[prev, 0], jnp.float32(1e-37))),
+        )
+        nacc[slot, 0] = jnp.float32(0.0)
+
+    # one sweep, ascending slabs, in place
+    lag[...] = jnp.zeros_like(lag)  # rows [0, ext): Dirichlet halo (zero)
+    for s in range(nx // tx):
+        rs = ext + s * tx
+        c = psi_buf[rs : rs + tx]
+        acc = (-float(center_c)) * c
+        for off, cf in zip(offsets, coeffs):
+            cf = float(cf)
+            xm = jnp.concatenate(
+                [lag[ext - off : ext], psi_buf[rs : rs + tx - off]], axis=0
+            )
+            xp = psi_buf[rs + off : rs + tx + off]
+            acc += cf * (xm + xp)
+            acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
+            acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
+        if kind == "NoPotential":
+            b = 1.0 / (1.0 - 0.5 * dt_ * vshift)  # python float: scalar B
+        elif kind == "Harmonic":
+            dx = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0).astype(
+                jnp.float32
+            ) + (float(rs) - (ngx + 1.0) / 2.0)
+            q = (0.25 * dt_ * dn * dn) * (dx * dx)
+            b = 1.0 / (yz_buf[...][None, :, :] + q)
+        elif kind == "Periodic":
+            px = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0).astype(
+                jnp.float32
+            ) + float(rs)
+            two_pi = 2.0 * 3.14159265358979323846
+            sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
+            cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
+            b = 1.0 / (cconst - sx * yz_buf[...][None, :, :])
+        else:
+            b = _analytic_b(
+                analytic, (tx, ny, nz), jnp.float32(rs), ext, ext,
+                yz=yz_buf[...],
+            )
+        new = b * (2.0 * c + scale * acc) - c
+        if with_norm:
+            new = inv * new
+            nacc[slot, 0] += jnp.sum(new * new)
+        lag[...] = psi_buf[rs + tx - ext : rs + tx]  # old top rows, pre-write
+        psi_buf[rs : rs + tx] = new
+
+    @pl.when(i == n_steps - 1)
+    def _store():
+        if with_norm:
+            # materialise the final pending rescale before the copy-out
+            # (evolve_chunk_fused's trailing ``phi * coef``)
+            r = jax.lax.rsqrt(
+                jnp.maximum(nacc[slot, 0], jnp.float32(1e-37))
+            )
+            for s in range(nx // tx):
+                rs = ext + s * tx
+                psi_buf[rs : rs + tx] = r * psi_buf[rs : rs + tx]
+        cp = pltpu.make_async_copy(psi_buf, out_hbm, sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
+                     "interpret", "per_step_norm"),
+)
+def evolve_chunk_resident(
+    phi_xpad: jnp.ndarray,
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    analytic,
+    interpret: bool = False,
+    per_step_norm: bool = False,
+) -> jnp.ndarray:
+    """A full chunk of ``n_steps`` ground-state sweeps with ψ VMEM-resident.
+
+    ``phi_xpad``: (NX+2e, NY, NZ) x-padded layout (:func:`to_xpad`), halo
+    rows zero. Requires an analytic potential (``analytic`` as in
+    :func:`evolve_steps_fused_k`); callers gate on
+    :func:`resident_supported`. Trajectory-identical to ``n_steps``
+    applications of the 1-step sweep (same per-step math and Dirichlet
+    handling; reference cadence src/grid.rs:544-687). ``per_step_norm``
+    renormalises after every step like the reference's excited states
+    (src/grid.rs:674-681) — the f32 scale-drift guard — by carrying the
+    inverse norm across grid programs in SMEM."""
+    ext = _EXT[order]
+    nxp, ny, nz = phi_xpad.shape
+    nx = nxp - 2 * ext
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    tx = _pick_tx_res(nx, ext)
+    if tx is None:
+        raise ValueError(f"no resident slab height divides NX={nx}")
+    kernel = functools.partial(
+        _evolve_kernel_res,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        analytic=analytic,
+        nx=nx,
+        with_norm=per_step_norm,
+    )
+    plane = ny * nz * phi_xpad.dtype.itemsize
+    need = (nxp + ext + 4 * tx) * plane + ny * nz * 4
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), phi_xpad.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((nxp, ny, nz), phi_xpad.dtype),
+                pltpu.VMEM((ext, ny, nz), phi_xpad.dtype),
+                pltpu.VMEM((ny, nz), jnp.float32),
+                pltpu.SMEM((2, 1), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        )(phi_xpad)
+
+
+# --------------------------------------------------------------------------- #
 # chunk driver: the pallas counterpart of ops.stencil.evolve_chunk
 # --------------------------------------------------------------------------- #
 

@@ -264,15 +264,29 @@ def solve(
                 pots.v_shift,  # gauge shift — must match the array a/b
             )
 
-        # temporal blocking: fuse K sweeps per HBM pass on the ground state
-        # (per-step-norm/excited states use the kgs machinery instead).
-        # K=3 measures fastest at the tier-1 VMEM budget (9.76e10 vs
-        # K=2 8.24e10 / K=4 8.88e10 at 256³ analytic-B); chunks that are
+        # Ground-state sweep ladder, fastest first: (1) VMEM-resident chunk
+        # kernel — ψ stays on-chip for the whole chunk, zero per-step HBM
+        # traffic and zero halo recompute (1.16e11 vs 8.6e10 updates/s at
+        # 256³, see ops/pallas_stencil.evolve_chunk_resident); (2) K-step
+        # temporal blocking (K=3 at the tier-1 VMEM budget); chunks that are
         # not multiples of K run the remainder as in-chunk 1-step sweeps,
         # so no screen_update divisibility is required.
         k_fuse = 1
+        use_resident = False
         if n_lower == 0:
-            k_fuse = pk.pick_k_fuse(nx, ny, nz, ext, itemsize, analytic is not None)
+            use_resident = analytic is not None and pk.resident_supported(
+                nx, ny, nz, ext, itemsize, True
+            )
+            if use_resident:
+                log.info(
+                    "Ground-state chunks run the VMEM-resident kernel "
+                    "(x-padded psi = %.1f MiB on-chip)",
+                    (nx + 2 * ext) * ny * nz * itemsize / 2**20,
+                )
+            else:
+                k_fuse = pk.pick_k_fuse(
+                    nx, ny, nz, ext, itemsize, analytic is not None
+                )
         if k_fuse > 1:
             b_xpad_k = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, k_fuse)
 
@@ -468,7 +482,21 @@ def solve(
         if backend == "pallas":
             from wafer_tpu.ops import pallas_stencil as pk
 
-            if k_fuse > 1 and not per_step_norm:
+            if use_resident:
+                phi = pk.from_xpad(
+                    pk.evolve_chunk_resident(
+                        pk.to_xpad(phi, ext),
+                        order,
+                        dt,
+                        dn,
+                        mass,
+                        config.output.screen_update,
+                        analytic,
+                        per_step_norm=per_step_norm,
+                    ),
+                    ext,
+                )
+            elif k_fuse > 1 and not per_step_norm:
                 phi = pk.from_xpad_k(
                     pk.evolve_chunk_fused_k(
                         pk.to_xpad_k(phi, ext, k_fuse),
