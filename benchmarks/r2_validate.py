@@ -208,12 +208,19 @@ def kgs_e2e():
     from wafer_tpu import solver
     from wafer_tpu.io import run_dir
 
+    # Gaussian (noisy) IC: state 1 starts from the ground-state clone, whose
+    # post-projection residual carries the ground solve's own IC spectrum —
+    # a purely even IC (Constant) leaves the odd true-E₁ modes seeded only
+    # by rounding noise, and which excited level wins is then a race between
+    # noise growth and the tolerance check (the reference behaves the same,
+    # src/grid.rs:60-100; its own default guidance is a noisy IC,
+    # wafer.yaml:79-80).
     cfg = _harmonic_cfg(
         64, 64, 128, 200,
         grid={"dn": 0.15, "dt": 0.005},
         wavemax=1,
         max_steps=200000,
-        init_condition="Constant",
+        init_condition="Gaussian",
     )
     run_dir.check_output_dir(cfg.project_name)
     t0 = time.perf_counter()
@@ -293,6 +300,56 @@ def resident_e2e():
         "updates_per_s": f"{128**3 * resc[0].steps / wall:.3e}",
     }))
     assert binding < 0, binding
+
+
+def northstar():
+    """BASELINE north star: 256³ Coulomb, ground + two excited states to
+    1e-6, one chip. Round-2 prior: 562 s wall (K-ladder ground + 1-step
+    carried excited); the resident kernels should roughly halve it."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.chdir(d)
+    os.makedirs("input", exist_ok=True)
+    from wafer_tpu import solver
+    from wafer_tpu.config import Config
+    from wafer_tpu.io import run_dir
+
+    cfg = Config.from_dict({
+        "project_name": "northstar",
+        "grid": {"size": {"x": 256, "y": 256, "z": 256}, "dn": 0.0625,
+                 "dt": 1.3e-3},
+        "tolerance": 1e-6,
+        "central_difference": "ThreePoint",
+        "wavenum": 0,
+        "wavemax": 2,
+        "max_steps": 500000,
+        "output": {
+            "screen_update": 500,
+            "file_type": "Json",
+            "save_wavefns": False,
+            "save_potential": False,
+        },
+        "potential": "Coulomb",
+        "mass": 1.0,
+        "init_condition": "Coulomb",
+        "init_symmetry": "NotConstrained",
+        "precision": "f32",
+    })
+    run_dir.check_output_dir(cfg.project_name)
+    t0 = time.perf_counter()
+    results = solver.run(cfg, seed=1)
+    wall = time.perf_counter() - t0
+    total_steps = sum(r.steps for r in results)
+    for r in results:
+        e = float(np.real(r.observables.energy / r.observables.norm2))
+        print(json.dumps({"state": r.wnum, "E": round(e, 6), "steps": r.steps}))
+    print(json.dumps({
+        "bench": "northstar 256^3 Coulomb 3 states 1e-6",
+        "wall_s": round(wall, 1), "total_steps": total_steps,
+        "sustained_updates_per_s": f"{256**3 * total_steps / wall:.3e}",
+    }))
 
 
 def sharded_bench():
@@ -518,6 +575,7 @@ if __name__ == "__main__":
         "tx_sweep": tx_sweep,
         "kgs_e2e": kgs_e2e,
         "resident_e2e": resident_e2e,
+        "northstar": northstar,
         "sharded_bench": sharded_bench,
         "cornell4": cornell4,
     }[cmd]()

@@ -264,11 +264,74 @@ def bench(n=256, steps=200, reps=3):
         print(f"{name}: {best:.3e} updates/s", flush=True)
 
 
+def bench_exc(n=256, steps=200, n_lower=1, reps=3):
+    """ψ-resident excited path (production kernel) vs the 1-step
+    carried-coefficient path at S = n_lower."""
+    order = "ThreePoint"
+    phi, analytic, scale, ext = _setup(n, order)
+    dn, dt, mass = 0.1, 3e-3, 1.0
+
+    rng = np.random.default_rng(1)
+    lowers = []
+    for _ in range(n_lower):
+        w = rng.normal(size=(n + 2 * ext,) * 3).astype(np.float32)
+        w /= np.sqrt(np.sum(w.astype(np.float64) ** 2)).astype(np.float32)
+        lowers.append(jnp.asarray(w))
+    store_x = jnp.stack([pk.to_xpad(w, ext) for w in lowers])
+    sls = []
+    for w in lowers:
+        sl, _n2, _ov = pk.evolve_step_fused(
+            pk.to_xpad(w, ext), None, None, order, scale, 0, False,
+            analytic=analytic,
+        )
+        sls.append(sl)
+    sstore_x = jnp.stack(sls)
+
+    def chunk_res(p):
+        return pk.evolve_chunk_resident(
+            p, order, dt, dn, mass, steps, analytic,
+            store_xpad=store_x, sstore_xpad=sstore_x,
+        )
+
+    def chunk_1s(p):
+        return pk.evolve_chunk_fused(
+            p, None, store_x, order, dt, dn, mass, steps, n_lower,
+            analytic=analytic,
+        )
+
+    phi_x = pk.to_xpad(phi, ext)
+    for name, fn in (
+        (f"resident-exc S={n_lower}", chunk_res),
+        (f"1-step carried S={n_lower}", chunk_1s),
+    ):
+        def run_chain(p, r):
+            t0 = time.perf_counter()
+            for _ in range(r):
+                p = fn(p)
+            np.asarray(p[:1, :1, :8])
+            return time.perf_counter() - t0, p
+
+        t0 = time.perf_counter()
+        _t, p = run_chain(phi_x, 1)
+        print(f"{name}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+        best = 0.0
+        for _ in range(reps):
+            t1, p = run_chain(phi_x, 1)
+            t5, p = run_chain(phi_x, 5)
+            per = max((t5 - t1) / 4.0, 1e-9)
+            best = max(best, n**3 * steps / per)
+        print(f"{name}: {best:.3e} updates/s", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check("ThreePoint")
         check("SevenPoint")
+    elif mode == "exc":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+        s = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        bench_exc(n, n_lower=s)
     else:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         bench(n)

@@ -968,3 +968,51 @@ def test_resident_per_step_norm_matches_carried_coef():
         rtol=3e-5,
         atol=2e-6,
     )
+
+
+@pytest.mark.parametrize("n_lower", [1, 2])
+def test_resident_excited_matches_one_step_fused(n_lower):
+    """ψ-resident excited path (streamed l/Sl windows, in-SMEM coefficient
+    recursion) vs the 1-step carried-coefficient kernel — same per-step
+    normalise+project semantics (src/grid.rs:674-681)."""
+    cfg, ext, phi, a, b = _setup("ThreePoint")
+    order, g = "ThreePoint", cfg.grid
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = g.dt / (k * g.dn ** 2 * cfg.mass)
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+
+    rng = np.random.default_rng(17)
+    lowers = []
+    for _ in range(n_lower):
+        w = geometry.zero_boundary(
+            jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32),
+            ext,
+        )
+        w = w / jnp.sqrt(gram_schmidt.get_norm_squared(w)).astype(jnp.float32)
+        lowers.append(w)
+    store_x = jnp.stack([pk.to_xpad(w, ext) for w in lowers])
+    sls = []
+    for w in lowers:
+        sl, _n2, _ov = pk.evolve_step_fused(
+            pk.to_xpad(w, ext), None, None, order, scale, 0, False,
+            interpret=True, analytic=analytic,
+        )
+        sls.append(sl)
+    sstore_x = jnp.stack(sls)
+
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, store_x, order, g.dt, g.dn, cfg.mass,
+        5, n_lower, interpret=True, analytic=analytic,
+    )
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 5, analytic,
+        interpret=True, store_xpad=store_x, sstore_xpad=sstore_x,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-6
+    )
+    # orthogonality to the store is enforced to f32 noise
+    for w in lowers:
+        ov = float(jnp.sum(pk.from_xpad(out, ext) * w))
+        n2 = float(gram_schmidt.get_norm_squared(pk.from_xpad(out, ext)))
+        assert abs(ov) < 5e-4 * np.sqrt(n2), ov

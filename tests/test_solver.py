@@ -279,8 +279,69 @@ def test_solver_kgs_dispatch_end_to_end(tmp_run, monkeypatch):
 
     monkeypatch.setattr(pk, "evolve_step_fused", step_interp)
     # tiny grid → the VMEM-residency gate would route to the 1-step path;
-    # force the kgs dispatch so this test covers it
+    # force the kgs dispatch so this test covers it (the resident excited
+    # path would otherwise win — it has its own dispatch test below)
     monkeypatch.setattr(pk, "kgs_profitable", lambda *a, **k: True)
+    monkeypatch.setattr(pk, "resident_exc_supported", lambda *a, **k: False)
+    cfg_p = base_config(**common)
+    out = solver.run(cfg_p, seed=5)
+
+    for r_ref, r_out in zip(ref, out):
+        e_ref = r_ref.observables.energy / r_ref.observables.norm2
+        e_out = r_out.observables.energy / r_out.observables.norm2
+        assert abs(e_ref - e_out) < 2e-4, (r_ref.wnum, e_ref, e_out)
+
+
+def test_solver_resident_dispatch_end_to_end(tmp_run, monkeypatch):
+    """solve()'s dispatch onto the VMEM-resident kernel for both the ground
+    state and the excited state (streamed l/Sl windows), interpret mode with
+    the backend gate spoofed: energies match the XLA path."""
+    import functools
+
+    import jax
+
+    from wafer_tpu.io import formats
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    common = dict(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-5,
+        potential="Harmonic",
+        init_condition="Constant",
+        output={"screen_update": 50, "file_type": "Json"},
+        max_steps=20000,
+        wavemax=1,
+    )
+    run_dir.check_output_dir("test")
+    cfg_x = base_config(**common)
+    # deterministic noisy state-1 start (see the kgs dispatch test)
+    _rng = np.random.default_rng(11)
+    with open("input/wavefunction_1_partial.json", "w") as fh:
+        fh.write(formats.array_to_json(_rng.normal(size=cfg_x.work_size())))
+    cfg_x.backend = "xla"
+    ref = solver.run(cfg_x, seed=5)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for fn in (
+        "evolve_chunk_fused",
+        "evolve_chunk_fused_k",
+        "evolve_chunk_fused_kgs",
+        "evolve_chunk_resident",
+    ):
+        monkeypatch.setattr(
+            pk, fn, functools.partial(getattr(pk, fn), interpret=True)
+        )
+    orig_step = pk.evolve_step_fused
+
+    def step_interp(*a, **k):
+        if len(a) >= 8:
+            a = a[:7] + (True,) + a[8:]
+        else:
+            k["interpret"] = True
+        return orig_step(*a, **k)
+
+    monkeypatch.setattr(pk, "evolve_step_fused", step_interp)
     cfg_p = base_config(**common)
     out = solver.run(cfg_p, seed=5)
 

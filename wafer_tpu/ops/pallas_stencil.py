@@ -1686,15 +1686,51 @@ def resident_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
     return (nx + 2 * ext) * ny * nz * itemsize <= _RES_BUDGET
 
 
+# excited-state variant: ψ resident + 2 double-buffered tx-row windows per
+# stored state (l and Sl) — real VMEM use ≈ ψ + (4S+3)·tx planes
+_RES_LIMIT_EXC = int(_os.environ.get("WAFER_RES_LIMIT_EXC_MB", "100")) * 1024 * 1024
+
+
+def _pick_tx_res_exc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                     n_lower: int):
+    plane = ny * nz * itemsize
+    psi = (nx + 2 * ext) * plane
+    for tx in (32, 16, 8, 4):
+        if nx % tx or tx <= ext:
+            continue
+        if psi + (4 * n_lower + 3) * tx * plane <= _RES_LIMIT_EXC:
+            return tx
+    return None
+
+
+def resident_exc_supported(nx: int, ny: int, nz: int, ext: int,
+                           itemsize: int, n_lower: int,
+                           analytic_b: bool) -> bool:
+    """Excited-state resident gate: ψ on-chip plus double-buffered l/Sl
+    slab windows for ``n_lower`` stored states."""
+    if itemsize != 4 or not analytic_b or n_lower < 1:
+        return False
+    if (nx + 2 * ext) * ny * nz * itemsize > _RES_BUDGET:
+        return False
+    return _pick_tx_res_exc(nx, ny, nz, ext, itemsize, n_lower) is not None
+
+
 def _evolve_kernel_res(
-    phi_hbm,   # (NX+2e, NY, NZ) ANY
-    out_hbm,   # (NX+2e, NY, NZ) ANY
-    psi_buf,   # (NX+2e, NY, NZ) VMEM — resident across all grid programs
-    lag,       # (ext, NY, NZ) VMEM — old planes the previous slab overwrote
-    yz_buf,    # (NY, NZ) VMEM — per-kind hoisted plane constant (see below)
-    nacc,      # (2, 1) SMEM f32 — per-step norm² ping-pong (with_norm)
+    phi_hbm,    # (NX+2e, NY, NZ) ANY
+    store_hbm,  # (S·NX, NY, NZ) ANY — lower states l_s, interior rows only
+    sstore_hbm, # (S·NX, NY, NZ) ANY — swept lower states Sl_s = S(l_s)
+    out_hbm,    # (NX+2e, NY, NZ) ANY
+    red_out,    # (1+S, 1) SMEM — final step's [‖new‖², ⟨l_s|new⟩…]
+    psi_buf,    # (NX+2e, NY, NZ) VMEM — resident across all grid programs
+    lag,        # (ext, NY, NZ) VMEM — old planes the previous slab overwrote
+    yz_buf,     # (NY, NZ) VMEM — per-kind hoisted plane constant (see below)
+    racc,       # (2, 1+S) SMEM f32 — per-step reduction ping-pong
+    lbuf,       # (2·S·tx, NY, NZ) VMEM — double-buffered l_s slab windows
+    slbuf,      # (2·S·tx, NY, NZ) VMEM — double-buffered Sl_s slab windows
     sem_in,
     sem_out,
+    sem_l,      # DMA (2·S,)
+    sem_sl,     # DMA (2·S,)
     *,
     order: str,
     scale: float,
@@ -1703,6 +1739,7 @@ def _evolve_kernel_res(
     analytic,
     nx: int,
     with_norm: bool = False,
+    n_lower: int = 0,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -1710,6 +1747,7 @@ def _evolve_kernel_res(
     ny, nz = psi_buf.shape[1], psi_buf.shape[2]
     kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
     vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    nslabs = nx // tx
 
     @pl.when(i == 0)
     def _load():
@@ -1728,25 +1766,61 @@ def _evolve_kernel_res(
         else:
             yz_buf[...] = yz  # raw dy²+dz² for the generic per-slab B
 
-    # Per-step renormalisation (the f32 drift guard): the sweep is linear,
-    # so normalising the *input* (the 1-step kernel's carried-coefficient
-    # semantics, evolve_chunk_fused per_step_norm) equals scaling the
-    # *output* by the same inv — one multiply per cell instead of one per
-    # tap. inv comes from the previous program's accumulated ‖new‖².
-    if with_norm:
+    # Per-step renormalise(+project) carried across grid programs (the
+    # 1-step kernel's coefficient recursion, evolve_chunk_fused): the sweep
+    # is linear, so the correction of step t applies to step t's *output*:
+    #   ψ_{t+1}^raw = inv_t·S(ψ_t^raw) − Σ_s corr_{t,s}·Sl_s
+    # with inv/corr computed from the previous program's fused reductions —
+    # exact per-step reference semantics (src/grid.rs:674-681), no Gram
+    # reconstruction (unlike kgs, no cancellation guard needed).
+    if with_norm or n_lower > 0:
         slot = jax.lax.rem(i, jnp.int32(2))
         prev = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
         inv = jnp.where(
             i == 0,
             jnp.float32(1.0),
-            jax.lax.rsqrt(jnp.maximum(nacc[prev, 0], jnp.float32(1e-37))),
+            jax.lax.rsqrt(jnp.maximum(racc[prev, 0], jnp.float32(1e-37))),
         )
-        nacc[slot, 0] = jnp.float32(0.0)
+        corr = [
+            jnp.where(i == 0, jnp.float32(0.0), racc[prev, 1 + st] * inv)
+            for st in range(n_lower)
+        ]
+        racc[slot, 0] = jnp.float32(0.0)
+        for st in range(n_lower):
+            racc[slot, 1 + st] = jnp.float32(0.0)
+
+    # lower-state slab windows: interior rows only (the correction touches
+    # written rows, the reductions read the same rows — no halo overlap),
+    # double-buffered so the next slab's DMA rides this slab's compute
+    if n_lower > 0:
+        def l_dma(s_slab, st, bslot, swept):
+            src = sstore_hbm if swept else store_hbm
+            buf = slbuf if swept else lbuf
+            sem = sem_sl if swept else sem_l
+            j = bslot * n_lower + st
+            return pltpu.make_async_copy(
+                src.at[pl.ds(st * nx + s_slab * tx, tx)],
+                buf.at[pl.ds(j * tx, tx)],
+                sem.at[j],
+            )
+
+        for st in range(n_lower):
+            l_dma(0, st, 0, False).start()
+            l_dma(0, st, 0, True).start()
 
     # one sweep, ascending slabs, in place
     lag[...] = jnp.zeros_like(lag)  # rows [0, ext): Dirichlet halo (zero)
-    for s in range(nx // tx):
+    for s in range(nslabs):
         rs = ext + s * tx
+        bslot = s % 2
+        if n_lower > 0:
+            if s + 1 < nslabs:
+                for st in range(n_lower):
+                    l_dma(s + 1, st, (s + 1) % 2, False).start()
+                    l_dma(s + 1, st, (s + 1) % 2, True).start()
+            for st in range(n_lower):
+                l_dma(s, st, bslot, False).wait()
+                l_dma(s, st, bslot, True).wait()
         c = psi_buf[rs : rs + tx]
         acc = (-float(center_c)) * c
         for off, cf in zip(offsets, coeffs):
@@ -1780,23 +1854,40 @@ def _evolve_kernel_res(
                 yz=yz_buf[...],
             )
         new = b * (2.0 * c + scale * acc) - c
-        if with_norm:
+        if with_norm or n_lower > 0:
             new = inv * new
-            nacc[slot, 0] += jnp.sum(new * new)
+            for st in range(n_lower):
+                j = bslot * n_lower + st
+                new = new - corr[st] * slbuf[j * tx : (j + 1) * tx]
+            racc[slot, 0] += jnp.sum(new * new)
+            for st in range(n_lower):
+                j = bslot * n_lower + st
+                racc[slot, 1 + st] += jnp.sum(
+                    lbuf[j * tx : (j + 1) * tx] * new
+                )
         lag[...] = psi_buf[rs + tx - ext : rs + tx]  # old top rows, pre-write
         psi_buf[rs : rs + tx] = new
 
     @pl.when(i == n_steps - 1)
     def _store():
-        if with_norm:
+        if n_lower > 0:
+            # the last step's pending normalise+project needs the *unswept*
+            # lower states — materialised by the host wrapper from these
+            red_out[0, 0] = racc[slot, 0]
+            for st in range(n_lower):
+                red_out[1 + st, 0] = racc[slot, 1 + st]
+        elif with_norm:
             # materialise the final pending rescale before the copy-out
             # (evolve_chunk_fused's trailing ``phi * coef``)
             r = jax.lax.rsqrt(
-                jnp.maximum(nacc[slot, 0], jnp.float32(1e-37))
+                jnp.maximum(racc[slot, 0], jnp.float32(1e-37))
             )
-            for s in range(nx // tx):
+            for s in range(nslabs):
                 rs = ext + s * tx
                 psi_buf[rs : rs + tx] = r * psi_buf[rs : rs + tx]
+            red_out[0, 0] = racc[slot, 0]
+        else:
+            red_out[0, 0] = jnp.float32(0.0)
         cp = pltpu.make_async_copy(psi_buf, out_hbm, sem_out)
         cp.start()
         cp.wait()
@@ -1817,26 +1908,50 @@ def evolve_chunk_resident(
     analytic,
     interpret: bool = False,
     per_step_norm: bool = False,
+    store_xpad: Optional[jnp.ndarray] = None,
+    sstore_xpad: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """A full chunk of ``n_steps`` ground-state sweeps with ψ VMEM-resident.
+    """A full chunk of ``n_steps`` sweeps with ψ VMEM-resident.
 
     ``phi_xpad``: (NX+2e, NY, NZ) x-padded layout (:func:`to_xpad`), halo
     rows zero. Requires an analytic potential (``analytic`` as in
     :func:`evolve_steps_fused_k`); callers gate on
-    :func:`resident_supported`. Trajectory-identical to ``n_steps``
-    applications of the 1-step sweep (same per-step math and Dirichlet
-    handling; reference cadence src/grid.rs:544-687). ``per_step_norm``
-    renormalises after every step like the reference's excited states
-    (src/grid.rs:674-681) — the f32 scale-drift guard — by carrying the
-    inverse norm across grid programs in SMEM."""
+    :func:`resident_supported` / :func:`resident_exc_supported`.
+    Trajectory-identical to ``n_steps`` applications of the 1-step sweep
+    (same per-step math and Dirichlet handling; reference cadence
+    src/grid.rs:544-687). ``per_step_norm`` renormalises after every step
+    like the reference's excited states (src/grid.rs:674-681) — the f32
+    scale-drift guard — by carrying the inverse norm across grid programs
+    in SMEM.
+
+    Excited states: pass ``store_xpad`` (S, NX+2e, NY, NZ) stacked lower
+    states and ``sstore_xpad`` their swept images S(l_s) (one 1-step sweep
+    each, computed once per solve). ψ stays resident while tx-row windows
+    of l/Sl stream per slab (double-buffered DMA); per-step coefficients
+    come from the in-kernel reductions — the exact recursion of
+    :func:`evolve_chunk_fused` (normalise-then-project per step,
+    src/grid.rs:674-681) with the final pending correction materialised
+    here from the kernel's reduction outputs."""
     ext = _EXT[order]
     nxp, ny, nz = phi_xpad.shape
     nx = nxp - 2 * ext
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
-    tx = _pick_tx_res(nx, ext)
+    n_lower = 0 if store_xpad is None else store_xpad.shape[0]
+    dtype = phi_xpad.dtype
+    if n_lower > 0:
+        tx = _pick_tx_res_exc(nx, ny, nz, ext, dtype.itemsize, n_lower)
+        store_int = store_xpad[:, ext : nxp - ext].reshape(
+            n_lower * nx, ny, nz
+        )
+        sstore_int = sstore_xpad[:, ext : nxp - ext].reshape(
+            n_lower * nx, ny, nz
+        )
+    else:
+        tx = _pick_tx_res(nx, ext)
+        store_int = sstore_int = jnp.zeros((1, 1, 1), dtype)
     if tx is None:
-        raise ValueError(f"no resident slab height divides NX={nx}")
+        raise ValueError(f"no resident slab height fits for NX={nx}")
     kernel = functools.partial(
         _evolve_kernel_res,
         order=order,
@@ -1846,27 +1961,56 @@ def evolve_chunk_resident(
         analytic=analytic,
         nx=nx,
         with_norm=per_step_norm,
+        n_lower=n_lower,
     )
-    plane = ny * nz * phi_xpad.dtype.itemsize
-    need = (nxp + ext + 4 * tx) * plane + ny * nz * 4
+    plane = ny * nz * dtype.itemsize
+    need = (
+        (nxp + ext + 4 * tx) * plane
+        + 4 * n_lower * tx * plane
+        + ny * nz * 4
+    )
+    lrows = max(2 * n_lower * tx, 1)
     with jax.enable_x64(False):
-        return pl.pallas_call(
+        out, red = pl.pallas_call(
             kernel,
             grid=(n_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), phi_xpad.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+                jax.ShapeDtypeStruct((1 + n_lower, 1), jnp.float32),
+            ),
             scratch_shapes=[
-                pltpu.VMEM((nxp, ny, nz), phi_xpad.dtype),
-                pltpu.VMEM((ext, ny, nz), phi_xpad.dtype),
+                pltpu.VMEM((nxp, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.VMEM((ny, nz), jnp.float32),
-                pltpu.SMEM((2, 1), jnp.float32),
+                pltpu.SMEM((2, 1 + n_lower), jnp.float32),
+                pltpu.VMEM((lrows, ny, nz), dtype),
+                pltpu.VMEM((lrows, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
+                pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(phi_xpad)
+        )(phi_xpad, store_int, sstore_int)
+    if n_lower == 0:
+        return out
+    # materialise the last step's pending correction (the unswept basis)
+    inv = jax.lax.rsqrt(jnp.maximum(red[0, 0], jnp.float32(1e-37))).astype(
+        dtype
+    )
+    coefs = (red[1:, 0] * inv).astype(dtype)
+    proj = jnp.tensordot(coefs, store_xpad, axes=1)
+    return out * inv - proj
 
 
 # --------------------------------------------------------------------------- #

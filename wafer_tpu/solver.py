@@ -273,6 +273,7 @@ def solve(
         # so no screen_update divisibility is required.
         k_fuse = 1
         use_resident = False
+        use_resident_exc = False
         if n_lower == 0:
             use_resident = analytic is not None and pk.resident_supported(
                 nx, ny, nz, ext, itemsize, True
@@ -287,6 +288,18 @@ def solve(
                 k_fuse = pk.pick_k_fuse(
                     nx, ny, nz, ext, itemsize, analytic is not None
                 )
+        else:
+            use_resident_exc = (
+                analytic is not None
+                and pk.resident_exc_supported(
+                    nx, ny, nz, ext, itemsize, n_lower, True
+                )
+            )
+            if use_resident_exc:
+                log.info(
+                    "Excited-state chunks run the VMEM-resident kernel "
+                    "(psi on-chip, %d stored-state streams)", n_lower,
+                )
         if k_fuse > 1:
             b_xpad_k = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, k_fuse)
 
@@ -296,9 +309,28 @@ def solve(
         # in-pass sweeps using the precomputed swept lower states
         # Sl_s = S(l_s) and their Gram matrices — exact per-step semantics,
         # ~1.5× less HBM traffic (see ops/pallas_stencil._evolve_kernel_kgs).
-        kgs = config.output.screen_update % 2 == 0 and pk.kgs_profitable(
-            nx, ny, nz, ext, itemsize, n_lower, analytic is not None
+        kgs = (
+            not use_resident_exc
+            and config.output.screen_update % 2 == 0
+            and pk.kgs_profitable(
+                nx, ny, nz, ext, itemsize, n_lower, analytic is not None
+            )
         )
+        # swept lower states Sl_s = S(l_s) for the resident excited kernel
+        # (one fused sweep per stored state, once per solve)
+        res_sstore = None
+        if use_resident_exc:
+            _scale_r = dt / (
+                geometry.stencil_coefficients(order)[3] * dn * dn * mass
+            )
+            _sls = []
+            for w in w_store[:n_lower]:
+                sl_x, _n2, _ov = pk.evolve_step_fused(
+                    pk.to_xpad(w, ext), None, None, order, _scale_r, 0,
+                    False, analytic=analytic,
+                )
+                _sls.append(sl_x)
+            res_sstore = jnp.stack(_sls)
         if kgs:
             b_xpad2 = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, 2)
             _scale = dt / (
@@ -511,6 +543,24 @@ def solve(
                     ),
                     ext,
                     k_fuse,
+                )
+            elif use_resident_exc:
+                # ψ resident, l/Sl streamed; exact per-step coefficient
+                # recursion (no kgs-style Gram reconstruction, so no
+                # first-chunk cancellation guard needed)
+                phi = pk.from_xpad(
+                    pk.evolve_chunk_resident(
+                        pk.to_xpad(phi, ext),
+                        order,
+                        dt,
+                        dn,
+                        mass,
+                        config.output.screen_update,
+                        analytic,
+                        store_xpad=store_xpad,
+                        sstore_xpad=res_sstore,
+                    ),
+                    ext,
                 )
             elif kgs and (per_step_norm or (n_lower > 0 and step > 0)):
                 # excited states / per-step-norm ground: two sweeps per HBM
