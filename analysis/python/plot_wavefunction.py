@@ -32,6 +32,45 @@ def load_csv_array(path: str) -> np.ndarray:
     return out
 
 
+def _load_obj_array(obj) -> np.ndarray:
+    data = np.asarray(obj["data"])
+    if data.ndim == 2 and data.shape[1] == 2:  # complex as (re, im) pairs
+        data = data[:, 0] + 1j * data[:, 1]
+    return data.reshape(obj["dim"])
+
+
+def load_array(run_dir: str, stem: str):
+    """Load ``stem`` in whichever of the 5 formats the run used
+    (csv/json/yaml via stdlib; mpk/ron through wafer_tpu.io when the
+    package is importable). Returns None when no file exists."""
+    import json
+
+    for ext in ("csv", "json", "yaml", "mpk", "ron"):
+        path = os.path.join(run_dir, f"{stem}.{ext}")
+        if not os.path.exists(path):
+            continue
+        if ext == "csv":
+            return load_csv_array(path)
+        if ext == "json":
+            with open(path) as fh:
+                return _load_obj_array(json.load(fh))
+        if ext == "yaml":
+            with open(path) as fh:
+                return _load_obj_array(yaml.safe_load(fh))
+        try:  # mpk / ron need the package's codecs
+            from wafer_tpu.io import formats
+        except ImportError as exc:  # pragma: no cover
+            raise SystemExit(
+                f"{path}: reading .{ext} needs wafer_tpu on PYTHONPATH"
+            ) from exc
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        if ext == "mpk":
+            return formats.array_from_mpk(blob)
+        return formats.array_from_ron(blob.decode())
+    return None
+
+
 def load_run(run_dir: str, state: int = 0):
     cfgs = [f for f in os.listdir(run_dir) if f.endswith((".yaml", ".yml"))]
     cfgs = [f for f in cfgs if "observables" not in f and "wavefunction" not in f
@@ -42,14 +81,12 @@ def load_run(run_dir: str, state: int = 0):
         config = yaml.safe_load(fh)
     dn = float(config["grid"]["dn"])
 
-    wfn_path = os.path.join(run_dir, f"wavefunction_{state}.csv")
-    if not os.path.exists(wfn_path):
-        wfn_path = os.path.join(run_dir, f"wavefunction_{state}_partial.csv")
-    wfn = load_csv_array(wfn_path)
-    pot = None
-    pot_path = os.path.join(run_dir, "potential.csv")
-    if os.path.exists(pot_path):
-        pot = load_csv_array(pot_path)
+    wfn = load_array(run_dir, f"wavefunction_{state}")
+    if wfn is None:
+        wfn = load_array(run_dir, f"wavefunction_{state}_partial")
+    if wfn is None:
+        raise SystemExit(f"no wavefunction_{state} output found in {run_dir}")
+    pot = load_array(run_dir, "potential")
     return config, dn, wfn, pot
 
 

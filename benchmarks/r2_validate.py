@@ -301,6 +301,27 @@ def resident_e2e():
     }))
     assert binding < 0, binding
 
+    # streamed-B resident (no analytic formula): Dodecahedron, a deep
+    # (−100) well — also engages the per-step-norm drift guard, so this
+    # exercises the resident kernel's B-window DMA + SMEM-carried inv
+    cfgd = _harmonic_cfg(
+        128, 128, 128, 200,
+        grid={"dn": 0.1, "dt": 0.003},
+        max_steps=200000,
+        potential="Dodecahedron",
+        init_condition="Gaussian",
+    )
+    run_dir.check_output_dir(cfgd.project_name)
+    t0 = time.perf_counter()
+    resd = solver.run(cfgd, seed=7)
+    wall = time.perf_counter() - t0
+    ed = float(np.real(resd[0].observables.energy / resd[0].observables.norm2))
+    print(json.dumps({
+        "bench": "resident_e2e dodecahedron 128^3 (streamed-B + psn guard)",
+        "E0": round(ed, 4), "steps": resd[0].steps, "wall_s": round(wall, 1),
+    }))
+    assert -100.0 < ed < 0.0, ed
+
 
 def northstar():
     """BASELINE north star: 256³ Coulomb, ground + two excited states to
@@ -334,6 +355,7 @@ def northstar():
         "potential": "Coulomb",
         "mass": 1.0,
         "init_condition": "Coulomb",
+        "sig": 1.0,
         "init_symmetry": "NotConstrained",
         "precision": "f32",
     })

@@ -323,11 +323,78 @@ def bench_exc(n=256, steps=200, n_lower=1, reps=3):
         print(f"{name}: {best:.3e} updates/s", flush=True)
 
 
+def bench_streamb(n=256, steps=200, reps=3):
+    """Production resident kernel: streamed-B vs analytic-B at n³."""
+    order = "ThreePoint"
+    phi, analytic, scale, ext = _setup(n, order)
+    dn, dt, mass = 0.1, 3e-3, 1.0
+    # a synthetic B array (harmonic formula, computed host-side)
+    from wafer_tpu.config import Config
+    from wafer_tpu.models import potentials as pmod
+
+    cfg = Config.from_dict(
+        {
+            "project_name": "probe",
+            "grid": {"size": {"x": n, "y": n, "z": n}, "dn": dn, "dt": dt},
+            "tolerance": 1e-6,
+            "central_difference": order,
+            "wavenum": 0,
+            "wavemax": 0,
+            "output": {
+                "screen_update": steps,
+                "file_type": "Json",
+                "save_wavefns": False,
+                "save_potential": False,
+            },
+            "potential": "Harmonic",
+            "mass": mass,
+            "init_condition": "Boolean",
+            "sig": 1.0,
+            "init_symmetry": "NotConstrained",
+            "precision": "f32",
+        }
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    b_int = pk.geometry.work_area(pmod.build_ab(v, dt)[1].astype(jnp.float32), ext)
+    phi_x = pk.to_xpad(phi, ext)
+
+    def chunk_stream(p):
+        return pk.evolve_chunk_resident(
+            p, order, dt, dn, mass, steps, None, b_int=b_int
+        )
+
+    def chunk_analytic(p):
+        return pk.evolve_chunk_resident(p, order, dt, dn, mass, steps, analytic)
+
+    for name, fn in (("resident streamed-B", chunk_stream),
+                     ("resident analytic-B", chunk_analytic)):
+        def run_chain(p, r):
+            t0 = time.perf_counter()
+            for _ in range(r):
+                p = fn(p)
+            np.asarray(p[:1, :1, :8])
+            return time.perf_counter() - t0, p
+
+        t0 = time.perf_counter()
+        _t, p = run_chain(phi_x, 1)
+        print(f"{name}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+        best = 0.0
+        for _ in range(reps):
+            t1, p = run_chain(phi_x, 1)
+            t5, p = run_chain(phi_x, 5)
+            per = max((t5 - t1) / 4.0, 1e-9)
+            best = max(best, n**3 * steps / per)
+        print(f"{name}: {best:.3e} updates/s", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check("ThreePoint")
         check("SevenPoint")
+    elif mode == "streamb":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+        bench_streamb(n)
     elif mode == "exc":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         s = int(sys.argv[3]) if len(sys.argv) > 3 else 1

@@ -929,8 +929,8 @@ def test_resident_chunk_with_gauge_shift():
 
 
 def test_resident_supported_gating():
-    # analytic-B required
-    assert not pk.resident_supported(256, 256, 256, 1, 4, False)
+    # streamed-B (no analytic formula) is supported too
+    assert pk.resident_supported(256, 256, 256, 1, 4, False)
     # f32 only
     assert not pk.resident_supported(256, 256, 256, 1, 8, True)
     # 256³ fits the default budget; 512³ does not
@@ -1016,3 +1016,63 @@ def test_resident_excited_matches_one_step_fused(n_lower):
         ov = float(jnp.sum(pk.from_xpad(out, ext) * w))
         n2 = float(gram_schmidt.get_norm_squared(pk.from_xpad(out, ext)))
         assert abs(ov) < 5e-4 * np.sqrt(n2), ov
+
+
+def test_resident_streamed_b_matches_xla():
+    """analytic=None + b_int: B streams from HBM per slab — ground,
+    per-step-norm, and excited variants vs their references."""
+    cfg, ext, phi, a, b = _setup("ThreePoint")
+    order, g = "ThreePoint", cfg.grid
+    b_int = geometry.work_area(b, ext)
+
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, g.dt, g.dn, cfg.mass, 5, 0
+    )
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 5, None,
+        interpret=True, b_int=b_int,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5,
+        atol=1e-6,
+    )
+
+    ref_n = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), b_int, None, order, g.dt, g.dn, cfg.mass, 4, 0,
+        interpret=True, per_step_norm=True,
+    )
+    out_n = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 4, None,
+        interpret=True, per_step_norm=True, b_int=b_int,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_n), np.asarray(ref_n), rtol=3e-5, atol=2e-6
+    )
+
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = g.dt / (k * g.dn ** 2 * cfg.mass)
+    rng = np.random.default_rng(23)
+    lower = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    lower = lower / jnp.sqrt(gram_schmidt.get_norm_squared(lower)).astype(
+        jnp.float32
+    )
+    store_x = jnp.stack([pk.to_xpad(lower, ext)])
+    sl, _n2, _ov = pk.evolve_step_fused(
+        pk.to_xpad(lower, ext), b_int, None, order, scale, 0, False,
+        interpret=True,
+    )
+    sstore_x = jnp.stack([sl])
+    ref_e = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), b_int, store_x, order, g.dt, g.dn, cfg.mass,
+        4, 1, interpret=True,
+    )
+    out_e = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 4, None,
+        interpret=True, store_xpad=store_x, sstore_xpad=sstore_x,
+        b_int=b_int,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_e), np.asarray(ref_e), rtol=5e-4, atol=5e-6
+    )

@@ -1677,9 +1677,12 @@ def _pick_tx_res(nx: int, ext: int):
 
 def resident_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                        analytic_b: bool) -> bool:
-    """Whether the VMEM-resident chunk kernel applies: f32, analytic-B,
-    x-padded ψ within the resident budget, and a slab height dividing NX."""
-    if itemsize != 4 or not analytic_b:
+    """Whether the VMEM-resident chunk kernel applies: f32, x-padded ψ
+    within the resident budget, and a slab height dividing NX. With
+    ``analytic_b`` False the B array streams from HBM per slab (double-
+    buffered) — one 4 B/update stream, still far under the resident
+    compute rate."""
+    if itemsize != 4:
         return False
     if _pick_tx_res(nx, ext) is None:
         return False
@@ -1692,13 +1695,14 @@ _RES_LIMIT_EXC = int(_os.environ.get("WAFER_RES_LIMIT_EXC_MB", "100")) * 1024 * 
 
 
 def _pick_tx_res_exc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
-                     n_lower: int):
+                     n_lower: int, analytic_b: bool = True):
     plane = ny * nz * itemsize
     psi = (nx + 2 * ext) * plane
+    extra = 0 if analytic_b else 2  # streamed-B double buffer
     for tx in (32, 16, 8, 4):
         if nx % tx or tx <= ext:
             continue
-        if psi + (4 * n_lower + 3) * tx * plane <= _RES_LIMIT_EXC:
+        if psi + (4 * n_lower + 3 + extra) * tx * plane <= _RES_LIMIT_EXC:
             return tx
     return None
 
@@ -1707,16 +1711,22 @@ def resident_exc_supported(nx: int, ny: int, nz: int, ext: int,
                            itemsize: int, n_lower: int,
                            analytic_b: bool) -> bool:
     """Excited-state resident gate: ψ on-chip plus double-buffered l/Sl
-    slab windows for ``n_lower`` stored states."""
-    if itemsize != 4 or not analytic_b or n_lower < 1:
+    slab windows for ``n_lower`` stored states (plus a streamed-B window
+    pair when the potential has no analytic formula)."""
+    if itemsize != 4 or n_lower < 1:
         return False
     if (nx + 2 * ext) * ny * nz * itemsize > _RES_BUDGET:
         return False
-    return _pick_tx_res_exc(nx, ny, nz, ext, itemsize, n_lower) is not None
+    return (
+        _pick_tx_res_exc(nx, ny, nz, ext, itemsize, n_lower, analytic_b)
+        is not None
+    )
 
 
 def _evolve_kernel_res(
     phi_hbm,    # (NX+2e, NY, NZ) ANY
+    b_hbm,      # (NX, NY, NZ) ANY — streamed-B interior array (stub when
+    # analytic: B is computed from coordinates instead)
     store_hbm,  # (S·NX, NY, NZ) ANY — lower states l_s, interior rows only
     sstore_hbm, # (S·NX, NY, NZ) ANY — swept lower states Sl_s = S(l_s)
     out_hbm,    # (NX+2e, NY, NZ) ANY
@@ -1727,10 +1737,12 @@ def _evolve_kernel_res(
     racc,       # (2, 1+S) SMEM f32 — per-step reduction ping-pong
     lbuf,       # (2·S·tx, NY, NZ) VMEM — double-buffered l_s slab windows
     slbuf,      # (2·S·tx, NY, NZ) VMEM — double-buffered Sl_s slab windows
+    bbuf,       # (2·tx, NY, NZ) VMEM — double-buffered B slab windows
     sem_in,
     sem_out,
     sem_l,      # DMA (2·S,)
     sem_sl,     # DMA (2·S,)
+    sem_b,      # DMA (2,)
     *,
     order: str,
     scale: float,
@@ -1745,8 +1757,11 @@ def _evolve_kernel_res(
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     ny, nz = psi_buf.shape[1], psi_buf.shape[2]
-    kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
-    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    if analytic is not None:
+        kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
+        vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    else:
+        kind = None  # streamed B
     nslabs = nx // tx
 
     @pl.when(i == 0)
@@ -1754,6 +1769,9 @@ def _evolve_kernel_res(
         cp = pltpu.make_async_copy(phi_hbm, psi_buf, sem_in)
         cp.start()
         cp.wait()
+        if kind is None:
+            yz_buf[...] = jnp.zeros_like(yz_buf)
+            return
         yz = _analytic_yz(analytic, ny, nz, ext, ext)
         if kind == "Harmonic":
             # b = 1/(P + q_x): P = 1 − dt/2·vshift + dt·dn²/4·(dy²+dz²)
@@ -1808,6 +1826,16 @@ def _evolve_kernel_res(
             l_dma(0, st, 0, False).start()
             l_dma(0, st, 0, True).start()
 
+    if kind is None:
+        def b_dma(s_slab, bslot):
+            return pltpu.make_async_copy(
+                b_hbm.at[pl.ds(s_slab * tx, tx)],
+                bbuf.at[pl.ds(bslot * tx, tx)],
+                sem_b.at[bslot],
+            )
+
+        b_dma(0, 0).start()
+
     # one sweep, ascending slabs, in place
     lag[...] = jnp.zeros_like(lag)  # rows [0, ext): Dirichlet halo (zero)
     for s in range(nslabs):
@@ -1821,6 +1849,10 @@ def _evolve_kernel_res(
             for st in range(n_lower):
                 l_dma(s, st, bslot, False).wait()
                 l_dma(s, st, bslot, True).wait()
+        if kind is None:
+            if s + 1 < nslabs:
+                b_dma(s + 1, (s + 1) % 2).start()
+            b_dma(s, bslot).wait()
         c = psi_buf[rs : rs + tx]
         acc = (-float(center_c)) * c
         for off, cf in zip(offsets, coeffs):
@@ -1832,7 +1864,9 @@ def _evolve_kernel_res(
             acc += cf * (xm + xp)
             acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
             acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
-        if kind == "NoPotential":
+        if kind is None:
+            b = bbuf[bslot * tx : (bslot + 1) * tx]
+        elif kind == "NoPotential":
             b = 1.0 / (1.0 - 0.5 * dt_ * vshift)  # python float: scalar B
         elif kind == "Harmonic":
             dx = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0).astype(
@@ -1910,6 +1944,7 @@ def evolve_chunk_resident(
     per_step_norm: bool = False,
     store_xpad: Optional[jnp.ndarray] = None,
     sstore_xpad: Optional[jnp.ndarray] = None,
+    b_int: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """A full chunk of ``n_steps`` sweeps with ψ VMEM-resident.
 
@@ -1931,7 +1966,12 @@ def evolve_chunk_resident(
     come from the in-kernel reductions — the exact recursion of
     :func:`evolve_chunk_fused` (normalise-then-project per step,
     src/grid.rs:674-681) with the final pending correction materialised
-    here from the kernel's reduction outputs."""
+    here from the kernel's reduction outputs.
+
+    Without an analytic formula pass ``b_int`` (the interior B array,
+    :func:`geometry.work_area` of models.potentials.build_ab's B) and
+    ``analytic=None``: tx-row B windows then stream from HBM per slab,
+    double-buffered — the only per-step HBM stream."""
     ext = _EXT[order]
     nxp, ny, nz = phi_xpad.shape
     nx = nxp - 2 * ext
@@ -1939,8 +1979,12 @@ def evolve_chunk_resident(
     scale = dt / (k * dn * dn * mass)
     n_lower = 0 if store_xpad is None else store_xpad.shape[0]
     dtype = phi_xpad.dtype
+    if analytic is None and b_int is None:
+        raise ValueError("resident sweep needs either analytic or b_int")
     if n_lower > 0:
-        tx = _pick_tx_res_exc(nx, ny, nz, ext, dtype.itemsize, n_lower)
+        tx = _pick_tx_res_exc(
+            nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None
+        )
         store_int = store_xpad[:, ext : nxp - ext].reshape(
             n_lower * nx, ny, nz
         )
@@ -1952,6 +1996,10 @@ def evolve_chunk_resident(
         store_int = sstore_int = jnp.zeros((1, 1, 1), dtype)
     if tx is None:
         raise ValueError(f"no resident slab height fits for NX={nx}")
+    if analytic is None:
+        b_arg, brows = b_int, 2 * tx
+    else:
+        b_arg, brows = jnp.zeros((1, 1, 1), dtype), 1
     kernel = functools.partial(
         _evolve_kernel_res,
         order=order,
@@ -1966,7 +2014,7 @@ def evolve_chunk_resident(
     plane = ny * nz * dtype.itemsize
     need = (
         (nxp + ext + 4 * tx) * plane
-        + 4 * n_lower * tx * plane
+        + (4 * n_lower + (0 if analytic is not None else 2)) * tx * plane
         + ny * nz * 4
     )
     lrows = max(2 * n_lower * tx, 1)
@@ -1975,6 +2023,7 @@ def evolve_chunk_resident(
             kernel,
             grid=(n_steps,),
             in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -1994,14 +2043,16 @@ def evolve_chunk_resident(
                 pltpu.SMEM((2, 1 + n_lower), jnp.float32),
                 pltpu.VMEM((lrows, ny, nz), dtype),
                 pltpu.VMEM((lrows, ny, nz), dtype),
+                pltpu.VMEM((brows, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
                 pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(phi_xpad, store_int, sstore_int)
+        )(phi_xpad, b_arg, store_int, sstore_int)
     if n_lower == 0:
         return out
     # materialise the last step's pending correction (the unswept basis)

@@ -275,25 +275,23 @@ def solve(
         use_resident = False
         use_resident_exc = False
         if n_lower == 0:
-            use_resident = analytic is not None and pk.resident_supported(
-                nx, ny, nz, ext, itemsize, True
+            use_resident = pk.resident_supported(
+                nx, ny, nz, ext, itemsize, analytic is not None
             )
             if use_resident:
                 log.info(
                     "Ground-state chunks run the VMEM-resident kernel "
-                    "(x-padded psi = %.1f MiB on-chip)",
+                    "(x-padded psi = %.1f MiB on-chip%s)",
                     (nx + 2 * ext) * ny * nz * itemsize / 2**20,
+                    "" if analytic is not None else ", streamed B",
                 )
             else:
                 k_fuse = pk.pick_k_fuse(
                     nx, ny, nz, ext, itemsize, analytic is not None
                 )
         else:
-            use_resident_exc = (
-                analytic is not None
-                and pk.resident_exc_supported(
-                    nx, ny, nz, ext, itemsize, n_lower, True
-                )
+            use_resident_exc = pk.resident_exc_supported(
+                nx, ny, nz, ext, itemsize, n_lower, analytic is not None
             )
             if use_resident_exc:
                 log.info(
@@ -326,7 +324,9 @@ def solve(
             _sls = []
             for w in w_store[:n_lower]:
                 sl_x, _n2, _ov = pk.evolve_step_fused(
-                    pk.to_xpad(w, ext), None, None, order, _scale_r, 0,
+                    pk.to_xpad(w, ext),
+                    None if analytic is not None else b_int,
+                    None, order, _scale_r, 0,
                     False, analytic=analytic,
                 )
                 _sls.append(sl_x)
@@ -525,6 +525,7 @@ def solve(
                         config.output.screen_update,
                         analytic,
                         per_step_norm=per_step_norm,
+                        b_int=None if analytic is not None else b_int,
                     ),
                     ext,
                 )
@@ -559,6 +560,7 @@ def solve(
                         analytic,
                         store_xpad=store_xpad,
                         sstore_xpad=res_sstore,
+                        b_int=None if analytic is not None else b_int,
                     ),
                     ext,
                 )
