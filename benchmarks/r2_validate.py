@@ -323,6 +323,50 @@ def resident_e2e():
     assert -100.0 < ed < 0.0, ed
 
 
+def sync_bench():
+    """Steady-state host-sync cost: 256³ harmonic ground, fixed 40 chunks
+    (tolerance unreachable), sync_update 1 vs 8, with the solver's
+    per-chunk/per-batch debug timings printed. The first line of each run
+    includes the compile; later lines are steady state."""
+    import logging as _logging
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.chdir(d)
+    os.makedirs("input", exist_ok=True)
+    from wafer_tpu import errors, solver
+    from wafer_tpu.io import run_dir
+
+    lg = _logging.getLogger("wafer")
+    lg.setLevel(_logging.DEBUG)
+    h = _logging.StreamHandler()
+    h.setLevel(_logging.DEBUG)
+    h.addFilter(lambda r: "updates/s" in r.getMessage())
+    lg.addHandler(h)
+
+    for sync in (8, 1):
+        cfg = _harmonic_cfg(
+            256, 256, 256, 500,
+            grid={"dn": 0.0625, "dt": 1.3e-3},
+            tolerance=1e-30,
+            max_steps=20000,
+        )
+        cfg.sync_update = sync
+        run_dir.check_output_dir(cfg.project_name)
+        t0 = time.perf_counter()
+        try:
+            solver.run(cfg, seed=2)
+        except errors.MaxStepError:
+            pass
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "bench": f"sync_bench 256^3 ground, sync_update={sync}",
+            "chunks": 41, "wall_s": round(wall, 1),
+            "per_chunk_s": round(wall / 41, 3),
+        }), flush=True)
+
+
 def northstar():
     """BASELINE north star: 256³ Coulomb, ground + two excited states to
     1e-6, one chip. Round-2 prior: 562 s wall (K-ladder ground + 1-step
@@ -587,6 +631,11 @@ def tx_sweep():
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "kgs_bench"
+    # CLI parity: the wafer CLI always enables x64 (f64 observables
+    # accumulation and f64 convergence quotients; f32 arrays stay f32) —
+    # without it |E| > ~2 loses the 1e-6 tolerance signal to f32 ulps.
+    if cmd.endswith("_e2e") or cmd in ("northstar", "cornell4", "sync_bench"):
+        jax.config.update("jax_enable_x64", True)
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}  cmd={cmd}")
     {
@@ -597,6 +646,7 @@ if __name__ == "__main__":
         "tx_sweep": tx_sweep,
         "kgs_e2e": kgs_e2e,
         "resident_e2e": resident_e2e,
+        "sync_bench": sync_bench,
         "northstar": northstar,
         "sharded_bench": sharded_bench,
         "cornell4": cornell4,

@@ -936,8 +936,10 @@ def test_resident_supported_gating():
     # 256³ fits the default budget; 512³ does not
     assert pk.resident_supported(256, 256, 256, 1, 4, True)
     assert not pk.resident_supported(512, 512, 512, 1, 4, True)
-    # no slab height divides a prime NX
-    assert not pk.resident_supported(13, 256, 256, 1, 4, True)
+    # a prime NX works via the remainder slab (13 = 8 + 5, 5 > ext)
+    assert pk.resident_supported(13, 256, 256, 1, 4, True)
+    # but a too-thin grid has no slab plan at all
+    assert not pk.resident_supported(4, 256, 256, 3, 4, True)
 
 
 def test_resident_per_step_norm_matches_carried_coef():
@@ -1075,4 +1077,36 @@ def test_resident_streamed_b_matches_xla():
     )
     np.testing.assert_allclose(
         np.asarray(out_e), np.asarray(ref_e), rtol=5e-4, atol=5e-6
+    )
+
+
+def test_resident_remainder_slab():
+    """NX not divisible by any slab height: the trailing short slab must
+    produce the same trajectory (here 24 = 16 + 8 at tx=16, and a prime
+    via zero-padding the x extent is covered by solver-level gating)."""
+    cfg = base_config(
+        precision="f32",
+        potential="Harmonic",
+        grid={"size": {"x": 24, "y": 16, "z": 16}, "dn": 0.2, "dt": 0.004},
+    )
+    ext, order = 1, "ThreePoint"
+    rng = np.random.default_rng(3)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    g = cfg.grid
+    ref = stencil.evolve_chunk(
+        phi, a, b, None, order, g.dt, g.dn, cfg.mass, 4, 0
+    )
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, 24, 16, 16)
+    assert pk._pick_tx_res(24, 1) == 16  # 24 = 16 + 8: remainder slab
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 4, analytic,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5,
+        atol=2e-6,
     )

@@ -559,3 +559,44 @@ def test_sharded_split_complex_matches_single_device(tmp_run, monkeypatch):
         assert abs(e_s - e_m) < 1e-6, (r_s.wnum, e_s, e_m)
     e0 = sharded[0].observables.energy / sharded[0].observables.norm2
     assert abs(e0 - 1.5 * cmath.sqrt(1 + 0.2j)) < 0.05
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+def test_sharded_resident_matches_sharded_xla(mesh_shape):
+    """VMEM-resident chunks under shard_map: R·ext-deep ghost zones
+    exchanged once per R in-kernel steps (blind sweep + validity-by-depth),
+    with global-edge Dirichlet re-zeroing — vs the XLA sharded sweep."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 40, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 5},
+    )
+    ext = 1
+    rng = np.random.default_rng(13)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    )
+    # R=2 (screen_update 5 → 2 resident calls + 1 remainder step)
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True, res_steps=2
+    )
+    assert ops_p.res_steps == 2, ops_p.res_steps
+    assert ops_p.analytic is not None
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

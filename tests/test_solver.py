@@ -1,6 +1,8 @@
 """End-to-end physics oracles: analytic eigenvalues the reference lacks
 automated tests for (SURVEY.md §4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -349,3 +351,66 @@ def test_solver_resident_dispatch_end_to_end(tmp_run, monkeypatch):
         e_ref = r_ref.observables.energy / r_ref.observables.norm2
         e_out = r_out.observables.energy / r_out.observables.norm2
         assert abs(e_ref - e_out) < 2e-4, (r_ref.wnum, e_ref, e_out)
+
+
+def test_sync_update_batching_matches_per_chunk(tmp_run):
+    """sync_update > 1 batches chunks into a device-side scan with the
+    convergence test on-device; the chunk sequence, energies, and step
+    counts must match the per-chunk (reference-cadence) path."""
+    common = dict(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.25, "dt": 0.015},
+        tolerance=1e-7,
+        potential="Harmonic",
+        init_condition="Gaussian",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        wavemax=1,
+    )
+    run_dir.check_output_dir("test")
+    cfg1 = base_config(**common)
+    cfg1.sync_update = 1
+    ref = solver.run(cfg1, seed=9)
+    cfg8 = base_config(**common)
+    cfg8.sync_update = 8
+    out = solver.run(cfg8, seed=9)
+    for r_ref, r_out in zip(ref, out):
+        assert r_out.steps == r_ref.steps, (r_ref.wnum, r_ref.steps, r_out.steps)
+        e_ref = r_ref.observables.energy / r_ref.observables.norm2
+        e_out = r_out.observables.energy / r_out.observables.norm2
+        # f64 run on CPU: the device quotient equals the host quotient, so
+        # the batched trajectory is identical
+        assert abs(e_ref - e_out) < 1e-12, (r_ref.wnum, e_ref, e_out)
+        import numpy as _np
+
+        assert _np.allclose(
+            _np.asarray(r_ref.phi), _np.asarray(r_out.phi), rtol=0, atol=0
+        )
+
+
+def test_sync_update_batching_max_steps_and_snapshots(tmp_run):
+    """The batch planner respects the max_steps horizon (MaxStepError at
+    the same step) and never crosses a snapshot step (partial files still
+    written at the same cadence)."""
+    import glob
+
+    common = dict(
+        grid={"size": {"x": 12, "y": 12, "z": 12}, "dn": 0.25, "dt": 0.015},
+        tolerance=1e-30,
+        potential="Harmonic",
+        init_condition="Gaussian",
+        output={
+            "screen_update": 50,
+            "snap_update": 150,
+            "file_type": "Json",
+            "save_wavefns": False,
+        },
+        max_steps=700,
+    )
+    run_dir.check_output_dir("test")
+    cfg = base_config(**common)
+    cfg.sync_update = 8
+    with pytest.raises(errors.MaxStepError):
+        solver.run(cfg, seed=4)
+    d = run_dir.get_project_dir(cfg.project_name)
+    assert glob.glob(d + "/wavefunction_0_partial.*"), os.listdir(d)
+

@@ -273,6 +273,15 @@ class Config:
     # Optional PRNG seed for the Gaussian initial condition (reproducible
     # runs; the reference uses a non-deterministic thread rng).
     seed: Optional[int] = None
+    # Chunks per host↔device sync: the solver batches this many
+    # screen_update chunks into one device-side scan with an on-device
+    # convergence check, so remote/queued accelerators pay one round-trip
+    # latency per batch instead of per chunk (measured 2× steady-state at
+    # 256³ through the axon tunnel). Off by default: the batched scan
+    # graph costs minutes of compile per process, which only long runs
+    # amortise. None/1 = the reference's per-chunk cadence
+    # (src/grid.rs:126-220) exactly.
+    sync_update: Optional[int] = None
     cornell: CornellParams = field(default_factory=CornellParams)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     input_dir: str = "./input"
@@ -345,6 +354,11 @@ class Config:
                 absorb=float(raw.get("absorb", 0.0)),
                 backend=str(raw.get("backend", "auto")),
                 seed=(int(raw["seed"]) if raw.get("seed") is not None else None),
+                sync_update=(
+                    int(raw["sync_update"])
+                    if raw.get("sync_update") is not None
+                    else None
+                ),
                 debug_nans=bool(raw.get("debug_nans", False)),
                 trace_dir=raw.get("trace_dir"),
                 cornell=CornellParams(
@@ -408,6 +422,8 @@ class Config:
             raise errors.ConfigParseError(f"backend must be auto/xla/pallas, got {self.backend!r}")
         if min(self.mesh.as_tuple()) < 1:
             raise errors.ConfigParseError("mesh axes must be >= 1")
+        if self.sync_update is not None and self.sync_update < 1:
+            raise errors.ConfigParseError("sync_update must be >= 1")
 
     # ------------------------------------------------------------------ #
 

@@ -68,34 +68,41 @@ def compute_observables_device(
     w = geometry.work_area(phi, ext)
     v_w = geometry.work_area(v, ext)
 
-    # accumulate in f64 when x64 is live: f32 sums over ≥16M cells lose the
-    # 1e-6 relative-energy signal the convergence test needs; this pass runs
-    # once per screen_update so the upcast is free
-    if jax.config.jax_enable_x64:
-        if jnp.iscomplexobj(w):
-            w = w.astype(jnp.complex128)
-            v_w = v_w.astype(v_w.dtype if jnp.iscomplexobj(v_w) else jnp.float64)
-            if jnp.iscomplexobj(v_w):
-                v_w = v_w.astype(jnp.complex128)
-        else:
-            w = w.astype(jnp.float64)
-            v_w = v_w.astype(jnp.float64)
-        phi = phi.astype(w.dtype)
-        r2_grid = r2_grid.astype(jnp.float64)
+    # Hybrid-precision accumulation when x64 is live and the arrays are
+    # single precision: f32 sums over ≥16M cells lose the 1e-6
+    # relative-energy signal the convergence test needs, but upcasting the
+    # arrays to f64 makes this pass *emulated* on TPU (measured: it then
+    # dominates the whole chunk at 256³). Instead the elementwise products
+    # and the innermost (lane-axis) partial sums stay f32 — ≤ nz summands,
+    # rounding ~log₂(nz)·ε ≈ 5e-7 relative *of a single row*, which the
+    # exact f64 combine over the remaining nx·ny partials averages down —
+    # giving near-f64 totals at full f32 bandwidth. f64-input runs (the
+    # reference's precision, src/config.rs:19-22) are untouched.
+    single = w.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.complex64))
+    if jax.config.jax_enable_x64 and single:
+        acc = jnp.complex128 if jnp.iscomplexobj(w) else jnp.float64
+
+        def _sum(x):
+            dt_ = acc if jnp.iscomplexobj(x) else jnp.float64
+            return jnp.sum(jnp.sum(x, axis=-1).astype(dt_))
+    else:
+
+        def _sum(x):
+            return jnp.sum(x)
 
     wc = jnp.conj(w) if jnp.iscomplexobj(w) else w
     abs2 = jnp.real(wc * w)
 
     taps = stencil_taps(phi, order)
-    energy = jnp.sum(v_w * wc * w - wc * taps / denominator)
-    norm2 = jnp.sum(abs2)
+    energy = _sum(v_w * wc * w - wc * taps / denominator)
+    norm2 = _sum(abs2)
     if pot_sub_array is not None:
-        v_inf = jnp.sum(abs2 * pot_sub_array)
+        v_inf = _sum(abs2 * pot_sub_array)
     elif pot_sub_scalar is not None:
-        v_inf = jnp.sum(abs2) * pot_sub_scalar
+        v_inf = norm2 * pot_sub_scalar
     else:
-        v_inf = jnp.zeros((), dtype=abs2.dtype)
-    r2 = jnp.sum(abs2 * r2_grid)
+        v_inf = jnp.zeros((), dtype=norm2.dtype)
+    r2 = _sum(abs2 * r2_grid)
     return energy, norm2, v_inf, r2
 
 

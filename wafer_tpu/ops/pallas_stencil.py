@@ -1669,8 +1669,10 @@ _RES_BUDGET = int(_os.environ.get("WAFER_RES_BUDGET_MB", "72")) * 1024 * 1024
 
 
 def _pick_tx_res(nx: int, ext: int):
+    """Largest slab height whose remainder (the trailing short slab) is
+    either zero or wide enough for the lag/concat slices (> ext)."""
     for tx in (64, 32, 16, 8):
-        if nx % tx == 0 and tx > ext:
+        if tx <= nx and tx > ext and (nx % tx == 0 or nx % tx > ext):
             return tx
     return None
 
@@ -1700,7 +1702,7 @@ def _pick_tx_res_exc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
     psi = (nx + 2 * ext) * plane
     extra = 0 if analytic_b else 2  # streamed-B double buffer
     for tx in (32, 16, 8, 4):
-        if nx % tx or tx <= ext:
+        if tx > nx or tx <= ext or not (nx % tx == 0 or nx % tx > ext):
             continue
         if psi + (4 * n_lower + 3 + extra) * tx * plane <= _RES_LIMIT_EXC:
             return tx
@@ -1724,14 +1726,16 @@ def resident_exc_supported(nx: int, ny: int, nz: int, ext: int,
 
 
 def _evolve_kernel_res(
-    phi_hbm,    # (NX+2e, NY, NZ) ANY
+    phi_hbm,    # (NX+2h, NY, NZ) ANY (h = halo; ext single-device)
     b_hbm,      # (NX, NY, NZ) ANY — streamed-B interior array (stub when
     # analytic: B is computed from coordinates instead)
     store_hbm,  # (S·NX, NY, NZ) ANY — lower states l_s, interior rows only
     sstore_hbm, # (S·NX, NY, NZ) ANY — swept lower states Sl_s = S(l_s)
-    out_hbm,    # (NX+2e, NY, NZ) ANY
+    xorg_smem,  # (1, 1) SMEM i32 — global interior x offset (sharded)
+    edge_smem,  # (2, 1) SMEM i32 — [at_global_lo, at_global_hi]
+    out_hbm,    # (NX+2h, NY, NZ) ANY
     red_out,    # (1+S, 1) SMEM — final step's [‖new‖², ⟨l_s|new⟩…]
-    psi_buf,    # (NX+2e, NY, NZ) VMEM — resident across all grid programs
+    psi_buf,    # (NX+2h, NY, NZ) VMEM — resident across all grid programs
     lag,        # (ext, NY, NZ) VMEM — old planes the previous slab overwrote
     yz_buf,     # (NY, NZ) VMEM — per-kind hoisted plane constant (see below)
     racc,       # (2, 1+S) SMEM f32 — per-step reduction ping-pong
@@ -1752,7 +1756,16 @@ def _evolve_kernel_res(
     nx: int,
     with_norm: bool = False,
     n_lower: int = 0,
+    halo: int = 0,
 ):
+    # Sharded mode (halo = R·ext > ext): the buffer carries a deep halo of
+    # neighbour data exchanged once per R = n_steps in-kernel steps. The
+    # sweep runs blind over every non-edge row: rows within t·ext of the
+    # buffer edge go stale at step t, but any row read by a still-valid row
+    # was itself valid one step earlier, so after R steps the interior is
+    # exact (the standard deep-ghost-zone argument). Global-edge shards
+    # re-zero their halo side each step — the Dirichlet condition the
+    # exchange's zero-fill established at step 0.
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -1762,7 +1775,19 @@ def _evolve_kernel_res(
         vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
     else:
         kind = None  # streamed B
-    nslabs = nx // tx
+    halo = halo or ext
+    # padded x coordinate of psi_buf row 0: row ``halo`` is interior row 0,
+    # i.e. padded coordinate ext + xorg (matches models/potentials.generate)
+    x_row0 = (
+        xorg_smem[0, 0].astype(jnp.float32) + jnp.float32(ext - halo)
+    )
+    # static slab plan: full tx-row slabs plus one remainder slab (the
+    # picker guarantees any remainder exceeds ext, so the lag/concat slices
+    # stay well-formed)
+    slabs = [(ext + s * tx, tx) for s in range(nx // tx)]
+    if nx % tx:
+        slabs.append((ext + (nx // tx) * tx, nx % tx))
+    nslabs = len(slabs)
 
     @pl.when(i == 0)
     def _load():
@@ -1811,14 +1836,15 @@ def _evolve_kernel_res(
     # written rows, the reductions read the same rows — no halo overlap),
     # double-buffered so the next slab's DMA rides this slab's compute
     if n_lower > 0:
-        def l_dma(s_slab, st, bslot, swept):
+        def l_dma(s_idx, st, bslot, swept):
+            rs_s, tx_s = slabs[s_idx]
             src = sstore_hbm if swept else store_hbm
             buf = slbuf if swept else lbuf
             sem = sem_sl if swept else sem_l
             j = bslot * n_lower + st
             return pltpu.make_async_copy(
-                src.at[pl.ds(st * nx + s_slab * tx, tx)],
-                buf.at[pl.ds(j * tx, tx)],
+                src.at[pl.ds(st * nx + rs_s - ext, tx_s)],
+                buf.at[pl.ds(j * tx, tx_s)],
                 sem.at[j],
             )
 
@@ -1827,19 +1853,21 @@ def _evolve_kernel_res(
             l_dma(0, st, 0, True).start()
 
     if kind is None:
-        def b_dma(s_slab, bslot):
+        def b_dma(s_idx, bslot):
+            rs_s, tx_s = slabs[s_idx]
             return pltpu.make_async_copy(
-                b_hbm.at[pl.ds(s_slab * tx, tx)],
-                bbuf.at[pl.ds(bslot * tx, tx)],
+                b_hbm.at[pl.ds(rs_s - ext, tx_s)],
+                bbuf.at[pl.ds(bslot * tx, tx_s)],
                 sem_b.at[bslot],
             )
 
         b_dma(0, 0).start()
 
-    # one sweep, ascending slabs, in place
-    lag[...] = jnp.zeros_like(lag)  # rows [0, ext): Dirichlet halo (zero)
-    for s in range(nslabs):
-        rs = ext + s * tx
+    # one sweep, ascending slabs, in place. The lag seed rows [0, ext) are
+    # the Dirichlet zeros single-device (never written) or stale-but-valid
+    # neighbour data in sharded deep-halo mode.
+    lag[...] = psi_buf[0:ext]
+    for s, (rs, txs) in enumerate(slabs):
         bslot = s % 2
         if n_lower > 0:
             if s + 1 < nslabs:
@@ -1853,38 +1881,38 @@ def _evolve_kernel_res(
             if s + 1 < nslabs:
                 b_dma(s + 1, (s + 1) % 2).start()
             b_dma(s, bslot).wait()
-        c = psi_buf[rs : rs + tx]
+        c = psi_buf[rs : rs + txs]
         acc = (-float(center_c)) * c
         for off, cf in zip(offsets, coeffs):
             cf = float(cf)
             xm = jnp.concatenate(
-                [lag[ext - off : ext], psi_buf[rs : rs + tx - off]], axis=0
+                [lag[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
             )
-            xp = psi_buf[rs + off : rs + tx + off]
+            xp = psi_buf[rs + off : rs + txs + off]
             acc += cf * (xm + xp)
             acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
             acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
         if kind is None:
-            b = bbuf[bslot * tx : (bslot + 1) * tx]
+            b = bbuf[bslot * tx : bslot * tx + txs]
         elif kind == "NoPotential":
             b = 1.0 / (1.0 - 0.5 * dt_ * vshift)  # python float: scalar B
         elif kind == "Harmonic":
-            dx = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0).astype(
+            dx = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
                 jnp.float32
-            ) + (float(rs) - (ngx + 1.0) / 2.0)
+            ) + (x_row0 + jnp.float32(rs) - (ngx + 1.0) / 2.0)
             q = (0.25 * dt_ * dn * dn) * (dx * dx)
             b = 1.0 / (yz_buf[...][None, :, :] + q)
         elif kind == "Periodic":
-            px = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0).astype(
+            px = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
                 jnp.float32
-            ) + float(rs)
+            ) + (x_row0 + jnp.float32(rs))
             two_pi = 2.0 * 3.14159265358979323846
             sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
             cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
             b = 1.0 / (cconst - sx * yz_buf[...][None, :, :])
         else:
             b = _analytic_b(
-                analytic, (tx, ny, nz), jnp.float32(rs), ext, ext,
+                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext,
                 yz=yz_buf[...],
             )
         new = b * (2.0 * c + scale * acc) - c
@@ -1892,15 +1920,30 @@ def _evolve_kernel_res(
             new = inv * new
             for st in range(n_lower):
                 j = bslot * n_lower + st
-                new = new - corr[st] * slbuf[j * tx : (j + 1) * tx]
+                new = new - corr[st] * slbuf[j * tx : j * tx + txs]
             racc[slot, 0] += jnp.sum(new * new)
             for st in range(n_lower):
                 j = bslot * n_lower + st
                 racc[slot, 1 + st] += jnp.sum(
-                    lbuf[j * tx : (j + 1) * tx] * new
+                    lbuf[j * tx : j * tx + txs] * new
                 )
-        lag[...] = psi_buf[rs + tx - ext : rs + tx]  # old top rows, pre-write
-        psi_buf[rs : rs + tx] = new
+        lag[...] = psi_buf[rs + txs - ext : rs + txs]  # old top rows, pre-write
+        psi_buf[rs : rs + txs] = new
+
+    if halo > ext:
+        # deep-halo Dirichlet: global-edge shards re-zero their halo side
+        # after every step (the blind sweep wrote into it)
+        nxp_rows = psi_buf.shape[0]
+
+        @pl.when(edge_smem[0, 0] == 1)
+        def _dirichlet_lo():
+            psi_buf[0:halo] = jnp.zeros((halo, ny, nz), psi_buf.dtype)
+
+        @pl.when(edge_smem[1, 0] == 1)
+        def _dirichlet_hi():
+            psi_buf[nxp_rows - halo : nxp_rows] = jnp.zeros(
+                (halo, ny, nz), psi_buf.dtype
+            )
 
     @pl.when(i == n_steps - 1)
     def _store():
@@ -1916,9 +1959,8 @@ def _evolve_kernel_res(
             r = jax.lax.rsqrt(
                 jnp.maximum(racc[slot, 0], jnp.float32(1e-37))
             )
-            for s in range(nslabs):
-                rs = ext + s * tx
-                psi_buf[rs : rs + tx] = r * psi_buf[rs : rs + tx]
+            for rs, txs in slabs:
+                psi_buf[rs : rs + txs] = r * psi_buf[rs : rs + txs]
             red_out[0, 0] = racc[slot, 0]
         else:
             red_out[0, 0] = jnp.float32(0.0)
@@ -1930,7 +1972,7 @@ def _evolve_kernel_res(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "interpret", "per_step_norm"),
+                     "interpret", "per_step_norm", "halo"),
 )
 def evolve_chunk_resident(
     phi_xpad: jnp.ndarray,
@@ -1945,6 +1987,9 @@ def evolve_chunk_resident(
     store_xpad: Optional[jnp.ndarray] = None,
     sstore_xpad: Optional[jnp.ndarray] = None,
     b_int: Optional[jnp.ndarray] = None,
+    x_origin=None,
+    edges=None,
+    halo: int = 0,
 ) -> jnp.ndarray:
     """A full chunk of ``n_steps`` sweeps with ψ VMEM-resident.
 
@@ -1971,16 +2016,36 @@ def evolve_chunk_resident(
     Without an analytic formula pass ``b_int`` (the interior B array,
     :func:`geometry.work_area` of models.potentials.build_ab's B) and
     ``analytic=None``: tx-row B windows then stream from HBM per slab,
-    double-buffered — the only per-step HBM stream."""
+    double-buffered — the only per-step HBM stream.
+
+    Sharded callers pass ``halo = n_steps·ext`` (the deep ghost zone their
+    ppermute exchange filled), the block's traced global ``x_origin``
+    (analytic-B coordinates), and ``edges`` flags for the global Dirichlet
+    masking — see parallel/sharded.py. ``phi_xpad`` is then
+    (BX+2·halo, NY, NZ) and the interior is exact after the n_steps
+    in-kernel sweeps (ground state only: no per-step global reductions
+    exist inside one exchange window)."""
     ext = _EXT[order]
     nxp, ny, nz = phi_xpad.shape
-    nx = nxp - 2 * ext
+    nx = nxp - 2 * ext  # rows swept per step (includes deep-halo rows)
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
     n_lower = 0 if store_xpad is None else store_xpad.shape[0]
     dtype = phi_xpad.dtype
     if analytic is None and b_int is None:
         raise ValueError("resident sweep needs either analytic or b_int")
+    if halo and (n_lower > 0 or per_step_norm or analytic is None):
+        raise ValueError(
+            "sharded resident mode is ground-state analytic-B only"
+        )
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
+    if edges is None:
+        edges = jnp.ones((2, 1), jnp.int32)
+    else:
+        edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
     if n_lower > 0:
         tx = _pick_tx_res_exc(
             nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None
@@ -2010,6 +2075,7 @@ def evolve_chunk_resident(
         nx=nx,
         with_norm=per_step_norm,
         n_lower=n_lower,
+        halo=halo,
     )
     plane = ny * nz * dtype.itemsize
     need = (
@@ -2027,6 +2093,8 @@ def evolve_chunk_resident(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -2052,7 +2120,7 @@ def evolve_chunk_resident(
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(phi_xpad, b_arg, store_int, sstore_int)
+        )(phi_xpad, b_arg, store_int, sstore_int, x_origin, edges)
     if n_lower == 0:
         return out
     # materialise the last step's pending correction (the unswept basis)

@@ -56,6 +56,7 @@ class ShardedOps:
         pallas_interpret: bool = False,
         v_shift: float = 0.0,
         k_fuse: Optional[int] = None,
+        res_steps: Optional[int] = None,
     ):
         self.config = config
         self.mesh = mesh
@@ -179,6 +180,34 @@ class ShardedOps:
                 ) else 1
         self.k_fuse = k_fuse
 
+        # Sharded VMEM-resident chunks (ground state, analytic-B): exchange
+        # an R·ext-deep ghost zone once per R resident in-kernel steps —
+        # zero HBM traffic between exchanges and an R× cut in ppermute
+        # rounds (same exchanged volume). R is capped by the resident VMEM
+        # budget for the (bx + 2R·ext) block and by screen_update.
+        forced_res = res_steps
+        res_steps = 0
+        if use_pallas and n_lower == 0 and analytic is not None:
+            candidates = (
+                (forced_res,) if forced_res is not None else (16, 8, 4, 2)
+            )
+            for r in candidates:
+                if r > screen_update or bx < r * ext:
+                    continue
+                # blind-sweep recompute amplification (bx + 2(R−1)e)/bx:
+                # cap at 1.25 — past it the VPU recompute erases the win
+                # over the K ladder (auto mode only)
+                if forced_res is None and 8 * (r - 1) * ext > bx:
+                    continue
+                nxp_r = bx + 2 * r * ext
+                if (
+                    nxp_r * ny * nz * itemsize <= pk._RES_BUDGET
+                    and pk._pick_tx_res(nxp_r - 2 * ext, ext) is not None
+                ):
+                    res_steps = r
+                    break
+        self.res_steps = res_steps
+
         def orthogonalise(phi, store):
             for s in range(n_lower):
                 lower = store[s]
@@ -257,6 +286,46 @@ class ShardedOps:
                 )
 
             if n_lower == 0 and not per_step_norm:
+                if res_steps > 1:
+                    # VMEM-resident chunks with a deep ghost zone
+                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
+                    edges = jnp.stack(
+                        [
+                            (ax_idx == 0).astype(jnp.int32),
+                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
+                        ]
+                    ).reshape(2, 1)
+                    pad = res_steps * ext
+
+                    def body_r(_i, p):
+                        p = refresh_halo(p, pad)
+                        return pk.evolve_chunk_resident(
+                            p, order, dt, dn, mass, res_steps, analytic,
+                            interpret=pallas_interpret,
+                            x_origin=x_org, edges=edges, halo=pad,
+                        )
+
+                    p = lax.fori_loop(
+                        0, screen_update // res_steps, body_r, to_xpad(phi, pad)
+                    )
+                    p = p[pad:-pad]
+                    # remainder steps via the 1-step body
+                    for _ in range(screen_update % res_steps):
+                        p1 = refresh_halo(to_xpad(p, ext), ext)
+                        out1, _n2, _ov = pk.evolve_step_fused(
+                            p1,
+                            None if analytic is not None else b,
+                            None,
+                            order,
+                            scale,
+                            0,
+                            False,
+                            pallas_interpret,
+                            analytic=analytic,
+                            x_origin=x_org,
+                        )
+                        p = out1[ext:-ext]
+                    return p
                 if k_fuse > 1:
                     # K-fused chunk: one halo refresh of K·ext-wide faces
                     # per fused call; Dirichlet masking only on true global
@@ -394,20 +463,33 @@ class ShardedOps:
 
           return evolve_chunk_local
 
+        def _sum_h(x):
+            # hybrid accumulation for f32 blocks under x64 (see
+            # ops/observables.compute_observables_device): f32 lane-axis
+            # partials, f64 combine — near-f64 totals at f32 bandwidth
+            if jax.config.jax_enable_x64 and x.dtype in (
+                jnp.dtype(jnp.float32), jnp.dtype(jnp.complex64)
+            ):
+                dt_ = (
+                    jnp.complex128 if jnp.iscomplexobj(x) else jnp.float64
+                )
+                return jnp.sum(jnp.sum(x, axis=-1).astype(dt_))
+            return jnp.sum(x)
+
         def measure_local(phi, v, r2_grid, pot_sub, store):
             padded = exchange_halos(phi, ext, mesh_shape, axis_names)
             taps = stencil_taps(padded, order)
             wc = jnp.conj(phi) if jnp.iscomplexobj(phi) else phi
             abs2 = jnp.real(wc * phi)
-            energy = _psum(jnp.sum(v * wc * phi - wc * taps / denom))
-            norm2 = _psum(jnp.sum(abs2))
+            energy = _psum(_sum_h(v * wc * phi - wc * taps / denom))
+            norm2 = _psum(_sum_h(abs2))
             if has_pot_sub_array:
-                v_inf = _psum(jnp.sum(abs2 * pot_sub))
+                v_inf = _psum(_sum_h(abs2 * pot_sub))
             elif pot_sub_scalar is not None:
                 v_inf = norm2 * pot_sub_scalar
             else:
                 v_inf = jnp.zeros((), dtype=abs2.dtype)
-            r2 = _psum(jnp.sum(abs2 * r2_grid))
+            r2 = _psum(_sum_h(abs2 * r2_grid))
             phi = phi / jnp.sqrt(norm2).astype(phi.dtype)
             phi = orthogonalise(phi, store)
             return (energy, norm2, v_inf, r2), phi

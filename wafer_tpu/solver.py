@@ -380,6 +380,220 @@ def solve(
 
     n_points = config.grid.size.x * config.grid.size.y * config.grid.size.z
     chunk_t0 = None
+    su = config.output.screen_update
+
+    def _evolve_dispatch(phi, first_chunk: bool, env):
+        """One ``screen_update`` chunk through the selected sweep path
+        (the reference ``evolve`` call, src/grid.rs:216). ``env`` carries
+        every device array the dispatch reads, so the batched jit receives
+        them as arguments instead of baking them into the graph as
+        constants (a 256³ V/r²/store set embedded as literals overflows a
+        remote compile service's request limit)."""
+        if backend != "pallas":
+            return stencil.evolve_chunk(
+                phi, env["a"], env["b"], env["stacked"], order, dt, dn,
+                mass, su, n_lower, per_step_norm=per_step_norm,
+            )
+        from wafer_tpu.ops import pallas_stencil as pk
+
+        if use_resident:
+            return pk.from_xpad(
+                pk.evolve_chunk_resident(
+                    pk.to_xpad(phi, ext), order, dt, dn, mass, su, analytic,
+                    per_step_norm=per_step_norm,
+                    b_int=None if analytic is not None else env["b_int"],
+                ),
+                ext,
+            )
+        if k_fuse > 1 and not per_step_norm:
+            return pk.from_xpad_k(
+                pk.evolve_chunk_fused_k(
+                    pk.to_xpad_k(phi, ext, k_fuse), env["b_xpad_k"], order, dt, dn,
+                    mass, su, k_fuse, analytic=analytic,
+                ),
+                ext,
+                k_fuse,
+            )
+        if use_resident_exc:
+            # ψ resident, l/Sl streamed; exact per-step coefficient
+            # recursion (no kgs-style Gram reconstruction, so no
+            # first-chunk cancellation guard needed)
+            return pk.from_xpad(
+                pk.evolve_chunk_resident(
+                    pk.to_xpad(phi, ext), order, dt, dn, mass, su, analytic,
+                    store_xpad=env["store_xpad"], sstore_xpad=env["res_sstore"],
+                    b_int=None if analytic is not None else env["b_int"],
+                ),
+                ext,
+            )
+        if kgs and (per_step_norm or (n_lower > 0 and not first_chunk)):
+            # excited states / per-step-norm ground: two sweeps per HBM
+            # pass with the correction deferred algebraically. Excited
+            # states take their FIRST chunk on the 1-step path: a state
+            # cloned from its lower neighbour starts nearly parallel to
+            # the store, where the deferred-correction scalar algebra is
+            # catastrophically cancelled in f32 (see kgs_coef_update);
+            # one chunk of per-step array projections orthogonalises ψ
+            # properly.
+            return pk.from_xpad_k(
+                pk.evolve_chunk_fused_kgs(
+                    pk.to_xpad_k(phi, ext, 2), env["b_xpad2"], env["store2"],
+                    env["gram_g"], env["gram_h"], order, dt, dn, mass, su,
+                    n_lower,
+                    analytic=analytic,
+                ),
+                ext,
+                2,
+            )
+        return pk.from_xpad(
+            pk.evolve_chunk_fused(
+                pk.to_xpad(phi, ext),
+                None if analytic is not None else env["b_int"],
+                env["store_xpad"], order, dt, dn, mass, su, n_lower,
+                analytic=analytic, per_step_norm=per_step_norm,
+            ),
+            ext,
+        )
+
+    # ---------------------------------------------------------------- #
+    # Device-side convergence batching: run ``k_sync`` measure→evolve
+    # chunk iterations in one jitted lax.scan with the convergence test
+    # on-device, so remote/queued accelerators pay one host↔device round
+    # trip per batch instead of per chunk (measured 0.97 s/chunk through
+    # the axon tunnel at 256³ — the e2e wall was latency-, not compute-,
+    # bound). Per-chunk cadence, printed observable rows, snapshot steps,
+    # and max_steps semantics are preserved: the device emits every
+    # chunk's observables and its convergence flag; the host replays them
+    # through the same code path. sync_update: 1 disables (the
+    # reference's exact per-chunk host cadence, src/grid.rs:126-220).
+    # ---------------------------------------------------------------- #
+    # Default 1: the steady-state win is ~2× per chunk through a remote
+    # tunnel (measured 0.10 vs 0.215 s/chunk at 256³), but the batched
+    # scan graph costs minutes of XLA/Mosaic compile per process — only
+    # long production runs with a warm compile cache amortise it, so
+    # batching is opt-in via sync_update.
+    k_sync = config.sync_update or 1
+    _batched_cache: dict = {}
+
+    def _get_batched(k_chunks: int):
+        if k_chunks in _batched_cache:
+            return _batched_cache[k_chunks]
+
+        def _batched(phi0, last_e0, env):
+            def body(carry, _):
+                phi_c, phi_conv, last_e, done = carry
+
+                def work(args):
+                    phi_c, phi_conv, last_e = args
+                    (e, n2, vinf, r2), phi_n = _measure_and_prepare(
+                        phi_c, env["v"], env["r2"], env["psa"],
+                        pots.pot_sub_scalar, env["stacked"], order, dn,
+                        mass, n_lower,
+                    )
+                    # The convergence quotient in f64 (x64 is enabled by
+                    # the CLI): |E| can exceed the tolerance's f32
+                    # resolution (Cornell's ≈18.6 GeV has a 1.9e-6 ulp vs
+                    # the 1e-6 default tol), and f64-of-f32-scalars is
+                    # exactly the host path's arithmetic — the device
+                    # verdict is then bit-identical to sync_update: 1.
+                    if jax.config.jax_enable_x64:
+                        qdt = jnp.complex128 if is_complex else jnp.float64
+                        norm_e = e.astype(qdt) / n2.astype(jnp.float64)
+                    else:
+                        norm_e = e / n2
+                    norm_e = norm_e.astype(last_e.dtype)
+                    done_now = jnp.abs(norm_e - last_e) < config.tolerance
+                    phi_next = jax.lax.cond(
+                        done_now,
+                        lambda p: p,
+                        lambda p: _evolve_dispatch(p, False, env),
+                        phi_n,
+                    )
+                    phi_conv2 = jax.lax.cond(
+                        done_now, lambda _: phi_n, lambda _: phi_conv, None
+                    )
+                    return (
+                        (phi_next, phi_conv2, norm_e, done_now),
+                        (e, n2, vinf, r2, jnp.bool_(True), done_now),
+                    )
+
+                def idle(args):
+                    phi_c, phi_conv, last_e = args
+                    rdt = (
+                        jnp.float64
+                        if jax.config.jax_enable_x64
+                        else jnp.float32
+                    )
+                    ze = jnp.zeros((), last_e.dtype)
+                    one = jnp.ones((), rdt)
+                    zf = jnp.zeros((), rdt)
+                    return (
+                        (phi_c, phi_conv, last_e, jnp.bool_(True)),
+                        (ze, one, zf, zf, jnp.bool_(False), jnp.bool_(True)),
+                    )
+
+                return jax.lax.cond(
+                    done, idle, work, (phi_c, phi_conv, last_e)
+                )
+
+            init = (phi0, phi0, last_e0, jnp.bool_(False))
+            (phi_f, phi_conv, _le, done), rows = jax.lax.scan(
+                body, init, None, length=k_chunks
+            )
+            return phi_f, phi_conv, rows
+
+        fn = jax.jit(_batched)
+        _batched_cache[k_chunks] = fn
+        return fn
+
+    def _pick_batch_k(step: int) -> int:
+        """Chunks the next device batch may run: starts after the first
+        chunk (per-step-norm / kgs first-chunk decisions are host-side),
+        never crosses a snapshot step (its host IO needs ψ), and never
+        exceeds the max_steps guard's horizon."""
+        if k_sync <= 1 or step == 0:
+            return 1
+        k = k_sync
+        if config.output.snap_update is not None:
+            to_snap = (-step) % config.output.snap_update
+            n_chunks = to_snap // su
+            if n_chunks == 0:
+                return 1  # this chunk writes the snapshot
+            # a recurring snap-aligned k costs at most one extra compile
+            k = min(k, n_chunks)
+        if config.max_steps is not None:
+            remaining = (config.max_steps - step) // su + 1
+            if remaining < k:
+                # short max_steps tail: per-chunk, instead of compiling a
+                # one-off batch graph for an odd k (each distinct k is a
+                # separate jit compile — minutes on a remote TPU)
+                return 1
+        return max(k, 1)
+
+    _dispatch_env = {
+        "a": pots.a,
+        "b": pots.b,
+        "stacked": stacked,
+        "v": pots.v,
+        "r2": r2_grid,
+        "psa": pots.pot_sub_array,
+    }
+    if backend == "pallas":
+        _dispatch_env["b_int"] = b_int
+        _dispatch_env["store_xpad"] = store_xpad
+        if k_fuse > 1:
+            _dispatch_env["b_xpad_k"] = b_xpad_k
+        if use_resident_exc:
+            _dispatch_env["res_sstore"] = res_sstore
+        if kgs:
+            _dispatch_env["b_xpad2"] = b_xpad2
+            _dispatch_env["store2"] = store2
+            _dispatch_env["gram_g"] = gram_g
+            _dispatch_env["gram_h"] = gram_h
+
+    rows_pending: list = []
+    batch_phi_next = None
+    batch_phi_conv = None
 
     while True:
         if chunk_t0 is not None:
@@ -393,22 +607,74 @@ def solve(
                     config.output.screen_update / wall,
                     n_points * config.output.screen_update / wall,
                 )
-        (e, n2, vinf, r2), phi = _measure_and_prepare(
-            phi,
-            pots.v,
-            r2_grid,
-            pots.pot_sub_array,
-            pots.pot_sub_scalar,
-            stacked,
-            order,
-            dn,
-            mass,
-            n_lower,
-        )
-        energy = device_get_scalar(e) if is_complex else float(e)
-        obs = Observables(
-            energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2)
-        )
+            chunk_t0 = None
+        dev_done = None
+        if rows_pending:
+            obs, dev_done = rows_pending.pop(0)
+        else:
+            k_batch = _pick_batch_k(step)
+            if k_batch > 1:
+                t0b = _time.perf_counter()
+                if is_complex:
+                    led = (
+                        jnp.complex128
+                        if jax.config.jax_enable_x64
+                        else jnp.complex64
+                    )
+                else:
+                    led = (
+                        jnp.float64
+                        if jax.config.jax_enable_x64
+                        else jnp.float32
+                    )
+                phi_f, phi_conv, out_rows = _get_batched(k_batch)(
+                    phi, jnp.asarray(last_energy, dtype=led), _dispatch_env
+                )
+                es, n2s, vinfs, r2s, execs, dones = (
+                    np.asarray(x) for x in out_rows
+                )
+                wall = _time.perf_counter() - t0b
+                n_exec = int(execs.sum())
+                if wall > 0 and n_exec:
+                    log.debug(
+                        "state %d step %d: device batch of %d chunks in "
+                        "%.3fs — %.3g grid-point updates/s",
+                        wnum, step, n_exec, wall,
+                        n_points * su * n_exec / wall,
+                    )
+                for j in range(k_batch):
+                    if not bool(execs[j]):
+                        break
+                    rows_pending.append((
+                        Observables(
+                            energy=(
+                                complex(es[j]) if is_complex else float(es[j])
+                            ),
+                            norm2=float(n2s[j]),
+                            v_infinity=float(vinfs[j]),
+                            r2=float(r2s[j]),
+                        ),
+                        bool(dones[j]),
+                    ))
+                batch_phi_next = phi_f
+                batch_phi_conv = phi_conv
+                continue
+            (e, n2, vinf, r2), phi = _measure_and_prepare(
+                phi,
+                pots.v,
+                r2_grid,
+                pots.pot_sub_array,
+                pots.pot_sub_scalar,
+                stacked,
+                order,
+                dn,
+                mass,
+                n_lower,
+            )
+            energy = device_get_scalar(e) if is_complex else float(e)
+            obs = Observables(
+                energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2)
+            )
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
@@ -464,7 +730,18 @@ def solve(
                 )
 
         diff = abs(norm_energy - last_energy)
-        if diff < config.tolerance:
+        # Batched rows use the device's convergence verdict (an f32
+        # quotient; the host's f64 quotient of the same f32 scalars can
+        # differ by an ulp at the tolerance edge — sync_update: 1 restores
+        # the host decision exactly).
+        converged_now = (
+            dev_done if dev_done is not None else diff < config.tolerance
+        )
+        if converged_now:
+            if dev_done is not None:
+                phi = batch_phi_conv  # the measured psi of this row
+                rows_pending.clear()
+                batch_phi_next = batch_phi_conv = None
             if progress is not None:
                 progress.finish()
             print(terminal.print_measurements(tau, diff, obs))
@@ -510,118 +787,21 @@ def solve(
         if config.max_steps is not None and step > config.max_steps:
             break
 
-        chunk_t0 = _time.perf_counter()
-        if backend == "pallas":
-            from wafer_tpu.ops import pallas_stencil as pk
+        if rows_pending:
+            # more device-batch rows pending: advance the cadence only
+            diff_old = float(diff)
+            step += su
+            continue
+        if batch_phi_next is not None:
+            # last row of a device batch: adopt the already-evolved psi
+            phi = batch_phi_next
+            batch_phi_next = batch_phi_conv = None
+            diff_old = float(diff)
+            step += su
+            continue
 
-            if use_resident:
-                phi = pk.from_xpad(
-                    pk.evolve_chunk_resident(
-                        pk.to_xpad(phi, ext),
-                        order,
-                        dt,
-                        dn,
-                        mass,
-                        config.output.screen_update,
-                        analytic,
-                        per_step_norm=per_step_norm,
-                        b_int=None if analytic is not None else b_int,
-                    ),
-                    ext,
-                )
-            elif k_fuse > 1 and not per_step_norm:
-                phi = pk.from_xpad_k(
-                    pk.evolve_chunk_fused_k(
-                        pk.to_xpad_k(phi, ext, k_fuse),
-                        b_xpad_k,
-                        order,
-                        dt,
-                        dn,
-                        mass,
-                        config.output.screen_update,
-                        k_fuse,
-                        analytic=analytic,
-                    ),
-                    ext,
-                    k_fuse,
-                )
-            elif use_resident_exc:
-                # ψ resident, l/Sl streamed; exact per-step coefficient
-                # recursion (no kgs-style Gram reconstruction, so no
-                # first-chunk cancellation guard needed)
-                phi = pk.from_xpad(
-                    pk.evolve_chunk_resident(
-                        pk.to_xpad(phi, ext),
-                        order,
-                        dt,
-                        dn,
-                        mass,
-                        config.output.screen_update,
-                        analytic,
-                        store_xpad=store_xpad,
-                        sstore_xpad=res_sstore,
-                        b_int=None if analytic is not None else b_int,
-                    ),
-                    ext,
-                )
-            elif kgs and (per_step_norm or (n_lower > 0 and step > 0)):
-                # excited states / per-step-norm ground: two sweeps per HBM
-                # pass with the correction deferred algebraically. Excited
-                # states take their FIRST chunk on the 1-step path: a state
-                # cloned from its lower neighbour starts nearly parallel to
-                # the store, where the deferred-correction scalar algebra is
-                # catastrophically cancelled in f32 (see kgs_coef_update);
-                # one chunk of per-step array projections orthogonalises ψ
-                # properly.
-                phi = pk.from_xpad_k(
-                    pk.evolve_chunk_fused_kgs(
-                        pk.to_xpad_k(phi, ext, 2),
-                        b_xpad2,
-                        store2,
-                        gram_g,
-                        gram_h,
-                        order,
-                        dt,
-                        dn,
-                        mass,
-                        config.output.screen_update,
-                        n_lower,
-                        analytic=analytic,
-                    ),
-                    ext,
-                    2,
-                )
-            else:
-                phi = pk.from_xpad(
-                    pk.evolve_chunk_fused(
-                        pk.to_xpad(phi, ext),
-                        None if analytic is not None else b_int,
-                        store_xpad,
-                        order,
-                        dt,
-                        dn,
-                        mass,
-                        config.output.screen_update,
-                        n_lower,
-                        analytic=analytic,
-                        per_step_norm=per_step_norm,
-                    ),
-                    ext,
-                )
-        else:
-            phi = stencil.evolve_chunk(
-                phi,
-                pots.a,
-                pots.b,
-                stacked,
-                order,
-                dt,
-                dn,
-                mass,
-                config.output.screen_update,
-                n_lower,
-                per_step_norm=per_step_norm,
-            )
+        chunk_t0 = _time.perf_counter()
+        phi = _evolve_dispatch(phi, step == 0, _dispatch_env)
 
         diff_old = float(diff)
         step += config.output.screen_update
