@@ -323,6 +323,44 @@ def resident_e2e():
     assert -100.0 < ed < 0.0, ed
 
 
+def complex_e2e():
+    """Absorptive oscillator V = (1+0.2i)·r²/2 at 64×64×128 through the
+    solver — on the tunnel (no complex dtypes) this runs the split-complex
+    path, now through the (re, im)-resident kernel. Oracle:
+    E = 1.5·√(1+0.2i) = 1.50741 + 0.14926i (BASELINE recorded
+    1.50522 + 0.14923i for the discretised operator)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.chdir(d)
+    os.makedirs("input", exist_ok=True)
+    from wafer_tpu import solver
+    from wafer_tpu.io import run_dir
+
+    cfg = _harmonic_cfg(
+        64, 64, 128, 200,
+        grid={"dn": 0.15, "dt": 0.004},
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        max_steps=200000,
+        init_condition="Gaussian",
+    )
+    run_dir.check_output_dir(cfg.project_name)
+    t0 = time.perf_counter()
+    results = solver.run(cfg, seed=3)
+    wall = time.perf_counter() - t0
+    e = results[0].observables.energy / results[0].observables.norm2
+    e = complex(e)
+    print(json.dumps({
+        "bench": "complex_e2e absorptive oscillator 64x64x128 (split path)",
+        "E0": [round(e.real, 5), round(e.imag, 5)],
+        "oracle": [1.50741, 0.14926],
+        "steps": results[0].steps, "wall_s": round(wall, 1),
+    }))
+    assert abs(e.real - 1.507) < 0.02 and abs(e.imag - 0.1493) < 0.005, e
+
+
 def sync_bench():
     """Steady-state host-sync cost: 256³ harmonic ground, fixed 40 chunks
     (tolerance unreachable), sync_update 1 vs 8, with the solver's
@@ -647,6 +685,7 @@ if __name__ == "__main__":
         "kgs_e2e": kgs_e2e,
         "resident_e2e": resident_e2e,
         "sync_bench": sync_bench,
+        "complex_e2e": complex_e2e,
         "northstar": northstar,
         "sharded_bench": sharded_bench,
         "cornell4": cornell4,

@@ -387,11 +387,77 @@ def bench_streamb(n=256, steps=200, reps=3):
         print(f"{name}: {best:.3e} updates/s", flush=True)
 
 
+def bench_sc(n=128, steps=200, reps=3):
+    """Split-complex resident vs 1-step fused at n³ (ComplexHarmonic)."""
+    from wafer_tpu.config import Config
+    from wafer_tpu.models import potentials as pmod
+    from wafer_tpu.ops import pallas_split as ps
+
+    order, ext = "ThreePoint", 1
+    dn, dt, mass, absorb = 0.1, 3e-3, 1.0, 0.2
+    cfg = Config.from_dict({
+        "project_name": "probe",
+        "grid": {"size": {"x": n, "y": n, "z": n}, "dn": dn, "dt": dt},
+        "tolerance": 1e-6,
+        "central_difference": order,
+        "wavenum": 0,
+        "wavemax": 0,
+        "output": {"screen_update": steps, "file_type": "Json",
+                   "save_wavefns": False, "save_potential": False},
+        "potential": "ComplexHarmonic",
+        "absorb": absorb,
+        "mass": mass,
+        "init_condition": "Boolean",
+        "sig": 1.0,
+        "init_symmetry": "NotConstrained",
+        "precision": "f32",
+    })
+    rng = np.random.default_rng(0)
+    pr = np.zeros(cfg.padded_size(), np.float32)
+    pi_ = np.zeros(cfg.padded_size(), np.float32)
+    pr[ext:-ext, ext:-ext, ext:-ext] = rng.normal(size=(n, n, n))
+    pi_[ext:-ext, ext:-ext, ext:-ext] = rng.normal(size=(n, n, n))
+    psi2 = ps.to_xpad_sc(jnp.asarray(pr), jnp.asarray(pi_), ext)
+    analytic = ("Harmonic", dn, dt, mass, n, n, n, cfg.sig, 0.0, absorb)
+
+    def chunk_res(p):
+        return ps.evolve_chunk_resident_sc(
+            p, order, dt, dn, mass, steps, analytic
+        )
+
+    def chunk_1s(p):
+        return ps.evolve_chunk_fused_sc(
+            p, None, None, order, dt, dn, mass, steps, 0, analytic=analytic
+        )
+
+    for name, fn in (("sc resident", chunk_res), ("sc 1-step", chunk_1s)):
+        def run_chain(p, r):
+            t0 = time.perf_counter()
+            for _ in range(r):
+                p = fn(p)
+            np.asarray(p[:1, :1, :8])
+            return time.perf_counter() - t0, p
+
+        t0 = time.perf_counter()
+        _t, p = run_chain(psi2, 1)
+        print(f"{name}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+        best = 0.0
+        for _ in range(reps):
+            t1, p = run_chain(psi2, 1)
+            t5, p = run_chain(psi2, 5)
+            per = max((t5 - t1) / 4.0, 1e-9)
+            best = max(best, n**3 * steps / per)
+        print(f"{name}: {best:.3e} updates/s", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check("ThreePoint")
         check("SevenPoint")
+    elif mode == "sc":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+        bench_sc(n)
     elif mode == "streamb":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         bench_streamb(n)

@@ -125,3 +125,57 @@ def test_split_fused_analytic_b():
     np.testing.assert_allclose(
         np.asarray(out2), np.asarray(ref2), rtol=2e-5, atol=2e-6
     )
+
+
+def test_split_resident_chunk_matches_xla():
+    """(re, im)-resident chunk kernel: streamed-B, analytic-B, and the
+    per-step-norm variant vs the XLA split oracle."""
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
+    order = "ThreePoint"
+    dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
+    g = cfg.grid
+
+    rr, ri = sc.evolve_chunk_sc(
+        pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, 4, 0
+    )
+    # streamed B
+    out = ps.evolve_chunk_resident_sc(
+        ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, 4, None,
+        interpret=True, b2=_stack_b(br, bi, ext),
+    )
+    or_, oi_ = ps.from_xpad_sc(out, ext)
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)
+
+    # analytic complex B
+    analytic = (
+        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
+        cfg.sig, 0.0, cfg.absorb,
+    )
+    out_a = ps.evolve_chunk_resident_sc(
+        ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, 4, analytic,
+        interpret=True,
+    )
+    oar, oai = ps.from_xpad_sc(out_a, ext)
+    np.testing.assert_allclose(np.asarray(oar), np.asarray(rr), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oai), np.asarray(ri), rtol=2e-5, atol=2e-6)
+
+    # per-step-norm drift guard
+    nr, ni = sc.evolve_chunk_sc(
+        pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, 4, 0,
+        per_step_norm=True,
+    )
+    out_n = ps.evolve_chunk_resident_sc(
+        ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, 4, analytic,
+        interpret=True, per_step_norm=True,
+    )
+    onr, oni = ps.from_xpad_sc(out_n, ext)
+    np.testing.assert_allclose(np.asarray(onr), np.asarray(nr), rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(oni), np.asarray(ni), rtol=5e-5, atol=5e-6)
+
+
+def test_split_resident_supported_gating():
+    assert ps.resident_sc_supported(128, 128, 128, 1, 4)
+    # 256³ complex (2×64.5 MiB) exceeds the resident budget
+    assert not ps.resident_sc_supported(256, 256, 256, 1, 4)
+    assert not ps.resident_sc_supported(128, 128, 128, 1, 8)

@@ -518,3 +518,247 @@ def evolve_chunk_fused_sc(
         out_r = out_r - (cr * lr - ci * li)
         out_i = out_i - (cr * li + ci * lr)
     return jnp.concatenate([out_r, out_i], axis=0)
+
+
+# --------------------------------------------------------------------------- #
+# VMEM-resident split-complex chunk kernel (ground state)
+# --------------------------------------------------------------------------- #
+#
+# The split-complex counterpart of ops/pallas_stencil's resident kernel: the
+# whole stacked (re, im) ψ — (2·(NX+2e), NY, NZ), 2·psi bytes — stays in
+# VMEM for a full screen_update chunk, updated in place per slab with two
+# lag buffers (one per component; the complex update mixes Tr/Ti so both
+# components advance together within a slab). Complex B comes from
+# coordinates per slab (ComplexHarmonic/ComplexCoulomb) or streams as
+# double-buffered (Br, Bi) windows. Fits grids up to ~200³ f32
+# (2·field ≤ the resident budget); 256³ complex stays on the 1-step
+# streamed kernel. Ground state only (per-step reductions for excited
+# states remain on the carried-coefficient path).
+
+from wafer_tpu.ops import pallas_stencil as _pk
+
+
+def resident_sc_supported(nx: int, ny: int, nz: int, ext: int,
+                          itemsize: int) -> bool:
+    if itemsize != 4:
+        return False
+    if _pk._pick_tx_res(nx, ext) is None:
+        return False
+    return 2 * (nx + 2 * ext) * ny * nz * itemsize <= _pk._RES_BUDGET
+
+
+def _evolve_kernel_res_sc(
+    psi_hbm,   # (2·NXE, NY, NZ) ANY — re rows [0, NXE), im rows [NXE, 2·NXE)
+    b_hbm,     # (2·NX, NY, NZ) ANY — (Br, Bi) stacked (stub when analytic)
+    out_hbm,   # (2·NXE, NY, NZ) ANY
+    red_out,   # (1, 1) SMEM — final step's ‖ψ‖² (with_norm)
+    psi_buf,   # (2·NXE, NY, NZ) VMEM — resident across all grid programs
+    lag_r,     # (ext, NY, NZ) VMEM
+    lag_i,     # (ext, NY, NZ) VMEM
+    racc,      # (2, 1) SMEM f32 — per-step norm² ping-pong (with_norm)
+    bbuf,      # (4·tx, NY, NZ) VMEM — double-buffered (Br, Bi) slab windows
+    sem_in,
+    sem_out,
+    sem_b,     # DMA (4,)
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    analytic,
+    nx: int,
+    with_norm: bool = False,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    ny, nz = psi_buf.shape[1], psi_buf.shape[2]
+    nxe = nx + 2 * ext
+
+    @pl.when(i == 0)
+    def _load():
+        cp = pltpu.make_async_copy(psi_hbm, psi_buf, sem_in)
+        cp.start()
+        cp.wait()
+
+    if with_norm:
+        slot = jax.lax.rem(i, jnp.int32(2))
+        prev = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        inv = jnp.where(
+            i == 0,
+            jnp.float32(1.0),
+            jax.lax.rsqrt(jnp.maximum(racc[prev, 0], jnp.float32(1e-37))),
+        )
+        racc[slot, 0] = jnp.float32(0.0)
+
+    slabs = [(ext + s * tx, tx) for s in range(nx // tx)]
+    if nx % tx:
+        slabs.append((ext + (nx // tx) * tx, nx % tx))
+    nslabs = len(slabs)
+
+    if analytic is None:
+        def b_dma(s_idx, bslot):
+            rs_s, tx_s = slabs[s_idx]
+            return [
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(rs_s - ext, tx_s)],
+                    bbuf.at[pl.ds((bslot * 2) * tx, tx_s)],
+                    sem_b.at[bslot * 2],
+                ),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(nx + rs_s - ext, tx_s)],
+                    bbuf.at[pl.ds((bslot * 2 + 1) * tx, tx_s)],
+                    sem_b.at[bslot * 2 + 1],
+                ),
+            ]
+
+        for c_ in b_dma(0, 0):
+            c_.start()
+
+    # one sweep, ascending slabs, both components in place
+    lag_r[...] = psi_buf[0:ext]
+    lag_i[...] = psi_buf[nxe : nxe + ext]
+    for s, (rs, txs) in enumerate(slabs):
+        bslot = s % 2
+        if analytic is None:
+            if s + 1 < nslabs:
+                for c_ in b_dma(s + 1, (s + 1) % 2):
+                    c_.start()
+            for c_ in b_dma(s, bslot):
+                c_.wait()
+        cr = psi_buf[rs : rs + txs]
+        ci = psi_buf[nxe + rs : nxe + rs + txs]
+        acc_r = (-float(center_c)) * cr
+        acc_i = (-float(center_c)) * ci
+        for off, cf in zip(offsets, coeffs):
+            cf = float(cf)
+            xm_r = jnp.concatenate(
+                [lag_r[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
+            )
+            xp_r = psi_buf[rs + off : rs + txs + off]
+            acc_r += cf * (xm_r + xp_r)
+            acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))
+            acc_r += cf * (_shift_z(cr, off) + _shift_z(cr, -off))
+            xm_i = jnp.concatenate(
+                [lag_i[ext - off : ext],
+                 psi_buf[nxe + rs : nxe + rs + txs - off]], axis=0
+            )
+            xp_i = psi_buf[nxe + rs + off : nxe + rs + txs + off]
+            acc_i += cf * (xm_i + xp_i)
+            acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
+            acc_i += cf * (_shift_z(ci, off) + _shift_z(ci, -off))
+        if analytic is None:
+            br = bbuf[(bslot * 2) * tx : (bslot * 2) * tx + txs]
+            bi = bbuf[(bslot * 2 + 1) * tx : (bslot * 2 + 1) * tx + txs]
+        else:
+            br, bi = _analytic_b_sc(
+                analytic, (txs, ny, nz), float(rs), ext, ext
+            )
+        tr = 2.0 * cr + scale * acc_r
+        ti = 2.0 * ci + scale * acc_i
+        new_r = br * tr - bi * ti - cr
+        new_i = br * ti + bi * tr - ci
+        if with_norm:
+            new_r = inv * new_r
+            new_i = inv * new_i
+            racc[slot, 0] += jnp.sum(new_r * new_r) + jnp.sum(new_i * new_i)
+        lag_r[...] = psi_buf[rs + txs - ext : rs + txs]
+        lag_i[...] = psi_buf[nxe + rs + txs - ext : nxe + rs + txs]
+        psi_buf[rs : rs + txs] = new_r
+        psi_buf[nxe + rs : nxe + rs + txs] = new_i
+
+    @pl.when(i == n_steps - 1)
+    def _store():
+        if with_norm:
+            r = jax.lax.rsqrt(jnp.maximum(racc[slot, 0], jnp.float32(1e-37)))
+            for rs, txs in slabs:
+                psi_buf[rs : rs + txs] = r * psi_buf[rs : rs + txs]
+                psi_buf[nxe + rs : nxe + rs + txs] = (
+                    r * psi_buf[nxe + rs : nxe + rs + txs]
+                )
+            red_out[0, 0] = racc[slot, 0]
+        else:
+            red_out[0, 0] = jnp.float32(0.0)
+        cp = pltpu.make_async_copy(psi_buf, out_hbm, sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
+                     "interpret", "per_step_norm"),
+)
+def evolve_chunk_resident_sc(
+    psi2: jnp.ndarray,
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    analytic,
+    interpret: bool = False,
+    per_step_norm: bool = False,
+    b2: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """A full chunk of ground-state split-complex sweeps with (re, im)
+    VMEM-resident; trajectory-identical to ``n_steps`` 1-step fused split
+    sweeps (oracle: ops/split_complex.evolve_chunk_sc). ``per_step_norm``
+    carries the inverse complex norm across grid programs in SMEM (the f32
+    drift guard, reference per-step semantics src/grid.rs:674-681)."""
+    ext = _EXT[order]
+    nxp2, ny, nz = psi2.shape
+    nxe = nxp2 // 2
+    nx = nxe - 2 * ext
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    dtype = psi2.dtype
+    if analytic is None and b2 is None:
+        raise ValueError("resident split sweep needs analytic or b2")
+    tx = _pk._pick_tx_res(nx, ext)
+    if tx is None:
+        raise ValueError(f"no resident slab height fits NX={nx}")
+    kernel = functools.partial(
+        _evolve_kernel_res_sc,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        analytic=analytic,
+        nx=nx,
+        with_norm=per_step_norm,
+    )
+    b_arg = b2 if analytic is None else jnp.zeros((1, 1, 1), dtype)
+    brows = 4 * tx if analytic is None else 1
+    plane = ny * nz * dtype.itemsize
+    need = (nxp2 + 2 * ext + 6 * tx) * plane + brows * plane
+    with jax.enable_x64(False):
+        out, _red = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nxp2, ny, nz), dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nxp2, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.SMEM((2, 1), jnp.float32),
+                pltpu.VMEM((brows, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        )(psi2, b_arg)
+    return out

@@ -976,8 +976,20 @@ def _solve_split(
             elif ps.step_fused_sc_supported(nx_, ny_, nz_, ext, 4, n_lower):
                 split_backend = "pallas"
     log.info("Split-complex sweep backend for state %d: %s", wnum, split_backend)
+    use_resident_sc = False
     if split_backend == "pallas":
         from wafer_tpu.ops import pallas_split as ps
+
+        nx_, ny_, nz_ = config.work_size()
+        use_resident_sc = n_lower == 0 and ps.resident_sc_supported(
+            nx_, ny_, nz_, ext, 4
+        )
+        if use_resident_sc:
+            log.info(
+                "Split-complex ground chunks run the VMEM-resident kernel "
+                "((re, im) = %.1f MiB on-chip)",
+                2 * (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20,
+            )
 
         b2 = (
             None
@@ -1103,17 +1115,32 @@ def _solve_split(
             break
 
         if split_backend == "pallas":
-            pr, pi = ps.from_xpad_sc(
-                ps.evolve_chunk_fused_sc(
-                    ps.to_xpad_sc(pr, pi, ext),
-                    b2,
-                    store2,
-                    order, dt, dn, mass, config.output.screen_update, n_lower,
-                    per_step_norm=per_step_norm,
-                    analytic=sc_analytic,
-                ),
-                ext,
-            )
+            if use_resident_sc:
+                # (re, im) VMEM-resident for the whole chunk — see
+                # ops/pallas_split.evolve_chunk_resident_sc
+                pr, pi = ps.from_xpad_sc(
+                    ps.evolve_chunk_resident_sc(
+                        ps.to_xpad_sc(pr, pi, ext),
+                        order, dt, dn, mass, config.output.screen_update,
+                        sc_analytic,
+                        per_step_norm=per_step_norm,
+                        b2=b2,
+                    ),
+                    ext,
+                )
+            else:
+                pr, pi = ps.from_xpad_sc(
+                    ps.evolve_chunk_fused_sc(
+                        ps.to_xpad_sc(pr, pi, ext),
+                        b2,
+                        store2,
+                        order, dt, dn, mass, config.output.screen_update,
+                        n_lower,
+                        per_step_norm=per_step_norm,
+                        analytic=sc_analytic,
+                    ),
+                    ext,
+                )
         else:
             pr, pi = sc.evolve_chunk_sc(
                 pr, pi, ar, ai, br, bi, store_r, store_i,
