@@ -29,6 +29,26 @@ from wafer_tpu import geometry
 from wafer_tpu.ops import pallas_stencil as pk
 
 
+def _shift_sum_roll(c, off):
+    """roll-based shift(+off)+shift(−off) with Dirichlet edge correction —
+    the experimental alternative to two zero-concat shifts per tap."""
+    import jax.numpy as _jnp
+    from jax.experimental.pallas import tpu as _pltpu
+
+    tx_, ny_, nz_ = c.shape
+
+    def one(axis, n_ax):
+        # pltpu.roll requires non-negative shifts: −off ≡ n_ax − off
+        up = _pltpu.roll(c, n_ax - off, axis)  # c[i+off] at i (wraps at top)
+        dn_ = _pltpu.roll(c, off, axis)
+        iota = jax.lax.broadcasted_iota(_jnp.int32, c.shape, axis)
+        up = _jnp.where(iota >= n_ax - off, 0.0, up)
+        dn_ = _jnp.where(iota < off, 0.0, dn_)
+        return up + dn_
+
+    return one
+
+
 def _evolve_kernel_resident(
     phi_hbm,  # (NX+2e, NY, NZ) ANY
     out_hbm,  # (NX+2e, NY, NZ) ANY
@@ -45,6 +65,7 @@ def _evolve_kernel_resident(
     analytic,
     nx: int,
     fast_b: bool = False,
+    roll_shifts: bool = False,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -80,8 +101,13 @@ def _evolve_kernel_resident(
             )
             xp = psi_buf[rs + off : rs + tx + off]
             acc += cf * (xm + xp)
-            acc += cf * (pk._shift_y(c, off) + pk._shift_y(c, -off))
-            acc += cf * (pk._shift_z(c, off) + pk._shift_z(c, -off))
+            if roll_shifts:
+                one = _shift_sum_roll(c, off)
+                acc += cf * one(1, c.shape[1])
+                acc += cf * one(2, c.shape[2])
+            else:
+                acc += cf * (pk._shift_y(c, off) + pk._shift_y(c, -off))
+                acc += cf * (pk._shift_z(c, off) + pk._shift_z(c, -off))
         if fast_b:
             # x-dependent part: q = 0.25·dt·dn²·dx², one row-scalar per plane
             dx = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0).astype(
@@ -107,11 +133,13 @@ def _evolve_kernel_resident(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "order", "scale", "n_steps", "tx", "analytic", "interpret", "fast_b"
+        "order", "scale", "n_steps", "tx", "analytic", "interpret", "fast_b",
+        "roll_shifts",
     ),
 )
 def evolve_chunk_resident(
-    phi_xpad, order, scale, n_steps, tx, analytic, interpret=False, fast_b=False
+    phi_xpad, order, scale, n_steps, tx, analytic, interpret=False,
+    fast_b=False, roll_shifts=False,
 ):
     ext = pk._EXT[order]
     nxp, ny, nz = phi_xpad.shape
@@ -125,6 +153,7 @@ def evolve_chunk_resident(
         analytic=analytic,
         nx=nx,
         fast_b=fast_b,
+        roll_shifts=roll_shifts,
     )
     need = (nxp + ext + 4 * tx) * ny * nz * 4 + ny * nz * 4
     with jax.enable_x64(False):
@@ -220,18 +249,20 @@ def bench(n=256, steps=200, reps=3):
 
     phi_x = pk.to_xpad(phi, ext)
 
-    def mk_res(tx, fast_b):
+    def mk_res(tx, fast_b, roll=False):
         def chunk_res(p):
             return evolve_chunk_resident(
-                p, order, scale, steps, tx, analytic, fast_b=fast_b
+                p, order, scale, steps, tx, analytic, fast_b=fast_b,
+                roll_shifts=roll,
             )
         return chunk_res
 
     variants = []
     import os
+    roll = os.environ.get("RES_ROLL", "0") == "1"
     for tx in (int(v) for v in os.environ.get("RES_TX", "32").split(",")):
         for fast_b in (True, False) if os.environ.get("RES_FASTB", "1") == "1" else (False,):
-            variants.append((f"resident tx={tx} fast_b={fast_b}", mk_res(tx, fast_b), phi_x))
+            variants.append((f"resident tx={tx} fast_b={fast_b} roll={roll}", mk_res(tx, fast_b, roll), phi_x))
 
     if os.environ.get("RES_KREF", "0") == "1":
         k_fuse = pk.pick_k_fuse(n, n, n, ext, 4, True)
