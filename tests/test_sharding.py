@@ -600,3 +600,41 @@ def test_sharded_resident_matches_sharded_xla(mesh_shape):
         )
     )
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_resident_sevenpoint():
+    """Deep ghost zones at ext=3 (R=2 → 6-row halos): blind-sweep validity
+    and edge re-zeroing for the widest stencil."""
+    cfg = base_config(
+        precision="f32",
+        central_difference="SevenPoint",
+        grid={"size": {"x": 48, "y": 8, "z": 128}, "dn": 0.25, "dt": 0.004},
+        output={"screen_update": 4},
+    )
+    ext = 3
+    rng = np.random.default_rng(5)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((2, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    )
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True, res_steps=2
+    )
+    assert ops_p.res_steps == 2, ops_p.res_steps
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-6)

@@ -730,10 +730,11 @@ def solve(
                 )
 
         diff = abs(norm_energy - last_energy)
-        # Batched rows use the device's convergence verdict (an f32
-        # quotient; the host's f64 quotient of the same f32 scalars can
-        # differ by an ulp at the tolerance edge — sync_update: 1 restores
-        # the host decision exactly).
+        # Batched rows use the device's convergence verdict — computed in
+        # f64 scalars (the same arithmetic as this host check when x64 is
+        # live, which the CLI guarantees), so the decisions agree; without
+        # x64 the device quotient is f32 and can differ by an ulp at the
+        # tolerance edge.
         converged_now = (
             dev_done if dev_done is not None else diff < config.tolerance
         )
