@@ -215,3 +215,66 @@ def test_split_resume_current_state_from_partial(tmp_run, monkeypatch):
     assert abs(e1_resumed - e1_first) < 1e-3
     # resuming from the converged state should take very few chunks
     assert results2[0].steps <= results[1].steps
+
+
+def test_split_pallas_dispatch_resident_and_k2(tmp_run, monkeypatch):
+    """_solve_split's pallas dispatch: resident (re,im) kernel for the
+    ground state, and the K=2 fused path when residency is gated off —
+    both must match the XLA split path (interpret mode, backend spoofed)."""
+    import functools
+
+    import jax
+
+    from wafer_tpu.ops import pallas_split as ps, split_complex as sc
+
+    common = dict(
+        precision="f32",
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.25, "dt": 0.01},
+        tolerance=1e-5,
+        init_condition="Gaussian",
+        output={"screen_update": 50, "file_type": "Json"},
+        max_steps=20000,
+    )
+    run_dir.check_output_dir("test")
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+
+    cfg_x = base_config(**common)
+    cfg_x.backend = "xla"
+    ref = solver.run(cfg_x, seed=5)
+    e_ref = ref[0].observables.energy / ref[0].observables.norm2
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for fn in (
+        "evolve_chunk_fused_sc",
+        "evolve_chunk_resident_sc",
+        "evolve_chunk_fused_k_sc",
+    ):
+        monkeypatch.setattr(
+            ps, fn, functools.partial(getattr(ps, fn), interpret=True)
+        )
+    orig_step = ps.evolve_step_fused_sc
+
+    def step_interp(*a, **k):
+        # interpret is the 8th positional arg in the chunk drivers
+        if len(a) >= 8:
+            a = a[:7] + (True,) + a[8:]
+        else:
+            k["interpret"] = True
+        return orig_step(*a, **k)
+
+    monkeypatch.setattr(ps, "evolve_step_fused_sc", step_interp)
+
+    # resident dispatch
+    cfg_r = base_config(**common)
+    out_r = solver.run(cfg_r, seed=5)
+    e_r = out_r[0].observables.energy / out_r[0].observables.norm2
+    assert abs(e_r - e_ref) < 2e-4, (e_ref, e_r)
+
+    # K=2 dispatch (residency gated off)
+    monkeypatch.setattr(ps, "resident_sc_supported", lambda *a: False)
+    cfg_k = base_config(**common)
+    out_k = solver.run(cfg_k, seed=5)
+    e_k = out_k[0].observables.energy / out_k[0].observables.norm2
+    assert abs(e_k - e_ref) < 2e-4, (e_ref, e_k)

@@ -179,3 +179,46 @@ def test_split_resident_supported_gating():
     # 256³ complex (2×64.5 MiB) exceeds the resident budget
     assert not ps.resident_sc_supported(256, 256, 256, 1, 4)
     assert not ps.resident_sc_supported(128, 128, 128, 1, 8)
+
+
+def test_split_k_fused_matches_one_step():
+    """K=2 temporal blocking for split-complex grounds == K single fused
+    sweeps (streamed and analytic B), incl. remainder-step handling."""
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
+    order = "ThreePoint"
+    dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
+    g = cfg.grid
+    n_steps = 5  # 2 fused calls + 1 remainder step
+
+    ref = ps.evolve_chunk_fused_sc(
+        ps.to_xpad_sc(pr, pi, ext), _stack_b(br, bi, ext), None,
+        order, dt, dn, mass, n_steps, 0, interpret=True,
+    )
+    rr, ri = ps.from_xpad_sc(ref, ext)
+
+    # streamed B in the K layout: each component padded by (K−1)·ext
+    bwr = geometry.work_area(br, ext)
+    bwi = geometry.work_area(bi, ext)
+    b2k = jnp.concatenate([
+        jnp.pad(bwr, ((1, 1), (0, 0), (0, 0))),
+        jnp.pad(bwi, ((1, 1), (0, 0), (0, 0))),
+    ], axis=0)
+    out = ps.evolve_chunk_fused_k_sc(
+        ps.to_xpad_k_sc(pr, pi, ext, 2), b2k, order, dt, dn, mass,
+        n_steps, 2, interpret=True,
+    )
+    kr, ki = ps.from_xpad_k_sc(out, ext, 2)
+    np.testing.assert_allclose(np.asarray(kr), np.asarray(rr), rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(ki), np.asarray(ri), rtol=5e-5, atol=5e-6)
+
+    analytic = (
+        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
+        cfg.sig, 0.0, cfg.absorb,
+    )
+    out_a = ps.evolve_chunk_fused_k_sc(
+        ps.to_xpad_k_sc(pr, pi, ext, 2), None, order, dt, dn, mass,
+        n_steps, 2, analytic=analytic, interpret=True,
+    )
+    ar_, ai_ = ps.from_xpad_k_sc(out_a, ext, 2)
+    np.testing.assert_allclose(np.asarray(ar_), np.asarray(rr), rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(ai_), np.asarray(ri), rtol=5e-5, atol=5e-6)

@@ -1110,3 +1110,57 @@ def test_resident_remainder_slab():
         np.asarray(pk.from_xpad(out, ext)), np.asarray(ref), rtol=2e-5,
         atol=2e-6,
     )
+
+
+@pytest.mark.parametrize("order", ["FivePoint", "SevenPoint"])
+def test_resident_excited_higher_orders(order):
+    """Excited resident path at ext=2/3: the l/Sl window DMA and lag slices
+    must hold at wider halos."""
+    cfg, ext, phi, a, b = _setup(order)
+    g = cfg.grid
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = g.dt / (k * g.dn ** 2 * cfg.mass)
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+
+    rng = np.random.default_rng(29)
+    w = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    w = w / jnp.sqrt(gram_schmidt.get_norm_squared(w)).astype(jnp.float32)
+    store_x = jnp.stack([pk.to_xpad(w, ext)])
+    sl, _n2, _ov = pk.evolve_step_fused(
+        pk.to_xpad(w, ext), None, None, order, scale, 0, False,
+        interpret=True, analytic=analytic,
+    )
+    sstore_x = jnp.stack([sl])
+
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, store_x, order, g.dt, g.dn, cfg.mass,
+        4, 1, interpret=True, analytic=analytic,
+    )
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 4, analytic,
+        interpret=True, store_xpad=store_x, sstore_xpad=sstore_x,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-6
+    )
+
+
+@pytest.mark.parametrize("order", ["FivePoint", "SevenPoint"])
+def test_resident_per_step_norm_higher_orders(order):
+    cfg, ext, phi, a, b = _setup(order)
+    g = cfg.grid
+    b_int = geometry.work_area(b, ext)
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), b_int, None, order, g.dt, g.dn, cfg.mass, 4, 0,
+        interpret=True, per_step_norm=True,
+    )
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 4, analytic,
+        interpret=True, per_step_norm=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-6
+    )

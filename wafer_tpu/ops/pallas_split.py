@@ -762,3 +762,393 @@ def evolve_chunk_resident_sc(
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
         )(psi2, b_arg)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# K-step temporal blocking for split-complex ground states
+# --------------------------------------------------------------------------- #
+#
+# The complex 256³ pair exceeds the resident budget, so the streamed split
+# kernel gets the same trapezoidal K-fusion as the real kernel
+# (ops/pallas_stencil._evolve_kernel_k): K sweeps per HBM pass with
+# intermediate rows re-zeroed at the global Dirichlet edges after every
+# inner step. Ground states only (no per-step reductions). Single-device
+# layout: (2·(NX+2Ke), NY, NZ) with re rows first.
+
+
+def _pick_tx_k_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                  k_steps: int, analytic_b: bool):
+    plane = ny * nz * itemsize
+    mid = 2 * (k_steps - 1) * ext
+    for tx in (32, 16, 8, 4, 2):
+        if nx % tx:
+            continue
+        need = (
+            4 * (tx + 2 * k_steps * ext) * plane   # 2 slots × (re+im) windows
+            + 2 * (tx + mid) * plane               # pong (re+im)
+            + (0 if analytic_b else 2 * (tx + mid) * plane)
+            + 2 * tx * plane                       # single-buffered result
+        )
+        if need <= _SC_VMEM_BUDGET:
+            return tx
+    return None
+
+
+def k_fuse_sc_supported(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                        k_steps: int, analytic_b: bool) -> bool:
+    return _pick_tx_k_sc(nx, ny, nz, ext, itemsize, k_steps, analytic_b) is not None
+
+
+def _evolve_kernel_k_sc(
+    psi_hbm,  # (2·(NX+2Ke), NY, NZ) ANY — re rows then im rows
+    b_hbm,    # (2·(NX+2(K−1)e), NY, NZ) ANY — (Br, Bi) stacked (stub if analytic)
+    out_hbm,  # (2·(NX+2Ke), NY, NZ) ANY
+    window,   # (2, 2·(TX+2Ke), NY, NZ) VMEM — double-buffered (re, im) windows
+    pong,     # (2·(TX+2(K−1)e), NY, NZ) VMEM — intermediate (re, im)
+    b_slab,   # (2·(TX+2(K−1)e), NY, NZ) VMEM
+    result,   # (2·TX, NY, NZ) VMEM — single-buffered
+    zeros_halo,  # (K·ext, NY, NZ) VMEM
+    sem_in,   # DMA (2,)
+    sem_b,    # DMA (2,)
+    sem_out,
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    k_steps: int,
+    analytic=None,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    pad = k_steps * ext
+    win = tx + 2 * pad
+    mid = tx + 2 * (k_steps - 1) * ext
+    nxp = psi_hbm.shape[0] // 2
+    ny, nz = psi_hbm.shape[1], psi_hbm.shape[2]
+
+    def in_copies(w, to_slot):
+        return [
+            pltpu.make_async_copy(
+                psi_hbm.at[pl.ds(w * tx, win)],
+                window.at[to_slot, pl.ds(0, win)],
+                sem_in.at[to_slot],
+            ),
+            pltpu.make_async_copy(
+                psi_hbm.at[pl.ds(jnp.int32(nxp) + w * tx, win)],
+                window.at[to_slot, pl.ds(win, win)],
+                sem_in.at[to_slot],
+            ),
+        ]
+
+    @pl.when(i == 0)
+    def _first_window():
+        for c_ in in_copies(jnp.int32(0), jnp.int32(0)):
+            c_.start()
+
+    @pl.when(i + 1 < nprog)
+    def _prefetch():
+        for c_ in in_copies(i + 1, next_slot):
+            c_.start()
+
+    if analytic is None:
+        nb = nxp - 2 * ext  # b rows per component: NX + 2(K−1)e
+        b_copies = [
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(i * tx, mid)], b_slab.at[pl.ds(0, mid)],
+                sem_b.at[0],
+            ),
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(jnp.int32(nb) + i * tx, mid)],
+                b_slab.at[pl.ds(mid, mid)],
+                sem_b.at[1],
+            ),
+        ]
+        for bc in b_copies:
+            bc.start()
+
+    @pl.when(i == 0)
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        for row0 in (0, nxp):
+            c_ = pltpu.make_async_copy(
+                zeros_halo, out_hbm.at[pl.ds(row0, pad)], sem_halo
+            )
+            c_.start()
+            c_.wait()
+
+    @pl.when(i == nprog - 1)
+    def _zero_hi():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        for row0 in (nxp - pad, 2 * nxp - pad):
+            c_ = pltpu.make_async_copy(
+                zeros_halo, out_hbm.at[pl.ds(row0, pad)], sem_halo
+            )
+            c_.start()
+            c_.wait()
+
+    for c_ in in_copies(i, slot):
+        c_.wait()
+    if analytic is None:
+        for bc in b_copies:
+            bc.wait()
+
+    def b_pair(rows_out, b_off):
+        if analytic is None:
+            return (
+                b_slab[b_off : b_off + rows_out],
+                b_slab[mid + b_off : mid + b_off + rows_out],
+            )
+        x0 = (i * tx + jnp.int32(b_off - (k_steps - 1) * ext + ext)).astype(
+            jnp.float32
+        )
+        return _analytic_b_sc(analytic, (rows_out, ny, nz), x0, ext, ext)
+
+    def step(read_r, read_i, rows_out, b_off):
+        cr_ = read_r(ext, rows_out)
+        ci_ = read_i(ext, rows_out)
+        acc_r = -center_c * cr_
+        acc_i = -center_c * ci_
+        for off, cf in zip(offsets, coeffs):
+            acc_r = acc_r + cf * (
+                read_r(ext + off, rows_out) + read_r(ext - off, rows_out)
+            )
+            acc_r = acc_r + cf * (_shift_y(cr_, off) + _shift_y(cr_, -off))
+            acc_r = acc_r + cf * (_shift_z(cr_, off) + _shift_z(cr_, -off))
+            acc_i = acc_i + cf * (
+                read_i(ext + off, rows_out) + read_i(ext - off, rows_out)
+            )
+            acc_i = acc_i + cf * (_shift_y(ci_, off) + _shift_y(ci_, -off))
+            acc_i = acc_i + cf * (_shift_z(ci_, off) + _shift_z(ci_, -off))
+        br, bi = b_pair(rows_out, b_off)
+        ur = 2.0 * cr_ + scale * acc_r
+        ui = 2.0 * ci_ + scale * acc_i
+        return br * ur - bi * ui - cr_, br * ui + bi * ur - ci_
+
+    for s in range(1, k_steps + 1):
+        rows_out = tx + 2 * (k_steps - s) * ext
+        b_off = (s - 1) * ext
+        if s == 1:
+            def read_r(r0, rows, _slot=slot):
+                return window[_slot, r0 : r0 + rows]
+
+            def read_i(r0, rows, _slot=slot):
+                return window[_slot, win + r0 : win + r0 + rows]
+        else:
+            _prev_rows = tx + 2 * (k_steps - s + 1) * ext
+
+            def read_r(r0, rows):
+                return pong[r0 : r0 + rows]
+
+            def read_i(r0, rows, _pr=_prev_rows):
+                return pong[mid + r0 : mid + r0 + rows]
+        val_r, val_i = step(read_r, read_i, rows_out, b_off)
+        edge = (k_steps - s) * ext
+        if s < k_steps:
+            pong[:rows_out] = val_r
+            pong[mid : mid + rows_out] = val_i
+            if edge > 0:
+                @pl.when(i == 0)
+                def _mask_lo(_rows=rows_out, _edge=edge):
+                    pong[0:_edge] = jnp.zeros_like(pong[0:_edge])
+                    pong[mid : mid + _edge] = jnp.zeros_like(
+                        pong[mid : mid + _edge]
+                    )
+
+                @pl.when(i == nprog - 1)
+                def _mask_hi(_rows=rows_out, _edge=edge):
+                    pong[_rows - _edge : _rows] = jnp.zeros_like(
+                        pong[_rows - _edge : _rows]
+                    )
+                    pong[mid + _rows - _edge : mid + _rows] = jnp.zeros_like(
+                        pong[mid + _rows - _edge : mid + _rows]
+                    )
+        else:
+            @pl.when(i >= 1)
+            def _drain_prev_out():
+                for row0 in (0, nxp):
+                    pltpu.make_async_copy(
+                        result.at[pl.ds(0 if row0 == 0 else tx, tx)],
+                        out_hbm.at[pl.ds(row0 + (i - 1) * tx + pad, tx)],
+                        sem_out,
+                    ).wait()
+
+            result[0:tx] = val_r
+            result[tx : 2 * tx] = val_i
+
+    for row0, r_off in ((0, 0), (nxp, tx)):
+        pltpu.make_async_copy(
+            result.at[pl.ds(r_off, tx)],
+            out_hbm.at[pl.ds(row0 + i * tx + pad, tx)],
+            sem_out,
+        ).start()
+
+    @pl.when(i == nprog - 1)
+    def _drain_tail():
+        for row0, r_off in ((0, 0), (nxp, tx)):
+            pltpu.make_async_copy(
+                result.at[pl.ds(r_off, tx)],
+                out_hbm.at[pl.ds(row0 + i * tx + pad, tx)],
+                sem_out,
+            ).wait()
+
+
+def to_xpad_k_sc(pr: jnp.ndarray, pi: jnp.ndarray, ext: int,
+                 k_steps: int) -> jnp.ndarray:
+    """Fully-padded (re, im) → K-layout stacked (2·(NX+2Ke), NY, NZ)."""
+    extra = (k_steps - 1) * ext
+    xr = to_xpad(pr, ext)
+    xi = to_xpad(pi, ext)
+    if extra:
+        xr = jnp.pad(xr, ((extra, extra), (0, 0), (0, 0)))
+        xi = jnp.pad(xi, ((extra, extra), (0, 0), (0, 0)))
+    return jnp.concatenate([xr, xi], axis=0)
+
+
+def from_xpad_k_sc(psi2: jnp.ndarray, ext: int, k_steps: int):
+    """K-layout stacked → fully-padded (re, im)."""
+    nxp = psi2.shape[0] // 2
+    extra = (k_steps - 1) * ext
+    xr, xi = psi2[:nxp], psi2[nxp:]
+    if extra:
+        xr, xi = xr[extra:-extra], xi[extra:-extra]
+    pad = ((0, 0), (ext, ext), (ext, ext))
+    return jnp.pad(xr, pad), jnp.pad(xi, pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "scale", "k_steps", "analytic", "interpret"),
+)
+def evolve_steps_fused_k_sc(
+    psi2: jnp.ndarray,
+    b2k: Optional[jnp.ndarray],
+    order: str,
+    scale: float,
+    k_steps: int,
+    analytic=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """K fused split-complex sweeps in one HBM pass (ground state)."""
+    ext = _EXT[order]
+    nxp2, ny, nz = psi2.shape
+    nxp = nxp2 // 2
+    nx = nxp - 2 * k_steps * ext
+    dtype = psi2.dtype
+    tx = _pick_tx_k_sc(nx, ny, nz, ext, dtype.itemsize, k_steps,
+                       analytic is not None)
+    if tx is None:
+        raise ValueError(
+            f"split K={k_steps} fused sweep does not fit VMEM for {ny}x{nz}"
+        )
+    mid = tx + 2 * (k_steps - 1) * ext
+    kernel = functools.partial(
+        _evolve_kernel_k_sc,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        k_steps=k_steps,
+        analytic=analytic,
+    )
+    if b2k is None:
+        b2k = jnp.zeros((1, 1, 1), dtype)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(nx // tx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((nxp2, ny, nz), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2 * (tx + 2 * k_steps * ext), ny, nz), dtype),
+                pltpu.VMEM((2 * mid, ny, nz), dtype),
+                pltpu.VMEM(
+                    (2 * mid if analytic is None else 1, ny, nz), dtype
+                ),
+                pltpu.VMEM((2 * tx, ny, nz), dtype),
+                pltpu.VMEM((k_steps * ext, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            # Mosaic's scoped accounting for the split-kernel family runs
+            # well above the raw scratch sum (measured 60.2 MiB scoped for
+            # a 37 MiB raw K=2 tile at 256³) — size the limit accordingly
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(2.2 * _SC_VMEM_BUDGET)
+            ),
+        )(psi2, b2k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "dt", "dn", "mass", "n_steps", "k_steps", "analytic",
+        "interpret",
+    ),
+)
+def evolve_chunk_fused_k_sc(
+    psi2_k: jnp.ndarray,
+    b2k: Optional[jnp.ndarray],
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    k_steps: int,
+    analytic=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Ground-state split-complex chunk via K-step fused sweeps; remainder
+    steps run as in-chunk 1-step fused sweeps (exact n_steps cadence)."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    ext = _EXT[order]
+
+    def body(_i, p):
+        return evolve_steps_fused_k_sc(
+            p, b2k, order, scale, k_steps, analytic, interpret
+        )
+
+    psi2_k = jax.lax.fori_loop(0, n_steps // k_steps, body, psi2_k)
+    rem = n_steps % k_steps
+    if rem:
+        extra = (k_steps - 1) * ext
+        nxp = psi2_k.shape[0] // 2
+        xr, xi = psi2_k[:nxp], psi2_k[nxp:]
+        if extra:
+            xr, xi = xr[extra:-extra], xi[extra:-extra]
+        p1 = jnp.concatenate([xr, xi], axis=0)
+        nb = nxp - 2 * ext
+        if b2k is not None and extra:
+            b1 = jnp.concatenate(
+                [b2k[extra : nb - extra], b2k[nb + extra : 2 * nb - extra]],
+                axis=0,
+            )
+        else:
+            b1 = b2k
+        for _ in range(rem):
+            p1, _n2, _ov = evolve_step_fused_sc(
+                p1, b1, None, order, scale, 0, False, interpret,
+                analytic=analytic,
+            )
+        if extra:
+            nx1 = p1.shape[0] // 2
+            xr, xi = p1[:nx1], p1[nx1:]
+            pad = ((extra, extra), (0, 0), (0, 0))
+            psi2_k = jnp.concatenate(
+                [jnp.pad(xr, pad), jnp.pad(xi, pad)], axis=0
+            )
+        else:
+            psi2_k = p1
+    return psi2_k

@@ -978,6 +978,7 @@ def _solve_split(
                 split_backend = "pallas"
     log.info("Split-complex sweep backend for state %d: %s", wnum, split_backend)
     use_resident_sc = False
+    k_fuse_sc = 1
     if split_backend == "pallas":
         from wafer_tpu.ops import pallas_split as ps
 
@@ -990,6 +991,14 @@ def _solve_split(
                 "Split-complex ground chunks run the VMEM-resident kernel "
                 "((re, im) = %.1f MiB on-chip)",
                 2 * (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20,
+            )
+        elif n_lower == 0 and ps.k_fuse_sc_supported(
+            nx_, ny_, nz_, ext, 4, 2, sc_analytic is not None
+        ):
+            # pair too big for residency (e.g. 256³): K=2 temporal blocking
+            k_fuse_sc = 2
+            log.info(
+                "Split-complex ground chunks run K=2 temporal blocking"
             )
 
         b2 = (
@@ -1006,6 +1015,15 @@ def _solve_split(
             if n_lower
             else None
         )
+        # streamed B in the K layout (each component padded by (K−1)·ext)
+        b2k = None
+        if k_fuse_sc > 1 and b2 is not None:
+            _nxw = config.work_size()[0]
+            _e1 = (k_fuse_sc - 1) * ext
+            _pad = ((_e1, _e1), (0, 0), (0, 0))
+            b2k = jnp.concatenate(
+                [jnp.pad(b2[:_nxw], _pad), jnp.pad(b2[_nxw:], _pad)], axis=0
+            )
 
     terminal.print_observable_header(wnum)
     step = 0
@@ -1116,7 +1134,19 @@ def _solve_split(
             break
 
         if split_backend == "pallas":
-            if use_resident_sc:
+            if k_fuse_sc > 1 and not per_step_norm:
+                pr, pi = ps.from_xpad_k_sc(
+                    ps.evolve_chunk_fused_k_sc(
+                        ps.to_xpad_k_sc(pr, pi, ext, k_fuse_sc),
+                        b2k,
+                        order, dt, dn, mass, config.output.screen_update,
+                        k_fuse_sc,
+                        analytic=sc_analytic,
+                    ),
+                    ext,
+                    k_fuse_sc,
+                )
+            elif use_resident_sc:
                 # (re, im) VMEM-resident for the whole chunk — see
                 # ops/pallas_split.evolve_chunk_resident_sc
                 pr, pi = ps.from_xpad_sc(
