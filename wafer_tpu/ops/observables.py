@@ -47,6 +47,26 @@ class Observables:
         return float(jnp.sqrt(self.r2 / self.norm2))
 
 
+def hybrid_sum(x):
+    """Full-array sum with hybrid-precision accumulation for single-
+    precision inputs under x64: the elementwise values and the innermost
+    (lane-axis) partial sums stay f32 — ≤ nz summands, rounding
+    ~log₂(nz)·ε ≈ 5e-7 relative *of a single row* — and the combine over
+    the remaining nx·ny partials is exact f64, giving near-f64 totals at
+    full f32 bandwidth. Rationale: plain f32 sums over ≥16M cells lose
+    the 1e-6 relative-energy signal the convergence test needs, while
+    upcasting the arrays to f64 makes the pass *emulated* on TPU
+    (measured: it then dominates the whole chunk at 256³). f64 inputs
+    (the reference's precision, src/config.rs:19-22) pass through
+    unchanged. Shared by the single-device observables, the sharded
+    measure, and the sharded split-complex measure."""
+    single = x.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.complex64))
+    if jax.config.jax_enable_x64 and single:
+        dt_ = jnp.complex128 if jnp.iscomplexobj(x) else jnp.float64
+        return jnp.sum(jnp.sum(x, axis=-1).astype(dt_))
+    return jnp.sum(x)
+
+
 @partial(jax.jit, static_argnames=("order",))
 def compute_observables_device(
     phi: jnp.ndarray,
@@ -68,28 +88,7 @@ def compute_observables_device(
     w = geometry.work_area(phi, ext)
     v_w = geometry.work_area(v, ext)
 
-    # Hybrid-precision accumulation when x64 is live and the arrays are
-    # single precision: f32 sums over ≥16M cells lose the 1e-6
-    # relative-energy signal the convergence test needs, but upcasting the
-    # arrays to f64 makes this pass *emulated* on TPU (measured: it then
-    # dominates the whole chunk at 256³). Instead the elementwise products
-    # and the innermost (lane-axis) partial sums stay f32 — ≤ nz summands,
-    # rounding ~log₂(nz)·ε ≈ 5e-7 relative *of a single row*, which the
-    # exact f64 combine over the remaining nx·ny partials averages down —
-    # giving near-f64 totals at full f32 bandwidth. f64-input runs (the
-    # reference's precision, src/config.rs:19-22) are untouched.
-    single = w.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.complex64))
-    if jax.config.jax_enable_x64 and single:
-        acc = jnp.complex128 if jnp.iscomplexobj(w) else jnp.float64
-
-        def _sum(x):
-            dt_ = acc if jnp.iscomplexobj(x) else jnp.float64
-            return jnp.sum(jnp.sum(x, axis=-1).astype(dt_))
-    else:
-
-        def _sum(x):
-            return jnp.sum(x)
-
+    _sum = hybrid_sum
     wc = jnp.conj(w) if jnp.iscomplexobj(w) else w
     abs2 = jnp.real(wc * w)
 

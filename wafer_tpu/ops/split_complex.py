@@ -167,10 +167,17 @@ def backend_supports_complex() -> bool:
         # split path would be benign (slower, same results); wedging the
         # grant is not — so the env answer wins over probing.
         result = False
+    elif platform == "tpu":
+        # Bare local TPU: complex64 is implemented in real TPU runtimes
+        # (only the tunnel above lacks it), and a subprocess probe would
+        # fail spuriously anyway — libtpu's single-client lock means a
+        # second process cannot acquire the already-held device, which
+        # would cache a false negative after a long stall.
+        result = True
     else:
-        # Unknown platform, or a TPU runtime not behind the tunnel: probe in
-        # a subprocess (an in-process probe can poison this process's device
-        # stream on failure). Cached per platform for the process lifetime.
+        # Unknown platform: probe in a subprocess (an in-process probe can
+        # poison this process's device stream on failure). Cached per
+        # platform for the process lifetime.
         result = _probe_complex_subprocess()
     _COMPLEX_SUPPORT_CACHE[platform] = result
     return result

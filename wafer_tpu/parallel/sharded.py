@@ -463,18 +463,9 @@ class ShardedOps:
 
           return evolve_chunk_local
 
-        def _sum_h(x):
-            # hybrid accumulation for f32 blocks under x64 (see
-            # ops/observables.compute_observables_device): f32 lane-axis
-            # partials, f64 combine — near-f64 totals at f32 bandwidth
-            if jax.config.jax_enable_x64 and x.dtype in (
-                jnp.dtype(jnp.float32), jnp.dtype(jnp.complex64)
-            ):
-                dt_ = (
-                    jnp.complex128 if jnp.iscomplexobj(x) else jnp.float64
-                )
-                return jnp.sum(jnp.sum(x, axis=-1).astype(dt_))
-            return jnp.sum(x)
+        # hybrid f32/f64 accumulation — the shared precision-critical
+        # reduction (ops/observables.hybrid_sum)
+        from wafer_tpu.ops.observables import hybrid_sum as _sum_h
 
         def measure_local(phi, v, r2_grid, pot_sub, store):
             padded = exchange_halos(phi, ext, mesh_shape, axis_names)

@@ -94,20 +94,24 @@ class ShardedSplitOps:
 
             return evolve_chunk_local
 
+        # hybrid f32/f64 accumulation for the convergence-critical sums
+        # (the shared helper, ops/observables.hybrid_sum)
+        from wafer_tpu.ops.observables import hybrid_sum as _sum_h
+
         def measure_local(pr, pi, vr, vi, r2_grid, pot_sub, sr, si):
             tr = stencil_taps(exchange_halos(pr, ext, mesh_shape), order)
             ti = stencil_taps(exchange_halos(pi, ext, mesh_shape), order)
             abs2 = pr * pr + pi * pi
-            e_re = _psum(jnp.sum(vr * abs2 - (pr * tr + pi * ti) / denom))
-            e_im = _psum(jnp.sum(vi * abs2 - (pr * ti - pi * tr) / denom))
-            norm2 = _psum(jnp.sum(abs2))
+            e_re = _psum(_sum_h(vr * abs2 - (pr * tr + pi * ti) / denom))
+            e_im = _psum(_sum_h(vi * abs2 - (pr * ti - pi * tr) / denom))
+            norm2 = _psum(_sum_h(abs2))
             if has_pot_sub_array:
-                v_inf = _psum(jnp.sum(abs2 * pot_sub))
+                v_inf = _psum(_sum_h(abs2 * pot_sub))
             elif pot_sub_scalar is not None:
                 v_inf = norm2 * pot_sub_scalar
             else:
-                v_inf = jnp.zeros((), dtype=abs2.dtype)
-            r2 = _psum(jnp.sum(abs2 * r2_grid))
+                v_inf = jnp.zeros((), dtype=norm2.dtype)
+            r2 = _psum(_sum_h(abs2 * r2_grid))
             inv = (1.0 / jnp.sqrt(norm2)).astype(pr.dtype)
             pr, pi = pr * inv, pi * inv
             pr, pi = orthogonalise(pr, pi, sr, si)
@@ -235,9 +239,14 @@ def run_sharded_split(
 
 def _select_ic_split(config, log, wnum, w_store, seed):
     """Disk (current, incl. _partial) → previous state → generator — split
-    host-side (reference preference: src/grid.rs:60-100)."""
+    host-side (reference preference: src/grid.rs:60-100).
+
+    NOTE: this preference logic also lives in solver._select_initial_condition
+    (native dtypes) and inline in solver._solve_split (single-device split) —
+    lifecycle changes must be applied to all three."""
     import dataclasses
 
+    from wafer_tpu.config import InitialCondition
     from wafer_tpu.io import readers
     from wafer_tpu.models import initial
 
@@ -255,6 +264,16 @@ def _select_ic_split(config, log, wnum, w_store, seed):
                 )
             )
             log.info("Loaded (current) wavefunction %d from disk", wnum)
+            if (
+                config.init_condition is not InitialCondition.FROM_FILE
+                and wnum > config.wavenum
+            ):
+                # contamination warning (reference: src/grid.rs:78-84)
+                log.warning(
+                    "Loaded a higher order wavefunction from disk although "
+                    "Initial conditions are set to '%s'.",
+                    config.init_condition.display(),
+                )
             w = geometry.work_area(wfn, ext)
             return (
                 jnp.asarray(np.real(w), dtype=config.real_dtype),
