@@ -467,7 +467,10 @@ def sharded_bench():
     ext = 1
     mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
     ops = ShardedOps(cfg, mesh, 0, use_pallas=True)
-    print(json.dumps({"k_fuse": ops.k_fuse, "analytic": ops.analytic is not None}))
+    print(json.dumps({
+        "k_fuse": ops.k_fuse, "res_steps": ops.res_steps,
+        "analytic": ops.analytic is not None,
+    }))
     v = pmod.generate(cfg).astype(jnp.float32)
     a, b = pmod.build_ab(v, cfg.grid.dt)
     phi = ops.put(geometry.work_area(initial.set_initial_conditions(cfg), ext).astype(jnp.float32))
@@ -478,7 +481,7 @@ def sharded_bench():
     def chunk(p):
         return ops.evolve_chunk(p, a_d, b_d, store)
 
-    time_chain(chunk, phi, steps, n ** 3, "sharded 1x1x1 ground K-fused analytic")
+    time_chain(chunk, phi, steps, n ** 3, "sharded 1x1x1 ground (resident/K ladder) analytic")
 
 
 def cornell4():

@@ -461,19 +461,24 @@ def bench_sc(n=128, steps=200, reps=3):
             p, None, None, order, dt, dn, mass, steps, 0, analytic=analytic
         )
 
-    def chunk_k2(p):
-        return ps.evolve_chunk_fused_k_sc(
-            p, None, order, dt, dn, mass, steps, 2, analytic=analytic
-        )
+    def mk_chunk_k(kf):
+        def chunk_k(p):
+            return ps.evolve_chunk_fused_k_sc(
+                p, None, order, dt, dn, mass, steps, kf, analytic=analytic
+            )
+        return chunk_k
 
     variants = [("sc 1-step", chunk_1s, psi2)]
     if ps.resident_sc_supported(n, n, n, ext, 4):
         variants.insert(0, ("sc resident", chunk_res, psi2))
-    if ps.k_fuse_sc_supported(n, n, n, ext, 4, 2, True):
-        pr_j, pi_j = jnp.asarray(pr), jnp.asarray(pi_)
-        variants.insert(
-            0, ("sc K=2", chunk_k2, ps.to_xpad_k_sc(pr_j, pi_j, ext, 2))
-        )
+    pr_j, pi_j = jnp.asarray(pr), jnp.asarray(pi_)
+    for kf in (2, 3):
+        if ps.k_fuse_sc_supported(n, n, n, ext, 4, kf, True):
+            variants.insert(
+                0,
+                (f"sc K={kf}", mk_chunk_k(kf),
+                 ps.to_xpad_k_sc(pr_j, pi_j, ext, kf)),
+            )
 
     for name, fn, psi2 in variants:
         def run_chain(p, r):
