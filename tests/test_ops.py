@@ -152,3 +152,30 @@ def test_observables_pot_sub_scalar():
     pots = Potentials(v=v, a=v, b=v, pot_sub_array=None, pot_sub_scalar=8.0)
     obs = obs_mod.compute_observables(cfg, pots, phi)
     assert abs(obs.v_infinity - 8.0 * obs.norm2) < 1e-10
+
+
+def test_hybrid_sum_cancellation_bound():
+    """hybrid_sum's f32 lane-row partials stay within the documented bound
+    even when rows cancel across the sum: relative error vs a full-f64
+    reference is ≤ ~log2(nz)·eps_f32 amplified by the condition number
+    sum|x|/|sum x| (ADVICE r2: kinetic-vs-potential cancellation)."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        import pytest
+
+        pytest.skip("hybrid path engages under x64 only")
+    rng = np.random.default_rng(7)
+    nx, ny, nz = 32, 8, 256
+    x = rng.normal(size=(nx, ny, nz)).astype(np.float32)
+    # cancellation-prone: make the total ~1e-4 of sum|x| by an offset pair
+    x[: nx // 2] += 1.0
+    x[nx // 2 :] -= 1.0
+    ref = float(np.sum(x.astype(np.float64)))
+    got = float(obs_mod.hybrid_sum(jnp.asarray(x)))
+    cond = float(np.sum(np.abs(x.astype(np.float64)))) / max(abs(ref), 1e-300)
+    bound = np.log2(nz) * np.finfo(np.float32).eps * cond
+    assert abs(got - ref) <= bound * max(abs(ref), 1e-300), (got, ref, bound)
+    # and the hybrid total is far better than a plain f32 sum on this case
+    f32_err = abs(float(np.sum(x)) - ref)
+    assert abs(got - ref) <= max(f32_err, 1e-12)

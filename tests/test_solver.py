@@ -414,3 +414,44 @@ def test_sync_update_batching_max_steps_and_snapshots(tmp_run):
     d = run_dir.get_project_dir(cfg.project_name)
     assert glob.glob(d + "/wavefunction_0_partial.*"), os.listdir(d)
 
+
+
+def test_pick_batch_k_max_steps_tail_ladder():
+    """The max_steps tail degrades through the {k_sync, 4, 2, 1} ladder
+    instead of collapsing to per-chunk for the whole tail (VERDICT r2 #10)."""
+    su, k_sync, max_steps = 100, 8, 1000
+    sched = [
+        solver.pick_batch_k(step, k_sync, su, None, max_steps)
+        for step in range(0, max_steps + su, su)
+    ]
+    # step 0 is always host-side; the tail (remaining<8 chunks) uses 4 then 2
+    assert sched[0] == 1
+    # remaining chunks at step s: (1000-s)//100 + 1
+    for step, k in zip(range(0, max_steps + su, su), sched):
+        if step == 0:
+            continue
+        remaining = (max_steps - step) // su + 1
+        assert k <= max(remaining, 1)
+        if remaining >= k_sync:
+            assert k == k_sync
+        elif remaining >= 4:
+            assert k == 4, (step, k)
+        elif remaining >= 2:
+            assert k == 2, (step, k)
+        else:
+            assert k == 1
+    # only ladder values ever appear (bounded compile count)
+    assert set(sched) <= {1, 2, 4, k_sync}
+
+
+def test_pick_batch_k_snapshot_alignment():
+    """Batches never cross a snapshot step and a snap-aligned recurring k
+    is chosen (one extra compile at most)."""
+    su, k_sync, snap = 50, 8, 150
+    for step in range(50, 2000, su):
+        k = solver.pick_batch_k(step, k_sync, su, snap, None)
+        to_snap = (-step) % snap
+        if to_snap == 0:
+            assert k == 1
+        else:
+            assert k * su <= to_snap

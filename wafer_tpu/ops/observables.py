@@ -53,7 +53,13 @@ def hybrid_sum(x):
     (lane-axis) partial sums stay f32 — ≤ nz summands, rounding
     ~log₂(nz)·ε ≈ 5e-7 relative *of a single row* — and the combine over
     the remaining nx·ny partials is exact f64, giving near-f64 totals at
-    full f32 bandwidth. Rationale: plain f32 sums over ≥16M cells lose
+    full f32 bandwidth. Error bound: each row's partial carries
+    ≤ ~log₂(nz)·ε_f32·Σ|row| absolute error, so the total's relative error
+    is bounded by ~log₂(nz)·ε_f32 · Σ_rows Σ|row| / |Σ| — when rows cancel
+    across the sum (kinetic-vs-potential energies, gauge-shifted E near
+    zero) the condition number Σ|x|/|Σx| amplifies the per-row bound
+    (regression: tests/test_ops.py::test_hybrid_sum_cancellation_bound).
+    Rationale: plain f32 sums over ≥16M cells lose
     the 1e-6 relative-energy signal the convergence test needs, while
     upcasting the arrays to f64 makes the pass *emulated* on TPU
     (measured: it then dominates the whole chunk at 256³). f64 inputs

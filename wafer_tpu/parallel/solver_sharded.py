@@ -55,6 +55,12 @@ def run_sharded(
             )
 
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
+    if config.sync_update and config.sync_update > 1:
+        log.warning(
+            "sync_update=%d is not implemented on the sharded driver; "
+            "running per-chunk host synchronisation",
+            config.sync_update,
+        )
     pots = potentials_mod.load_arrays(config, log)
     ext = config.central_difference.ext
 

@@ -69,6 +69,44 @@ def stable_dt_bound(order: str, dn: float, mass: float) -> float:
     return 2.0 / lam
 
 
+def pick_batch_k(
+    step: int,
+    k_sync: int,
+    su: int,
+    snap_update: Optional[int],
+    max_steps: Optional[int],
+) -> int:
+    """Chunks the next device batch may run (sync_update batching).
+
+    Starts after the first chunk (per-step-norm / kgs first-chunk decisions
+    are host-side), never crosses a snapshot step (its host IO needs ψ), and
+    never exceeds the max_steps guard's horizon. On the max_steps tail the
+    batch degrades through a small fixed ladder {k_sync, 4, 2, 1} instead of
+    collapsing straight to per-chunk — each distinct k is a separate jit
+    compile, so the ladder bounds graph count while keeping the batching
+    win on long bounded runs (reference cadence: src/grid.rs:211-220)."""
+    if k_sync <= 1 or step == 0:
+        return 1
+    k = k_sync
+    if snap_update is not None:
+        to_snap = (-step) % snap_update
+        n_chunks = to_snap // su
+        if n_chunks == 0:
+            return 1  # this chunk writes the snapshot
+        # a recurring snap-aligned k costs at most one extra compile
+        k = min(k, n_chunks)
+    if max_steps is not None:
+        remaining = (max_steps - step) // su + 1
+        if remaining < k:
+            # short tail: largest ladder rung that still fits, so a long
+            # bounded run keeps amortising instead of going per-chunk
+            for cand in (4, 2):
+                if cand <= remaining and cand < k:
+                    return cand
+            return 1
+    return max(k, 1)
+
+
 def eta(step: int, diff_old: float, diff_new: float, config: Config) -> Optional[float]:
     """Estimated ``screen_update`` cycles to convergence via point-slope fit
     of log₁₀(diff) (reference: src/grid.rs:254-283)."""
@@ -473,6 +511,17 @@ def solve(
     # long production runs with a warm compile cache amortise it, so
     # batching is opt-in via sync_update.
     k_sync = config.sync_update or 1
+    if k_sync > 1 and not jax.config.jax_enable_x64:
+        # Without x64 the device convergence quotient is f32 and can differ
+        # from the host check by an ulp at the tolerance edge, so batched
+        # and per-chunk runs may stop at different steps (the CLI enables
+        # x64, making the verdicts bit-identical — see _get_batched).
+        log.warning(
+            "sync_update=%d with jax_enable_x64 off: the on-device "
+            "convergence verdict is f32 and may stop a step earlier/later "
+            "than the per-chunk host check near the tolerance edge",
+            k_sync,
+        )
     _batched_cache: dict = {}
 
     def _get_batched(k_chunks: int):
@@ -547,28 +596,9 @@ def solve(
         return fn
 
     def _pick_batch_k(step: int) -> int:
-        """Chunks the next device batch may run: starts after the first
-        chunk (per-step-norm / kgs first-chunk decisions are host-side),
-        never crosses a snapshot step (its host IO needs ψ), and never
-        exceeds the max_steps guard's horizon."""
-        if k_sync <= 1 or step == 0:
-            return 1
-        k = k_sync
-        if config.output.snap_update is not None:
-            to_snap = (-step) % config.output.snap_update
-            n_chunks = to_snap // su
-            if n_chunks == 0:
-                return 1  # this chunk writes the snapshot
-            # a recurring snap-aligned k costs at most one extra compile
-            k = min(k, n_chunks)
-        if config.max_steps is not None:
-            remaining = (config.max_steps - step) // su + 1
-            if remaining < k:
-                # short max_steps tail: per-chunk, instead of compiling a
-                # one-off batch graph for an odd k (each distinct k is a
-                # separate jit compile — minutes on a remote TPU)
-                return 1
-        return max(k, 1)
+        return pick_batch_k(
+            step, k_sync, su, config.output.snap_update, config.max_steps
+        )
 
     _dispatch_env = {
         "a": pots.a,
@@ -852,6 +882,13 @@ def _solve_split(
     ext = config.central_difference.ext
     order = config.central_difference.value
     dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
+
+    if config.sync_update and config.sync_update > 1:
+        log.warning(
+            "sync_update=%d is not implemented on the split-complex path; "
+            "running per-chunk host synchronisation",
+            config.sync_update,
+        )
 
     # split potential + factors (complex arrays never touch the device)
     vr, vi = pmod.generate_split(config)
