@@ -93,6 +93,18 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
                         p, order, dt, dn, mass, STEPS, analytic
                     )
 
+            elif pk.pick_resb(n, n, n, ext, 4, STEPS) is not None:
+                # x-blocked deep-halo resident chunks (HBM-sized grids,
+                # e.g. WAFER_BENCH_N=512) — the solver's second rung
+                bx_b, r_b, _tx, _rate = pk.pick_resb(n, n, n, ext, 4, STEPS)
+                phi = pk.to_xpad_k(phi, ext, r_b)
+
+                def chunk(p):
+                    return pk.evolve_chunk_resident_blocked(
+                        p, order, dt, dn, mass, STEPS, analytic,
+                        bx=bx_b, r_steps=r_b,
+                    )
+
             else:
                 # K depth mirrors the solver's cost-model choice
                 k_fuse = pk.pick_k_fuse(n, n, n, ext, 4, True)

@@ -222,3 +222,58 @@ def test_split_k_fused_matches_one_step():
     ar_, ai_ = ps.from_xpad_k_sc(out_a, ext, 2)
     np.testing.assert_allclose(np.asarray(ar_), np.asarray(rr), rtol=5e-5, atol=5e-6)
     np.testing.assert_allclose(np.asarray(ai_), np.asarray(ri), rtol=5e-5, atol=5e-6)
+
+
+def test_split_resident_blocked_matches_fused(monkeypatch):
+    """x-blocked deep-halo split passes (both components resident per
+    block) vs the 1-step fused split sweep — interior/edge blocks and the
+    blind ghost-zone sweep exercised; remainder-step cadence too."""
+    cfg = base_config(
+        precision="f32",
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.1, "dt": 0.002},
+    )
+    ext = 1
+    order = "ThreePoint"
+    g = cfg.grid
+    rng = np.random.default_rng(47)
+    pr = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    pi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    an = (
+        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
+        cfg.sig, 0.0, cfg.absorb,
+    )
+    for n_steps, r in ((4, 2), (5, 2)):
+        ref2 = ps.evolve_chunk_fused_sc(
+            ps.to_xpad_sc(pr, pi, ext), None, None,
+            order, g.dt, g.dn, cfg.mass, n_steps, 0, interpret=True,
+            analytic=an,
+        )
+        rr, ri = ps.from_xpad_sc(ref2, ext)
+        out2 = ps.evolve_chunk_resident_blocked_sc(
+            ps.to_xpad_k_sc(pr, pi, ext, r), order, g.dt, g.dn, cfg.mass,
+            n_steps, an, bx=8, r_steps=r, interpret=True, tx=4,
+        )
+        or_, oi_ = ps.from_xpad_k_sc(out2, ext, r)
+        np.testing.assert_allclose(
+            np.asarray(or_), np.asarray(rr), rtol=3e-6, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(oi_), np.asarray(ri), rtol=3e-6, atol=2e-6
+        )
+
+
+def test_pick_resb_sc_plans():
+    """256³ complex (the pair misses whole-array VMEM residency) gets a
+    multi-block deep-halo plan within the resident budget."""
+    plan = ps.pick_resb_sc(256, 256, 256, 1, 4, 500)
+    assert plan is not None
+    bx, r, tx, _rate = plan
+    assert 256 % bx == 0 and 256 // bx >= 2
+    assert 2 * (bx + 2 * r) * 256 * 256 * 4 <= ps._pk._RES_BUDGET
+    assert ps.pick_resb_sc(256, 256, 256, 1, 8, 500) is None  # f32 only

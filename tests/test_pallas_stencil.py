@@ -1164,3 +1164,172 @@ def test_resident_per_step_norm_higher_orders(order):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-6
     )
+
+
+# --------------------------------------------------------------------------- #
+# x-blocked deep-halo resident kernel (HBM-sized grids, VERDICT r2 #1)
+# --------------------------------------------------------------------------- #
+#
+# The machinery is size-invariant (the block/ghost geometry is the same at
+# 32 rows as at 512), so interpret-mode equivalence runs on small grids with
+# forced (bx, r) plans standing in for the >VMEM production shapes.
+
+
+def _resb_setup(order, nx=32, ny=8, nz=128, kind="Harmonic",
+                dn=0.1, dt=2e-3, mass=1.0, seed=3):
+    ext = pk._EXT[order]
+    an = (kind, dn, dt, mass, nx, ny, nz, 1.0)
+    rng = np.random.default_rng(seed)
+    phi = np.zeros((nx + 2 * ext, ny + 2 * ext, nz + 2 * ext), np.float32)
+    phi[ext:-ext, ext:-ext, ext:-ext] = rng.normal(
+        size=(nx, ny, nz)
+    ).astype(np.float32)
+    return ext, an, jnp.asarray(phi)
+
+
+@pytest.mark.parametrize("order,bx,r", [
+    ("ThreePoint", 8, 2),
+    ("ThreePoint", 16, 4),
+    ("FivePoint", 16, 2),
+    ("SevenPoint", 16, 2),
+])
+def test_resident_blocked_matches_fused_chunk(order, bx, r):
+    """Blocked deep-halo passes are trajectory-equivalent to the 1-step
+    fused sweep (itself XLA-equivalence-tested) — interior blocks, edge
+    blocks, and the blind ghost-zone sweep all exercised (nx/bx ≥ 2)."""
+    ext, an, phi = _resb_setup(order)
+    dn, dt, mass = an[1], an[2], an[3]
+    n_steps = 2 * r
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, None, order, dt, dn, mass, n_steps, 0,
+        interpret=True, analytic=an,
+    )
+    out = pk.evolve_chunk_resident_blocked(
+        pk.to_xpad_k(phi, ext, r), order, dt, dn, mass, n_steps, an,
+        bx=bx, r_steps=r, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad_k(out, ext, r)),
+        np.asarray(pk.from_xpad(ref, ext)),
+        rtol=3e-6, atol=2e-6,
+    )
+
+
+def test_resident_blocked_remainder_steps():
+    """n_steps not divisible by R: the remainder runs as in-chunk 1-step
+    sweeps — exact reference cadence (src/grid.rs:544-687)."""
+    order, bx, r = "ThreePoint", 8, 3
+    ext, an, phi = _resb_setup(order)
+    dn, dt, mass = an[1], an[2], an[3]
+    ref = pk.evolve_chunk_fused(
+        pk.to_xpad(phi, ext), None, None, order, dt, dn, mass, 7, 0,
+        interpret=True, analytic=an,
+    )
+    out = pk.evolve_chunk_resident_blocked(
+        pk.to_xpad_k(phi, ext, r), order, dt, dn, mass, 7, an,
+        bx=bx, r_steps=r, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad_k(out, ext, r)),
+        np.asarray(pk.from_xpad(ref, ext)),
+        rtol=3e-6, atol=2e-6,
+    )
+
+
+def test_resident_blocked_matches_xla_arrays():
+    """End-to-end vs the XLA shifted-slice sweep with array A/B (the
+    reference rule, src/grid.rs:544-687): the analytic-B blocked kernel
+    reproduces the array-factor trajectory to f32 rounding."""
+    order, bx, r = "ThreePoint", 8, 2
+    cfg = base_config(
+        precision="f32",
+        potential="Harmonic",
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.1, "dt": 2e-3},
+    )
+    ext = 1
+    rng = np.random.default_rng(11)
+    phi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    v = pmod.generate(cfg).astype(jnp.float32)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    ref = phi
+    for _ in range(4):
+        ref = stencil.evolve_step(
+            ref, a.astype(jnp.float32), b.astype(jnp.float32), order,
+            cfg.grid.dt, cfg.grid.dn, cfg.mass,
+        )
+    g = cfg.grid
+    an = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+    out = pk.evolve_chunk_resident_blocked(
+        pk.to_xpad_k(phi, ext, r), order, g.dt, g.dn, cfg.mass, 4, an,
+        bx=bx, r_steps=r, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pk.from_xpad_k(out, ext, r)),
+        np.asarray(ref),
+        rtol=3e-6, atol=2e-6,
+    )
+
+
+def test_pick_resb_plans():
+    """Picker sanity: production shapes get multi-block deep-halo plans
+    within the resident VMEM budget; grids the whole-array resident kernel
+    already covers are the caller's responsibility (solver checks
+    resident_supported first)."""
+    for (n, e), _ in zip(((512, 1), (288, 1), (512, 3)), range(3)):
+        plan = pk.pick_resb(n, n, n, e, 4, 500)
+        assert plan is not None, (n, e)
+        bx, r, tx, rate = plan
+        assert n % bx == 0 and n // bx >= 2
+        assert 2 <= r <= 8
+        assert (bx + 2 * r * e) * n * n * 4 <= pk._RES_BUDGET
+    # f64 and non-divisible sizes decline
+    assert pk.pick_resb(512, 512, 512, 1, 8, 500) is None
+    assert pk.pick_resb(7, 8, 128, 1, 4, 500) is None
+
+
+def test_resident_exc_bf16_streams():
+    """bf16 l/Sl streams (half the HBM bytes): the trajectory matches the
+    f32-stream resident path to bf16 quantisation level, and the per-step
+    projection still orthogonalises ψ against the *true* f32 store to well
+    below f32 convergence noise (VERDICT r2 #5)."""
+    cfg, ext, phi, a, b = _setup("ThreePoint")
+    order, g = "ThreePoint", cfg.grid
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = g.dt / (k * g.dn ** 2 * cfg.mass)
+    analytic = ("Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z)
+
+    rng = np.random.default_rng(23)
+    w = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32),
+        ext,
+    )
+    w = w / jnp.sqrt(gram_schmidt.get_norm_squared(w)).astype(jnp.float32)
+    store_x = jnp.stack([pk.to_xpad(w, ext)])
+    sl, _n2, _ov = pk.evolve_step_fused(
+        pk.to_xpad(w, ext), None, None, order, scale, 0, False,
+        interpret=True, analytic=analytic,
+    )
+    sstore_x = jnp.stack([sl])
+
+    ref = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 5, analytic,
+        interpret=True, store_xpad=store_x, sstore_xpad=sstore_x,
+    )
+    out = pk.evolve_chunk_resident(
+        pk.to_xpad(phi, ext), order, g.dt, g.dn, cfg.mass, 5, analytic,
+        interpret=True,
+        store_xpad=store_x.astype(jnp.bfloat16),
+        sstore_xpad=sstore_x.astype(jnp.bfloat16),
+    )
+    # trajectory agrees to bf16-quantisation level
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-2, atol=2e-3
+    )
+    # the projection against the quantised store still kills the true-store
+    # component to ~|δl|/√N ≪ f32 convergence noise
+    out_full = pk.from_xpad(out, ext)
+    n2 = float(gram_schmidt.get_norm_squared(out_full))
+    ov = float(jnp.sum(out_full * w))
+    assert abs(ov) < 1e-3 * np.sqrt(n2), ov

@@ -99,6 +99,7 @@ def _evolve_kernel_sc(
     b_hbm,  # (2·NX, NY, NZ) ANY — (Br, Bi) stacked
     store_hbm,  # (S·2·NXP, NY, NZ) ANY
     coef_smem,  # (1+2S, 1) SMEM: [inv, cr_0, ci_0, ...]
+    xorg_smem,  # (1, 1) SMEM i32 — shard's global interior x origin
     # outputs
     out_hbm,  # (2·NXP, NY, NZ) ANY
     norm_out,  # (1, 1) SMEM
@@ -267,7 +268,7 @@ def _evolve_kernel_sc(
         br = b_slab[0:tx]
         bi = b_slab[tx : 2 * tx]
     else:
-        x0 = (i * tx + jnp.int32(ext)).astype(jnp.float32)
+        x0 = (i * tx + jnp.int32(ext) + xorg_smem[0, 0]).astype(jnp.float32)
         br, bi = _analytic_b_sc(
             analytic, (tx, psi_hbm.shape[1], psi_hbm.shape[2]), x0, ext, ext
         )
@@ -331,14 +332,18 @@ def evolve_step_fused_sc(
     interpret: bool = False,
     coef: Optional[jnp.ndarray] = None,
     analytic=None,
+    x_origin=None,
 ):
     """One fused split-complex sweep.
 
     Args:
-      psi2: (2·NXP, NY, NZ) stacked x-padded (re, im), halo rows zero.
+      psi2: (2·NXP, NY, NZ) stacked x-padded (re, im), halo rows zero
+        (single device) or neighbour data (sharded callers).
       b2: (2·NX, NY, NZ) stacked interior (Br, Bi).
       store2: (S, 2·NXP, NY, NZ) stacked stored states, or None.
       coef: (1+2S, 1) [inv, cr_0, ci_0, ...] affine correction.
+      x_origin: (1, 1) i32 global interior x offset (sharded analytic-B
+        callers; defaults to 0).
 
     Returns:
       (ψ'2, norm2, overlaps[2S]) — reductions on the raw output.
@@ -365,6 +370,10 @@ def evolve_step_fused_sc(
         coef = jnp.concatenate(
             [jnp.ones((1, 1), dtype), jnp.zeros((2 * n_store, 1), dtype)]
         )
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
 
     kernel = functools.partial(
         _evolve_kernel_sc,
@@ -385,6 +394,7 @@ def evolve_step_fused_sc(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=[
@@ -420,7 +430,7 @@ def evolve_step_fused_sc(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
-        )(psi2, b2, store_flat, coef)
+        )(psi2, b2, store_flat, coef, x_origin)
     return out2, norm2[0, 0], overlaps[: 2 * (n_lower or 1), 0]
 
 
@@ -762,6 +772,367 @@ def evolve_chunk_resident_sc(
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
         )(psi2, b_arg)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# x-blocked deep-halo resident kernel for the split pair (256³ complex)
+# --------------------------------------------------------------------------- #
+#
+# The stacked (re, im) pair misses whole-array residency just past ~200³
+# (256³ f32 pair = 129 MiB), so it gets the real kernel's x-blocked
+# deep-ghost-zone treatment (ops/pallas_stencil._evolve_kernel_resb): NX is
+# split into blocks whose *pair* fits VMEM; each block + an R·ext ghost zone
+# is swept blind R times on-chip (both components stepping together — the
+# complex update mixes Tr/Ti), then its interior is written back. Passes are
+# out-of-place, so the deep-ghost-zone validity argument is exact. Analytic
+# complex B only (ComplexHarmonic/ComplexCoulomb — the BASELINE config-4
+# family); streamed-B grids keep the split K ladder. Ground state only.
+
+
+def pick_resb_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                 n_steps: int):
+    """(bx, r, tx, modeled_rate) for the split blocked kernel, or None.
+    Mirrors ops/pallas_stencil.pick_resb with pair-doubled buffers."""
+    if itemsize != 4:
+        return None
+    plane = ny * nz * itemsize
+    best = None
+    best_rate = 0.0
+    for bx in (256, 192, 128, 96, 64, 48, 32, 16):
+        if nx % bx or nx // bx < 2 or bx <= ext:
+            continue
+        for r in range(min(n_steps, 8), 1, -1):
+            h = r * ext
+            bxp = bx + 2 * h
+            if 2 * bxp * plane > _pk._RES_BUDGET:
+                continue
+            tx = None
+            rows = bxp - 2 * ext
+            for cand in (32, 16, 8, 4):
+                if cand > rows or cand <= ext or not (
+                    rows % cand == 0 or rows % cand > ext
+                ):
+                    continue
+                if (2 * bxp + 2 * ext + h + 12 * cand) * plane <= (
+                    _pk._RESB_NEED_CAP
+                ):
+                    tx = cand
+                    break
+            if tx is None:
+                continue
+            vpu_rows = r * (bx + 2 * (r - 1) * ext)
+            dma_rows = 0.73 * (2 * tx + 2 * ext)
+            rate = bx * r / (vpu_rows + dma_rows)
+            if rate > best_rate:
+                best, best_rate = (bx, r, tx), rate
+    if best is None:
+        return None
+    return best[0], best[1], best[2], best_rate
+
+
+def resident_blocked_sc_supported(nx: int, ny: int, nz: int, ext: int,
+                                  itemsize: int, n_steps: int,
+                                  analytic_b: bool) -> bool:
+    return (
+        analytic_b
+        and pick_resb_sc(nx, ny, nz, ext, itemsize, n_steps) is not None
+    )
+
+
+def _evolve_kernel_resb_sc(
+    psi_hbm,    # (2·NXH, NY, NZ) ANY — deep layout, NXH = NX+2H, re rows first
+    out_hbm,    # (2·NXH, NY, NZ) ANY
+    psi_buf,    # (2·BXP, NY, NZ) VMEM — block pair, re rows [0, BXP)
+    lag_r,      # (ext, NY, NZ) VMEM
+    lag_i,      # (ext, NY, NZ) VMEM
+    zeros_halo, # (H, NY, NZ) VMEM
+    sem_in,     # DMA (2·nslabs,)
+    sem_out,    # DMA (2·nslabs,)
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    bx: int,
+    tx: int,
+    ext: int,
+    analytic,
+    r_steps: int,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    nblk = pl.num_programs(0)
+    ny, nz = psi_buf.shape[1], psi_buf.shape[2]
+    h = r_steps * ext
+    bxp = bx + 2 * h
+    nxh = psi_hbm.shape[0] // 2
+    x_row0 = (i * bx).astype(jnp.float32) + jnp.float32(ext - h)
+
+    rows_swept = bxp - 2 * ext
+    slabs = [(ext + s * tx, tx) for s in range(rows_swept // tx)]
+    if rows_swept % tx:
+        slabs.append((ext + (rows_swept // tx) * tx, rows_swept % tx))
+    nslabs = len(slabs)
+
+    seg_lo = [0] + [rs for rs, _t in slabs[1:]]
+    seg_hi = seg_lo[1:] + [bxp]
+
+    def in_seg(blk, s, comp):
+        src0 = comp * nxh + blk * bx + seg_lo[s]
+        dst0 = comp * bxp + seg_lo[s]
+        return pltpu.make_async_copy(
+            psi_hbm.at[pl.ds(src0, seg_hi[s] - seg_lo[s])],
+            psi_buf.at[pl.ds(dst0, seg_hi[s] - seg_lo[s])],
+            sem_in.at[comp * nslabs + s],
+        )
+
+    out_rng = []
+    for rs, txs in slabs:
+        lo = max(rs, h)
+        hi = min(rs + txs, h + bx)
+        out_rng.append((lo, hi) if hi > lo else None)
+
+    def out_seg(blk, s, comp):
+        lo, hi = out_rng[s]
+        return pltpu.make_async_copy(
+            psi_buf.at[pl.ds(comp * bxp + lo, hi - lo)],
+            out_hbm.at[pl.ds(comp * nxh + blk * bx + lo, hi - lo)],
+            sem_out.at[comp * nslabs + s],
+        )
+
+    @pl.when(jnp.logical_and(t == 0, i >= 1))
+    def _drain_prev():
+        for s in range(nslabs):
+            if out_rng[s] is not None:
+                out_seg(i - 1, s, 0).wait()
+                out_seg(i - 1, s, 1).wait()
+
+    @pl.when(t == 0)
+    def _load():
+        for s in range(nslabs):
+            in_seg(i, s, 0).start()
+            in_seg(i, s, 1).start()
+        in_seg(i, 0, 0).wait()
+        in_seg(i, 0, 1).wait()
+
+    last_t = t == r_steps - 1
+    lag_r[...] = psi_buf[0:ext]
+    lag_i[...] = psi_buf[bxp : bxp + ext]
+    for s_idx, (rs, txs) in enumerate(slabs):
+        if s_idx + 1 < nslabs:
+
+            @pl.when(t == 0)
+            def _wait_next_seg(_s=s_idx + 1):
+                in_seg(i, _s, 0).wait()
+                in_seg(i, _s, 1).wait()
+
+        cr = psi_buf[rs : rs + txs]
+        ci = psi_buf[bxp + rs : bxp + rs + txs]
+        acc_r = (-float(center_c)) * cr
+        acc_i = (-float(center_c)) * ci
+        for off, cf in zip(offsets, coeffs):
+            cf = float(cf)
+            xm_r = jnp.concatenate(
+                [lag_r[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
+            )
+            xp_r = psi_buf[rs + off : rs + txs + off]
+            acc_r += cf * (xm_r + xp_r)
+            acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))
+            acc_r += cf * (_shift_z(cr, off) + _shift_z(cr, -off))
+            xm_i = jnp.concatenate(
+                [lag_i[ext - off : ext],
+                 psi_buf[bxp + rs : bxp + rs + txs - off]], axis=0
+            )
+            xp_i = psi_buf[bxp + rs + off : bxp + rs + txs + off]
+            acc_i += cf * (xm_i + xp_i)
+            acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
+            acc_i += cf * (_shift_z(ci, off) + _shift_z(ci, -off))
+        br, bi = _analytic_b_sc(
+            analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext
+        )
+        tr = 2.0 * cr + scale * acc_r
+        ti = 2.0 * ci + scale * acc_i
+        new_r = br * tr - bi * ti - cr
+        new_i = br * ti + bi * tr - ci
+        lag_r[...] = psi_buf[rs + txs - ext : rs + txs]
+        lag_i[...] = psi_buf[bxp + rs + txs - ext : bxp + rs + txs]
+        psi_buf[rs : rs + txs] = new_r
+        psi_buf[bxp + rs : bxp + rs + txs] = new_i
+        if out_rng[s_idx] is not None:
+
+            @pl.when(last_t)
+            def _store_slab(_s=s_idx):
+                out_seg(i, _s, 0).start()
+                out_seg(i, _s, 1).start()
+
+    # global Dirichlet: edge blocks re-zero the halo side of both components
+    @pl.when(i == 0)
+    def _dirichlet_lo():
+        psi_buf[0:h] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+        psi_buf[bxp : bxp + h] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+
+    @pl.when(i == nblk - 1)
+    def _dirichlet_hi():
+        psi_buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+        psi_buf[2 * bxp - h : 2 * bxp] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+
+    @pl.when(jnp.logical_and(last_t, i == 0))
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        for row0 in (0, nxh):
+            hc = pltpu.make_async_copy(
+                zeros_halo, out_hbm.at[pl.ds(row0, h)], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+    @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+    def _zero_hi():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        for row0 in (nxh - h, 2 * nxh - h):
+            hc = pltpu.make_async_copy(
+                zeros_halo, out_hbm.at[pl.ds(row0, h)], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+    @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+    def _drain_tail():
+        for s in range(nslabs):
+            if out_rng[s] is not None:
+                out_seg(i, s, 0).wait()
+                out_seg(i, s, 1).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "scale", "bx", "r_steps", "analytic",
+                     "interpret", "tx"),
+)
+def evolve_steps_resident_blocked_sc(
+    psi2_h: jnp.ndarray,
+    order: str,
+    scale: float,
+    bx: int,
+    r_steps: int,
+    analytic,
+    interpret: bool = False,
+    tx: Optional[int] = None,
+) -> jnp.ndarray:
+    """One out-of-place pass of ``r_steps`` blind deep-halo split sweeps
+    over VMEM-sized x-blocks. ``psi2_h`` is the stacked deep layout
+    (:func:`to_xpad_k_sc` with ``k_steps = r_steps``)."""
+    ext = _EXT[order]
+    h = r_steps * ext
+    nxh2, ny, nz = psi2_h.shape
+    nxh = nxh2 // 2
+    nx = nxh - 2 * h
+    dtype = psi2_h.dtype
+    assert analytic is not None, "blocked split sweep is analytic-B only"
+    if nx % bx:
+        raise ValueError(f"bx={bx} does not divide NX={nx}")
+    bxp = bx + 2 * h
+    plane = ny * nz * dtype.itemsize
+    if tx is None:
+        picked = pick_resb_sc(nx, ny, nz, ext, dtype.itemsize, r_steps * 2)
+        tx = picked[2] if picked is not None and picked[0] == bx else None
+    if tx is None:
+        rows = bxp - 2 * ext
+        for cand in (32, 16, 8, 4):
+            if cand <= rows and cand > ext and (
+                rows % cand == 0 or rows % cand > ext
+            ):
+                tx = cand
+                break
+    if tx is None:
+        raise ValueError(f"no slab height fits block {bxp} rows")
+    kernel = functools.partial(
+        _evolve_kernel_resb_sc,
+        order=order,
+        scale=scale,
+        bx=bx,
+        tx=tx,
+        ext=ext,
+        analytic=analytic,
+        r_steps=r_steps,
+    )
+    rows_swept = bxp - 2 * ext
+    nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
+    need = (2 * bxp + 2 * ext + h + 12 * tx) * plane
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(nx // bx, r_steps),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((nxh2, ny, nz), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2 * bxp, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.VMEM((h, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA((2 * nslabs,)),
+                pltpu.SemaphoreType.DMA((2 * nslabs,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        )(psi2_h)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
+                     "bx", "r_steps", "interpret", "tx"),
+)
+def evolve_chunk_resident_blocked_sc(
+    psi2_h: jnp.ndarray,
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    analytic,
+    bx: int,
+    r_steps: int,
+    interpret: bool = False,
+    tx: Optional[int] = None,
+) -> jnp.ndarray:
+    """A split-complex ground chunk through the x-blocked deep-halo
+    resident kernel; remainder steps run as 1-step fused split sweeps
+    (exact n_steps cadence, src/grid.rs:544-687)."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    ext = _EXT[order]
+
+    def body(_i, p):
+        return evolve_steps_resident_blocked_sc(
+            p, order, scale, bx, r_steps, analytic, interpret, tx
+        )
+
+    psi2 = jax.lax.fori_loop(0, n_steps // r_steps, body, psi2_h)
+    rem = n_steps % r_steps
+    if rem:
+        extra = (r_steps - 1) * ext
+        nxh = psi2.shape[0] // 2
+        xr, xi = psi2[:nxh], psi2[nxh:]
+        if extra:
+            xr, xi = xr[extra:-extra], xi[extra:-extra]
+        p1 = jnp.concatenate([xr, xi], axis=0)
+        for _ in range(rem):
+            p1, _n2, _ov = evolve_step_fused_sc(
+                p1, None, None, order, scale, 0, False, interpret,
+                analytic=analytic,
+            )
+        if extra:
+            nx1 = p1.shape[0] // 2
+            pad = ((extra, extra), (0, 0), (0, 0))
+            psi2 = jnp.concatenate(
+                [jnp.pad(p1[:nx1], pad), jnp.pad(p1[nx1:], pad)], axis=0
+            )
+        else:
+            psi2 = p1
+    return psi2
 
 
 # --------------------------------------------------------------------------- #

@@ -1697,30 +1697,42 @@ _RES_LIMIT_EXC = int(_os.environ.get("WAFER_RES_LIMIT_EXC_MB", "100")) * 1024 * 
 
 
 def _pick_tx_res_exc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
-                     n_lower: int, analytic_b: bool = True):
+                     n_lower: int, analytic_b: bool = True,
+                     stream_itemsize: Optional[int] = None):
     plane = ny * nz * itemsize
+    # l/Sl windows may stream in bf16 (half the bytes — see the bf16-stream
+    # note on evolve_chunk_resident)
+    splane = ny * nz * (stream_itemsize or itemsize)
     psi = (nx + 2 * ext) * plane
     extra = 0 if analytic_b else 2  # streamed-B double buffer
     for tx in (32, 16, 8, 4):
         if tx > nx or tx <= ext or not (nx % tx == 0 or nx % tx > ext):
             continue
-        if psi + (4 * n_lower + 3 + extra) * tx * plane <= _RES_LIMIT_EXC:
+        need = (
+            psi
+            + 4 * n_lower * tx * splane
+            + (3 + extra) * tx * plane
+        )
+        if need <= _RES_LIMIT_EXC:
             return tx
     return None
 
 
 def resident_exc_supported(nx: int, ny: int, nz: int, ext: int,
                            itemsize: int, n_lower: int,
-                           analytic_b: bool) -> bool:
+                           analytic_b: bool,
+                           stream_itemsize: Optional[int] = None) -> bool:
     """Excited-state resident gate: ψ on-chip plus double-buffered l/Sl
     slab windows for ``n_lower`` stored states (plus a streamed-B window
-    pair when the potential has no analytic formula)."""
+    pair when the potential has no analytic formula). ``stream_itemsize``
+    reflects the l/Sl stream dtype (2 for bf16 streams)."""
     if itemsize != 4 or n_lower < 1:
         return False
     if (nx + 2 * ext) * ny * nz * itemsize > _RES_BUDGET:
         return False
     return (
-        _pick_tx_res_exc(nx, ny, nz, ext, itemsize, n_lower, analytic_b)
+        _pick_tx_res_exc(nx, ny, nz, ext, itemsize, n_lower, analytic_b,
+                         stream_itemsize=stream_itemsize)
         is not None
     )
 
@@ -1920,12 +1932,16 @@ def _evolve_kernel_res(
             new = inv * new
             for st in range(n_lower):
                 j = bslot * n_lower + st
-                new = new - corr[st] * slbuf[j * tx : j * tx + txs]
+                # l/Sl may stream in bf16 (half the HBM bytes); compute in
+                # the ψ dtype
+                new = new - corr[st] * slbuf[j * tx : j * tx + txs].astype(
+                    new.dtype
+                )
             racc[slot, 0] += jnp.sum(new * new)
             for st in range(n_lower):
                 j = bslot * n_lower + st
                 racc[slot, 1 + st] += jnp.sum(
-                    lbuf[j * tx : j * tx + txs] * new
+                    lbuf[j * tx : j * tx + txs].astype(new.dtype) * new
                 )
         lag[...] = psi_buf[rs + txs - ext : rs + txs]  # old top rows, pre-write
         psi_buf[rs : rs + txs] = new
@@ -2047,8 +2063,13 @@ def evolve_chunk_resident(
     else:
         edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
     if n_lower > 0:
+        # stored states may arrive in bf16 (the bf16-stream mode: half the
+        # per-step HBM bytes for the l/Sl streams; the kernel computes in
+        # the ψ dtype) — the windows' scratch dtype follows the store
+        stream_dtype = store_xpad.dtype
         tx = _pick_tx_res_exc(
-            nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None
+            nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None,
+            stream_itemsize=stream_dtype.itemsize,
         )
         store_int = store_xpad[:, ext : nxp - ext].reshape(
             n_lower * nx, ny, nz
@@ -2057,6 +2078,7 @@ def evolve_chunk_resident(
             n_lower * nx, ny, nz
         )
     else:
+        stream_dtype = dtype
         tx = _pick_tx_res(nx, ext)
         store_int = sstore_int = jnp.zeros((1, 1, 1), dtype)
     if tx is None:
@@ -2078,9 +2100,11 @@ def evolve_chunk_resident(
         halo=halo,
     )
     plane = ny * nz * dtype.itemsize
+    splane = ny * nz * stream_dtype.itemsize
     need = (
         (nxp + ext + 4 * tx) * plane
-        + (4 * n_lower + (0 if analytic is not None else 2)) * tx * plane
+        + 4 * n_lower * tx * splane
+        + (0 if analytic is not None else 2) * tx * plane
         + ny * nz * 4
     )
     lrows = max(2 * n_lower * tx, 1)
@@ -2109,8 +2133,8 @@ def evolve_chunk_resident(
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.VMEM((ny, nz), jnp.float32),
                 pltpu.SMEM((2, 1 + n_lower), jnp.float32),
-                pltpu.VMEM((lrows, ny, nz), dtype),
-                pltpu.VMEM((lrows, ny, nz), dtype),
+                pltpu.VMEM((lrows, ny, nz), stream_dtype),
+                pltpu.VMEM((lrows, ny, nz), stream_dtype),
                 pltpu.VMEM((brows, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
@@ -2130,6 +2154,401 @@ def evolve_chunk_resident(
     coefs = (red[1:, 0] * inv).astype(dtype)
     proj = jnp.tensordot(coefs, store_xpad, axes=1)
     return out * inv - proj
+
+
+# --------------------------------------------------------------------------- #
+# x-blocked deep-halo resident kernel: resident-class throughput for grids
+# whose ψ exceeds VMEM (512³, 288³+)
+# --------------------------------------------------------------------------- #
+#
+# The whole-array resident kernel caps out where the x-padded ψ no longer
+# fits on-chip (~268³ f32 at the 72 MiB budget); beyond it the K≤3 ladder is
+# VPU/recompute-bound far below the resident rate. This kernel reuses the
+# sharded path's deep-ghost-zone blind sweep (see _evolve_kernel_res,
+# ``halo = R·ext``) *within one chip*: NX is split into VMEM-sized x-blocks,
+# each block is loaded with an R·ext-deep ghost zone, swept blind R times
+# entirely in VMEM (zero halo recompute inside the block — the lag-buffer
+# in-place schedule), and its interior written back. One pass is
+# out-of-place (in → out), so every block's ghost rows are pre-pass data and
+# the deep-ghost-zone argument applies exactly: after R steps the block
+# interior is bit-identical to R unblocked sweeps. HBM traffic per step ≈
+# (1 + 1 + 2R·ext/BX)/R planes (vs the K=2 ladder's ~1.5); the VPU
+# recompute amplification is (BX + 2(R−1)·ext)/BX.
+#
+# Grid = (n_blocks, R): the block dim is outer, the step dim inner; the
+# VMEM block buffer persists across the R step programs (the TPU grid is
+# sequential). Global-edge blocks re-zero their Dirichlet side after every
+# step — exactly the single-device semantics the halo rows of the deep
+# layout encode (reference seam: src/config.rs:222-239, src/grid.rs:505-534).
+# Ground state, f32, analytic-B only (a streamed B would re-open a per-step
+# HBM stream; those grids keep the K ladder).
+
+
+# Total scoped-VMEM cap for the blocked kernel: block buffer + slab
+# temporaries must leave Mosaic register/spill headroom within the 128 MiB
+# v5e VMEM (a 512³ bx=64 tile with tx=64 slabs spilled 65 MiB and failed).
+_RESB_NEED_CAP = int(
+    _os.environ.get("WAFER_RESB_NEED_CAP_MB", "100")
+) * 1024 * 1024
+
+
+def _pick_tx_resb(bxp: int, ext: int, h: int, plane: int):
+    """Largest slab height whose block buffer + ~6 slab-sized temporaries
+    stay under the blocked kernel's VMEM cap (plane-size aware — at 512³ a
+    plane is 1 MiB and tall slabs spill)."""
+    rows = bxp - 2 * ext
+    for tx in (64, 32, 16, 8, 4):
+        if tx > rows or tx <= ext or not (rows % tx == 0 or rows % tx > ext):
+            continue
+        if (bxp + ext + h + 6 * tx) * plane <= _RESB_NEED_CAP:
+            return tx
+    return None
+
+
+def pick_resb(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+              n_steps: int):
+    """(bx, r, tx, modeled_rate) for the x-blocked resident kernel, or None.
+
+    The model scores bx·r useful row-updates per block-pass against the VPU
+    recompute rows r·(bx+2(r−1)e) plus the residual DMA slack (the load is
+    hidden behind the first step's compute and the store behind the last
+    step's via per-slab segment DMAs — ~0.73 VPU-row-equivalents per DMA
+    row, 4 B/row-cell over a ~700 GB/s HBM vs the 1.27e11 update/s VPU
+    sweep; only the segment-granularity edges remain). Requires ≥2 blocks
+    (one block ≡ the plain resident kernel)."""
+    if itemsize != 4:
+        return None
+    plane = ny * nz * itemsize
+    best = None
+    best_rate = 0.0
+    for bx in (256, 192, 128, 96, 64, 48, 32, 16):
+        if nx % bx or nx // bx < 2 or bx <= ext:
+            continue
+        for r in range(min(n_steps, 8), 1, -1):
+            h = r * ext
+            bxp = bx + 2 * h
+            if bxp * plane > _RES_BUDGET:
+                continue
+            tx = _pick_tx_resb(bxp, ext, h, plane)
+            if tx is None:
+                continue
+            vpu_rows = r * (bx + 2 * (r - 1) * ext)
+            # residual un-overlapped DMA: the first segment's load latency
+            # plus the last slab's store (everything else rides compute)
+            dma_rows = 0.73 * (2 * tx + 2 * ext)
+            rate = bx * r / (vpu_rows + dma_rows)
+            if rate > best_rate:
+                best, best_rate = (bx, r, tx), rate
+    if best is None:
+        return None
+    return best[0], best[1], best[2], best_rate
+
+
+def resident_blocked_supported(nx: int, ny: int, nz: int, ext: int,
+                               itemsize: int, n_steps: int,
+                               analytic_b: bool) -> bool:
+    return analytic_b and pick_resb(nx, ny, nz, ext, itemsize, n_steps) is not None
+
+
+def _evolve_kernel_resb(
+    phi_hbm,    # (NX+2H, NY, NZ) ANY — deep x-padded layout, H = R·ext
+    out_hbm,    # (NX+2H, NY, NZ) ANY
+    psi_buf,    # (BX+2H, NY, NZ) VMEM — resident across this block's R steps
+    lag,        # (ext, NY, NZ) VMEM
+    yz_buf,     # (NY, NZ) VMEM — hoisted plane-constant (see _evolve_kernel_res)
+    zeros_halo, # (H, NY, NZ) VMEM
+    sem_in,
+    sem_out,
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    bx: int,
+    tx: int,
+    ext: int,
+    analytic,
+    r_steps: int,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)       # block index (outer)
+    t = pl.program_id(1)       # in-block step (inner, sequential)
+    nblk = pl.num_programs(0)
+    ny, nz = psi_buf.shape[1], psi_buf.shape[2]
+    kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    h = r_steps * ext
+    bxp = bx + 2 * h
+    # padded x coordinate of psi_buf row 0 for this block: interior row 0 of
+    # block i sits at psi_buf row h ↔ padded coordinate ext + i·bx
+    x_row0 = (i * bx).astype(jnp.float32) + jnp.float32(ext - h)
+
+    # one blind sweep over rows [ext, bxp−ext), ascending slabs, in place
+    rows_swept = bxp - 2 * ext
+    slabs = [(ext + s * tx, tx) for s in range(rows_swept // tx)]
+    if rows_swept % tx:
+        slabs.append((ext + (rows_swept // tx) * tx, rows_swept % tx))
+    nslabs = len(slabs)
+
+    # Load/store ride the compute: the block window is DMA'd in per-slab
+    # segments — slab s only waits segment s+1, so all later segment loads
+    # overlap the first step's sweep; the last step's interior rows are
+    # written back per slab as soon as they are final, overlapping the rest
+    # of that sweep. seg 0 = [0, rs₁) (leading halo + slab 0), middle segs
+    # one slab each, last seg extends to bxp (trailing halo).
+    seg_lo = [0] + [rs for rs, _tx in slabs[1:]]
+    seg_hi = seg_lo[1:] + [bxp]
+
+    def in_seg(blk, s):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(blk * bx + seg_lo[s], seg_hi[s] - seg_lo[s])],
+            psi_buf.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
+            sem_in.at[s],
+        )
+
+    # interior rows this slab finalises at the last step: ∩ [h, h+bx)
+    out_rng = []
+    for rs, txs in slabs:
+        lo = max(rs, h)
+        hi = min(rs + txs, h + bx)
+        out_rng.append((lo, hi) if hi > lo else None)
+
+    def out_seg(blk, s):
+        lo, hi = out_rng[s]
+        return pltpu.make_async_copy(
+            psi_buf.at[pl.ds(lo, hi - lo)],
+            out_hbm.at[pl.ds(blk * bx + lo, hi - lo)],
+            sem_out.at[s],
+        )
+
+    # the previous block's interior write-back still reads psi_buf — drain
+    # it before the loads overwrite
+    @pl.when(jnp.logical_and(t == 0, i >= 1))
+    def _drain_prev():
+        for s in range(nslabs):
+            if out_rng[s] is not None:
+                out_seg(i - 1, s).wait()
+
+    @pl.when(t == 0)
+    def _load():
+        for s in range(nslabs):
+            in_seg(i, s).start()
+        in_seg(i, 0).wait()
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _hoist_yz():
+        yz = _analytic_yz(analytic, ny, nz, ext, ext)
+        if kind == "Harmonic":
+            yz_buf[...] = (1.0 - 0.5 * dt_ * vshift) + (
+                0.25 * dt_ * dn * dn
+            ) * yz
+        elif kind == "Periodic":
+            yz_buf[...] = (0.5 * dt_) * yz
+        else:
+            yz_buf[...] = yz
+
+    last_t = t == r_steps - 1
+    lag[...] = psi_buf[0:ext]
+    for s_idx, (rs, txs) in enumerate(slabs):
+        if s_idx + 1 < nslabs:
+
+            @pl.when(t == 0)
+            def _wait_next_seg(_s=s_idx + 1):
+                in_seg(i, _s).wait()
+
+        c = psi_buf[rs : rs + txs]
+        acc = (-float(center_c)) * c
+        for off, cf in zip(offsets, coeffs):
+            cf = float(cf)
+            xm = jnp.concatenate(
+                [lag[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
+            )
+            xp = psi_buf[rs + off : rs + txs + off]
+            acc += cf * (xm + xp)
+            acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
+            acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
+        if kind == "NoPotential":
+            b = 1.0 / (1.0 - 0.5 * dt_ * vshift)
+        elif kind == "Harmonic":
+            dx = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
+                jnp.float32
+            ) + (x_row0 + jnp.float32(rs) - (ngx + 1.0) / 2.0)
+            q = (0.25 * dt_ * dn * dn) * (dx * dx)
+            b = 1.0 / (yz_buf[...][None, :, :] + q)
+        elif kind == "Periodic":
+            px = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
+                jnp.float32
+            ) + (x_row0 + jnp.float32(rs))
+            two_pi = 2.0 * 3.14159265358979323846
+            sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
+            cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
+            b = 1.0 / (cconst - sx * yz_buf[...][None, :, :])
+        else:
+            b = _analytic_b(
+                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext,
+                yz=yz_buf[...],
+            )
+        new = b * (2.0 * c + scale * acc) - c
+        lag[...] = psi_buf[rs + txs - ext : rs + txs]
+        psi_buf[rs : rs + txs] = new
+        if out_rng[s_idx] is not None:
+            # last step: these interior rows are final — write back now,
+            # overlapping the rest of the sweep
+            @pl.when(last_t)
+            def _store_slab(_s=s_idx):
+                out_seg(i, _s).start()
+
+    # global Dirichlet: edge blocks re-zero their halo side after every step
+    # (the blind sweep wrote into it; the halo is outside the stored
+    # interior, so the in-flight out segments are unaffected)
+    @pl.when(i == 0)
+    def _dirichlet_lo():
+        psi_buf[0:h] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+
+    @pl.when(i == nblk - 1)
+    def _dirichlet_hi():
+        psi_buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+
+    # the out array's halo rows are Dirichlet zeros
+    @pl.when(jnp.logical_and(last_t, i == 0))
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        hc = pltpu.make_async_copy(
+            zeros_halo, out_hbm.at[pl.ds(0, h)], sem_halo
+        )
+        hc.start()
+        hc.wait()
+
+    @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+    def _zero_hi():
+        nxp_rows = out_hbm.shape[0]
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        hc = pltpu.make_async_copy(
+            zeros_halo, out_hbm.at[pl.ds(nxp_rows - h, h)], sem_halo
+        )
+        hc.start()
+        hc.wait()
+
+    @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+    def _drain_tail():
+        for s in range(nslabs):
+            if out_rng[s] is not None:
+                out_seg(i, s).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "scale", "bx", "r_steps", "analytic",
+                     "interpret", "tx"),
+)
+def evolve_steps_resident_blocked(
+    phi_h: jnp.ndarray,
+    order: str,
+    scale: float,
+    bx: int,
+    r_steps: int,
+    analytic,
+    interpret: bool = False,
+    tx: Optional[int] = None,
+) -> jnp.ndarray:
+    """One out-of-place pass of ``r_steps`` blind deep-halo sweeps over
+    VMEM-sized x-blocks (see the section comment). ``phi_h`` is the deep
+    x-padded layout (NX+2·R·ext, NY, NZ) with zero halo rows; the result is
+    bit-identical to ``r_steps`` single sweeps in the same layout."""
+    ext = _EXT[order]
+    h = r_steps * ext
+    nxp, ny, nz = phi_h.shape
+    nx = nxp - 2 * h
+    dtype = phi_h.dtype
+    assert analytic is not None, "blocked resident sweep is analytic-B only"
+    if nx % bx:
+        raise ValueError(f"bx={bx} does not divide NX={nx}")
+    bxp = bx + 2 * h
+    plane = ny * nz * dtype.itemsize
+    if tx is None:
+        tx = _pick_tx_resb(bxp, ext, h, plane)
+    if tx is None:
+        raise ValueError(f"no slab height fits block {bxp} rows")
+    kernel = functools.partial(
+        _evolve_kernel_resb,
+        order=order,
+        scale=scale,
+        bx=bx,
+        tx=tx,
+        ext=ext,
+        analytic=analytic,
+        r_steps=r_steps,
+    )
+    rows_swept = bxp - 2 * ext
+    nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
+    need = (bxp + ext + h + 6 * tx) * plane + ny * nz * 4
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(nx // bx, r_steps),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bxp, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.VMEM((ny, nz), jnp.float32),
+                pltpu.VMEM((h, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA((nslabs,)),
+                pltpu.SemaphoreType.DMA((nslabs,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        )(phi_h)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
+                     "bx", "r_steps", "interpret", "tx"),
+)
+def evolve_chunk_resident_blocked(
+    phi_h: jnp.ndarray,
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    analytic,
+    bx: int,
+    r_steps: int,
+    interpret: bool = False,
+    tx: Optional[int] = None,
+) -> jnp.ndarray:
+    """A ``screen_update`` chunk through the x-blocked deep-halo resident
+    kernel. ``phi_h`` is the deep layout (:func:`to_xpad_k` with
+    ``k_steps = r_steps``). Steps not divisible by ``r_steps`` run the
+    remainder as 1-step fused sweeps inside the chunk — identical cadence
+    to the reference (src/grid.rs:544-687)."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    ext = _EXT[order]
+
+    def body(_i, p):
+        return evolve_steps_resident_blocked(
+            p, order, scale, bx, r_steps, analytic, interpret, tx
+        )
+
+    phi = jax.lax.fori_loop(0, n_steps // r_steps, body, phi_h)
+    rem = n_steps % r_steps
+    if rem:
+        extra = (r_steps - 1) * ext
+        p1 = phi[extra:-extra] if extra else phi
+        for _ in range(rem):
+            p1, _n2, _ov = evolve_step_fused(
+                p1, None, None, order, scale, 0, False, interpret,
+                analytic=analytic,
+            )
+        if extra:
+            phi = jnp.pad(p1, ((extra, extra), (0, 0), (0, 0)))
+        else:
+            phi = p1
+    return phi
 
 
 # --------------------------------------------------------------------------- #

@@ -312,6 +312,7 @@ def solve(
         k_fuse = 1
         use_resident = False
         use_resident_exc = False
+        resb_plan = None
         if n_lower == 0:
             use_resident = pk.resident_supported(
                 nx, ny, nz, ext, itemsize, analytic is not None
@@ -324,17 +325,44 @@ def solve(
                     "" if analytic is not None else ", streamed B",
                 )
             else:
-                k_fuse = pk.pick_k_fuse(
-                    nx, ny, nz, ext, itemsize, analytic is not None
-                )
+                if analytic is not None:
+                    resb_plan = pk.pick_resb(nx, ny, nz, ext, itemsize, su)
+                if resb_plan is not None:
+                    log.info(
+                        "Ground-state chunks run the x-blocked deep-halo "
+                        "resident kernel (bx=%d, R=%d in-VMEM steps per "
+                        "HBM pass)",
+                        resb_plan[0], resb_plan[1],
+                    )
+                else:
+                    k_fuse = pk.pick_k_fuse(
+                        nx, ny, nz, ext, itemsize, analytic is not None
+                    )
         else:
+            # bf16 l/Sl streams (default on): the excited resident kernel
+            # is HBM-bound on the stored-state streams (8S B/update at
+            # f32); streaming them in bf16 halves the bytes while ψ and
+            # all arithmetic stay f32. The quantisation error of a fixed
+            # bf16 store projects ~|δl|/√N ≈ 1e-6-class energy noise —
+            # below the f32 convergence floor (regression:
+            # tests/test_pallas_stencil.py::test_resident_exc_bf16_streams).
+            # Opt out with WAFER_EXC_STREAM=f32; needs bf16 sublane tiling
+            # (NY % 16).
+            import os as _os_mod
+
+            exc_bf16 = (
+                _os_mod.environ.get("WAFER_EXC_STREAM", "bf16") == "bf16"
+                and ny % 16 == 0
+            )
             use_resident_exc = pk.resident_exc_supported(
-                nx, ny, nz, ext, itemsize, n_lower, analytic is not None
+                nx, ny, nz, ext, itemsize, n_lower, analytic is not None,
+                stream_itemsize=2 if exc_bf16 else None,
             )
             if use_resident_exc:
                 log.info(
                     "Excited-state chunks run the VMEM-resident kernel "
-                    "(psi on-chip, %d stored-state streams)", n_lower,
+                    "(psi on-chip, %d stored-state streams%s)", n_lower,
+                    " in bf16" if exc_bf16 else "",
                 )
         if k_fuse > 1:
             b_xpad_k = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, k_fuse)
@@ -355,6 +383,7 @@ def solve(
         # swept lower states Sl_s = S(l_s) for the resident excited kernel
         # (one fused sweep per stored state, once per solve)
         res_sstore = None
+        store_stream = None
         if use_resident_exc:
             _scale_r = dt / (
                 geometry.stencil_coefficients(order)[3] * dn * dn * mass
@@ -369,6 +398,12 @@ def solve(
                 )
                 _sls.append(sl_x)
             res_sstore = jnp.stack(_sls)
+            store_stream = store_xpad
+            if exc_bf16:
+                # the kernel streams l/Sl windows in bf16 and upcasts in
+                # VMEM; the Sl images are computed in f32 first, above
+                store_stream = store_xpad.astype(jnp.bfloat16)
+                res_sstore = res_sstore.astype(jnp.bfloat16)
         if kgs:
             b_xpad2 = None if analytic is not None else pk.b_to_xpad_k(b_int, ext, 2)
             _scale = dt / (
@@ -443,6 +478,18 @@ def solve(
                 ),
                 ext,
             )
+        if resb_plan is not None and not per_step_norm:
+            # x-blocked deep-halo resident chunks (HBM-sized grids): R
+            # blind in-VMEM steps per block per HBM pass
+            bx_b, r_b = resb_plan[0], resb_plan[1]
+            return pk.from_xpad_k(
+                pk.evolve_chunk_resident_blocked(
+                    pk.to_xpad_k(phi, ext, r_b), order, dt, dn, mass, su,
+                    analytic, bx=bx_b, r_steps=r_b,
+                ),
+                ext,
+                r_b,
+            )
         if k_fuse > 1 and not per_step_norm:
             return pk.from_xpad_k(
                 pk.evolve_chunk_fused_k(
@@ -459,7 +506,8 @@ def solve(
             return pk.from_xpad(
                 pk.evolve_chunk_resident(
                     pk.to_xpad(phi, ext), order, dt, dn, mass, su, analytic,
-                    store_xpad=env["store_xpad"], sstore_xpad=env["res_sstore"],
+                    store_xpad=env["store_stream"],
+                    sstore_xpad=env["res_sstore"],
                     b_int=None if analytic is not None else env["b_int"],
                 ),
                 ext,
@@ -615,6 +663,7 @@ def solve(
             _dispatch_env["b_xpad_k"] = b_xpad_k
         if use_resident_exc:
             _dispatch_env["res_sstore"] = res_sstore
+            _dispatch_env["store_stream"] = store_stream
         if kgs:
             _dispatch_env["b_xpad2"] = b_xpad2
             _dispatch_env["store2"] = store2
@@ -1023,16 +1072,34 @@ def _solve_split(
         use_resident_sc = n_lower == 0 and ps.resident_sc_supported(
             nx_, ny_, nz_, ext, 4
         )
+        resb_sc_plan = None
         if use_resident_sc:
             log.info(
                 "Split-complex ground chunks run the VMEM-resident kernel "
                 "((re, im) = %.1f MiB on-chip)",
                 2 * (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20,
             )
-        elif n_lower == 0 and ps.k_fuse_sc_supported(
-            nx_, ny_, nz_, ext, 4, 2, sc_analytic is not None
+        elif n_lower == 0 and sc_analytic is not None:
+            # pair too big for whole-array residency (e.g. 256³): x-blocked
+            # deep-halo resident passes (see pallas_split.pick_resb_sc)
+            resb_sc_plan = ps.pick_resb_sc(
+                nx_, ny_, nz_, ext, 4, config.output.screen_update
+            )
+            if resb_sc_plan is not None:
+                log.info(
+                    "Split-complex ground chunks run the x-blocked "
+                    "deep-halo resident kernel (bx=%d, R=%d)",
+                    resb_sc_plan[0], resb_sc_plan[1],
+                )
+        if (
+            not use_resident_sc
+            and resb_sc_plan is None
+            and n_lower == 0
+            and ps.k_fuse_sc_supported(
+                nx_, ny_, nz_, ext, 4, 2, sc_analytic is not None
+            )
         ):
-            # pair too big for residency (e.g. 256³): K=2 temporal blocking
+            # no residency plan: K=2 temporal blocking
             k_fuse_sc = 2
             log.info(
                 "Split-complex ground chunks run K=2 temporal blocking"
@@ -1171,7 +1238,19 @@ def _solve_split(
             break
 
         if split_backend == "pallas":
-            if k_fuse_sc > 1 and not per_step_norm:
+            if resb_sc_plan is not None and not per_step_norm:
+                pr, pi = ps.from_xpad_k_sc(
+                    ps.evolve_chunk_resident_blocked_sc(
+                        ps.to_xpad_k_sc(pr, pi, ext, resb_sc_plan[1]),
+                        order, dt, dn, mass, config.output.screen_update,
+                        sc_analytic,
+                        bx=resb_sc_plan[0], r_steps=resb_sc_plan[1],
+                        tx=resb_sc_plan[2],
+                    ),
+                    ext,
+                    resb_sc_plan[1],
+                )
+            elif k_fuse_sc > 1 and not per_step_norm:
                 pr, pi = ps.from_xpad_k_sc(
                     ps.evolve_chunk_fused_k_sc(
                         ps.to_xpad_k_sc(pr, pi, ext, k_fuse_sc),
