@@ -638,3 +638,104 @@ def test_sharded_resident_sevenpoint():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-6)
+
+
+def _split_setup(seed=51, n=8):
+    cfg = base_config(
+        precision="f32",
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": n, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+        output={"screen_update": 3},
+    )
+    rng = np.random.default_rng(seed)
+    pr = rng.normal(size=cfg.work_size()).astype(np.float32)
+    pi = rng.normal(size=cfg.work_size()).astype(np.float32)
+    vr, vi = pmod.generate_split(cfg)
+    ar, ai, br, bi = pmod.build_ab_split(
+        vr.astype(jnp.float32), vi.astype(jnp.float32), cfg.grid.dt
+    )
+    ext = 1
+    w = geometry.work_area
+    return cfg, pr, pi, (
+        w(ar, ext), w(ai, ext), w(br, ext), w(bi, ext)
+    )
+
+
+@pytest.mark.parametrize("n_lower", [0, 1])
+def test_sharded_split_pallas_matches_xla(n_lower):
+    """Sharded split fused kernel (x-only mesh, analytic complex B) == the
+    sharded XLA split path, interpret mode — ground and excited (psum'd
+    complex coefficient recursion) paths (VERDICT r2 #4)."""
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup()
+    mesh = make_mesh((4, 1, 1))
+    if n_lower:
+        rng = np.random.default_rng(52)
+        lr = rng.normal(size=cfg.work_size()).astype(np.float32)
+        li = rng.normal(size=cfg.work_size()).astype(np.float32)
+        nrm = np.sqrt(np.sum(lr.astype(np.float64) ** 2 + li.astype(np.float64) ** 2))
+        lr = (lr / nrm).astype(np.float32)
+        li = (li / nrm).astype(np.float32)
+        sr = jnp.stack([jnp.asarray(lr)])
+        si = jnp.stack([jnp.asarray(li)])
+    else:
+        sr = si = None
+
+    ops_x = ShardedSplitOps(cfg, mesh, n_lower, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(sr), ops_x.put_store(si),
+    )
+    ops_p = ShardedSplitOps(
+        cfg, mesh, n_lower, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.sc_analytic is not None
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(sr), ops_p.put_store(si),
+    )
+    tol = dict(rtol=5e-4, atol=2e-5) if n_lower else dict(rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), **tol)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), **tol)
+
+
+def test_sharded_split_pallas_streamed_b(monkeypatch):
+    """Sharded split kernel with streamed (Br, Bi) blocks (no analytic
+    formula) == sharded XLA split path."""
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=53)
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    # force the streamed path by hiding the analytic kind table entry
+    from wafer_tpu.config import PotentialType
+    import wafer_tpu.ops.pallas_split as ps_mod
+
+    orig = ps_mod._pick_tx_sc
+
+    def no_analytic(nx, ny, nz, ext, itemsize, n_lower, analytic_b=False):
+        if analytic_b:
+            return None
+        return orig(nx, ny, nz, ext, itemsize, n_lower, analytic_b)
+
+    monkeypatch.setattr(ps_mod, "_pick_tx_sc", no_analytic)
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.sc_analytic is None
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)

@@ -42,6 +42,9 @@ class ShardedSplitOps:
         n_lower: int,
         has_pot_sub_array: bool = False,
         pot_sub_scalar: Optional[float] = None,
+        use_pallas: Optional[bool] = None,
+        pallas_interpret: bool = False,
+        v_shift: float = 0.0,
     ):
         self.config = config
         self.mesh = mesh
@@ -58,6 +61,64 @@ class ShardedSplitOps:
         screen_update = config.output.screen_update
 
         from wafer_tpu.ops.stencil import stencil_taps
+
+        # Fused split-kernel shards (x-only meshes, like ShardedOps): the
+        # exchanged x-halo rows of both components are exactly what the
+        # kernel's windows expect; y/z keep the in-kernel global Dirichlet.
+        from wafer_tpu.ops import pallas_split as ps_mod
+        from wafer_tpu.parallel.halo import _pad_axis
+
+        dims = config.work_size()
+        nx, ny, nz = dims
+        bx = nx // mesh_shape[0]
+        itemsize = jnp.dtype(config.real_dtype).itemsize
+        pallas_ok = (
+            mesh_shape[1] == 1
+            and mesh_shape[2] == 1
+            and config.real_dtype == jnp.float32
+            and ny % 8 == 0
+            and nz % 128 == 0
+            and bx >= ext
+            and ps_mod.step_fused_sc_supported(bx, ny, nz, ext, itemsize, n_lower)
+        )
+        if use_pallas is None:
+            use_pallas = pallas_ok and jax.default_backend() not in ("cpu",)
+        elif use_pallas and not pallas_ok:
+            raise ValueError(
+                "sharded split pallas sweep requires an x-only mesh, f32, "
+                "tile-aligned y/z and a VMEM-sized block"
+            )
+        self.use_pallas = use_pallas
+
+        # analytic complex-B per shard (the shard's global x origin rides a
+        # traced SMEM scalar, so the (Br, Bi) streams are skipped)
+        from wafer_tpu.config import PotentialType
+
+        sc_analytic = None
+        _sc_kinds = {
+            PotentialType.COMPLEX_HARMONIC: "Harmonic",
+            PotentialType.COMPLEX_COULOMB: "Coulomb",
+        }
+        if (
+            use_pallas
+            and config.potential in _sc_kinds
+            and ps_mod._pick_tx_sc(bx, ny, nz, ext, itemsize, n_lower, True)
+            is not None
+        ):
+            g = config.grid
+            sc_analytic = (
+                _sc_kinds[config.potential],
+                g.dn,
+                g.dt,
+                config.mass,
+                g.size.x,
+                g.size.y,
+                g.size.z,
+                config.sig,
+                v_shift,
+                config.absorb,
+            )
+        self.sc_analytic = sc_analytic
 
         def norm2_g(pr, pi):
             return _psum(jnp.sum(pr * pr + pi * pi))
@@ -85,12 +146,151 @@ class ShardedSplitOps:
                 return pr, pi
 
             def evolve_chunk_local(pr, pi, ar, ai, br, bi, sr, si):
-                return lax.fori_loop(
-                    0,
-                    screen_update,
-                    lambda _i, c: step_local(c[0], c[1], ar, ai, br, bi, sr, si),
-                    (pr, pi),
+                if not use_pallas:
+                    return lax.fori_loop(
+                        0,
+                        screen_update,
+                        lambda _i, c: step_local(c[0], c[1], ar, ai, br, bi, sr, si),
+                        (pr, pi),
+                    )
+
+                # fused split-kernel path: ppermute x-halo refresh of both
+                # components + the local pallas sweep; excited states carry
+                # the complex normalise+project correction as a psum'd
+                # coefficient vector applied inside the next sweep (the
+                # single-device cadence of ops/pallas_split, reference
+                # src/grid.rs:674-681)
+                dtype = pr.dtype
+                nxs = mesh_shape[0]
+                bxl = pr.shape[0]
+                bxp = bxl + 2 * ext
+                x_org = (
+                    jax.lax.axis_index(AXIS_NAMES[0]).astype(jnp.int32)
+                    * jnp.int32(bx)
+                ).reshape(1, 1)
+
+                def to_x2(pr_, pi_):
+                    pad = ((ext, ext), (0, 0), (0, 0))
+                    return jnp.concatenate(
+                        [jnp.pad(pr_, pad), jnp.pad(pi_, pad)], axis=0
+                    )
+
+                def refresh_halo_sc(p2):
+                    """In-place x-halo refresh of both components (the
+                    kernel re-zeros global-edge pads itself each call; on a
+                    1-shard axis nothing needs refreshing)."""
+                    if nxs == 1:
+                        return p2
+                    out = p2
+                    for base in (0, bxp):
+                        hi_face = lax.slice_in_dim(
+                            out, base + bxl, base + bxl + ext, axis=0
+                        )
+                        lo_face = lax.slice_in_dim(
+                            out, base + ext, base + 2 * ext, axis=0
+                        )
+                        from_left = lax.ppermute(
+                            hi_face, AXIS_NAMES[0],
+                            [(j, j + 1) for j in range(nxs - 1)],
+                        )
+                        from_right = lax.ppermute(
+                            lo_face, AXIS_NAMES[0],
+                            [(j + 1, j) for j in range(nxs - 1)],
+                        )
+                        out = lax.dynamic_update_slice_in_dim(
+                            out, from_left, base, 0
+                        )
+                        out = lax.dynamic_update_slice_in_dim(
+                            out, from_right, base + ext + bxl, 0
+                        )
+                    return out
+
+                b2_loc = (
+                    None
+                    if sc_analytic is not None
+                    else jnp.concatenate([br, bi], axis=0)
                 )
+                if n_lower > 0:
+                    store2 = jnp.stack(
+                        [
+                            jnp.concatenate(
+                                [
+                                    _pad_axis(sr[s], ext, 0, AXIS_NAMES[0], nxs),
+                                    _pad_axis(si[s], ext, 0, AXIS_NAMES[0], nxs),
+                                ],
+                                axis=0,
+                            )
+                            for s in range(n_lower)
+                        ]
+                    )
+                else:
+                    store2 = None
+                _o2, _c2, _cc2, k2 = geometry.stencil_coefficients(order)
+                scale = dt / (k2 * dn * dn * mass)
+
+                if n_lower == 0 and not per_step_norm:
+
+                    def body(_i, p2):
+                        p2 = refresh_halo_sc(p2)
+                        out2, _n2, _ov = ps_mod.evolve_step_fused_sc(
+                            p2, b2_loc, None, order, scale, 0, False,
+                            pallas_interpret, analytic=sc_analytic,
+                            x_origin=x_org,
+                        )
+                        return out2
+
+                    p2 = lax.fori_loop(0, screen_update, body, to_x2(pr, pi))
+                    return p2[ext : ext + bxl], p2[bxp + ext : bxp + ext + bxl]
+
+                if n_lower == 0:
+
+                    def body_norm(_i, carry):
+                        p2, coef = carry
+                        p2 = refresh_halo_sc(p2)
+                        out2, n2_loc, _ov = ps_mod.evolve_step_fused_sc(
+                            p2, b2_loc, None, order, scale, 0, True,
+                            pallas_interpret, coef, sc_analytic, x_org,
+                        )
+                        inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                        return out2, inv.reshape(1, 1)
+
+                    coef0 = jnp.ones((1, 1), dtype)
+                    p2, coef = lax.fori_loop(
+                        0, screen_update, body_norm, (to_x2(pr, pi), coef0)
+                    )
+                    p2 = p2 * coef[0, 0]
+                    return p2[ext : ext + bxl], p2[bxp + ext : bxp + ext + bxl]
+
+                coef0 = jnp.concatenate(
+                    [jnp.ones((1, 1), dtype), jnp.zeros((2 * n_lower, 1), dtype)]
+                )
+
+                def body_exc(_i, carry):
+                    p2, coef = carry
+                    p2 = refresh_halo_sc(p2)
+                    out2, n2_loc, ov_loc = ps_mod.evolve_step_fused_sc(
+                        p2, b2_loc, store2, order, scale, n_lower, True,
+                        pallas_interpret, coef, sc_analytic, x_org,
+                    )
+                    inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                    ov = _psum(ov_loc)
+                    coef = jnp.concatenate(
+                        [inv.reshape(1, 1), (ov * inv).reshape(2 * n_lower, 1)]
+                    )
+                    return out2, coef
+
+                p2, coef = lax.fori_loop(
+                    0, screen_update, body_exc, (to_x2(pr, pi), coef0)
+                )
+                # materialise the pending correction on the interior block
+                out_r = p2[ext : ext + bxl] * coef[0, 0]
+                out_i = p2[bxp + ext : bxp + ext + bxl] * coef[0, 0]
+                for s in range(n_lower):
+                    cr = coef[1 + 2 * s, 0]
+                    ci = coef[2 + 2 * s, 0]
+                    out_r = out_r - (cr * sr[s] - ci * si[s])
+                    out_i = out_i - (cr * si[s] + ci * sr[s])
+                return out_r, out_i
 
             return evolve_chunk_local
 
@@ -307,7 +507,7 @@ def _solve_state_split(
     from wafer_tpu.utils import terminal
 
     n_lower = wnum
-    ops = ShardedSplitOps(config, mesh, n_lower)
+    ops = ShardedSplitOps(config, mesh, n_lower, v_shift=v_shift)
     pr0, pi0 = _select_ic_split(config, log, wnum, w_store, seed)
     pr, pi = ops.put(pr0), ops.put(pi0)
     vr_d, vi_d = ops.put(vr), ops.put(vi)
