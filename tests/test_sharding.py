@@ -739,3 +739,115 @@ def test_sharded_split_pallas_streamed_b(monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 2)])
+def test_sharded_yzp_kernel_matches_sharded_xla(mesh_shape):
+    """Multi-axis meshes on the kernel ladder (VERDICT r2 #3): the
+    y/z-padded kernel with ppermute'd y/z halos == the sharded XLA sweep,
+    interpret mode — analytic-B, ground state."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 8, "y": 16, "z": 256}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(61)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.analytic is not None
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_yzp_excited_and_streamed_b(monkeypatch):
+    """yzp kernel: excited state (psum'd coefficient recursion with
+    exchanged stored-state pads) and the streamed-B variant."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 8, "y": 16, "z": 256}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 2},
+    )
+    ext = 1
+    rng = np.random.default_rng(62)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower /= np.sqrt(np.sum(lower.astype(np.float64) ** 2)).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+    store = jnp.stack([jnp.asarray(lower)])
+
+    mesh = make_mesh((2, 2, 2))
+    ops_x = ShardedOps(cfg, mesh, 1, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(store),
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 1, use_pallas=True, pallas_interpret=True)
+    assert ops_p.pallas_mode == "yzp"
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(store),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=2e-5)
+
+    # streamed-B (no analytic formula): force by hiding the analytic fit
+    import wafer_tpu.ops.pallas_stencil as pk_mod
+
+    orig = pk_mod._pick_tx_yzp
+
+    def no_analytic(bx, byp, bzp, by, bz, ext_, itemsize, n_lower,
+                    analytic_b=False):
+        if analytic_b:
+            return None
+        return orig(bx, byp, bzp, by, bz, ext_, itemsize, n_lower, analytic_b)
+
+    monkeypatch.setattr(pk_mod, "_pick_tx_yzp", no_analytic)
+    ops_s = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_s.pallas_mode == "yzp" and ops_s.analytic is None
+    ref0 = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(store),
+        )
+    )
+    del ref0  # excited ref above reused; ground streamed check below
+    ops_x0 = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    refg = np.asarray(
+        ops_x0.evolve_chunk(
+            ops_x0.put(phi_int), ops_x0.put(a_int), ops_x0.put(b_int),
+            ops_x0.put_store(None),
+        )
+    )
+    outg = np.asarray(
+        ops_s.evolve_chunk(
+            ops_s.put(phi_int), ops_s.put(a_int), ops_s.put(b_int),
+            ops_s.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(outg, refg, rtol=2e-5, atol=2e-6)

@@ -982,6 +982,357 @@ def _evolve_kernel_yt(
         out_copy(i, nyc - 1).wait()
 
 
+# --------------------------------------------------------------------------- #
+# y/z-padded variant: multi-axis meshes consume exchanged y/z halos
+# --------------------------------------------------------------------------- #
+#
+# On a multi-axis device mesh ((2,2,2), (4,2,1) — the v5p ICI torus shapes)
+# the local block has *interior* shard boundaries along y/z, so the plain
+# kernel's zero-filled in-register shifts are wrong there. This variant
+# carries the block in a y/z-padded layout — pads of 8 sublanes / 128 lanes
+# keep every vector slice tile-aligned — whose innermost ``ext`` pad rows
+# the caller refreshes each step (ppermute faces; zeros at global edges).
+# y/z taps become aligned pltpu.roll reads of the padded extent (the yt/zt
+# windowing mechanics at full extent); x keeps the overlapping-window DMA.
+# Corners never matter: the stencil is an axis-aligned star, x-taps read
+# interior y/z and y/z-taps read interior x. Reference seam:
+# src/config.rs:222-239; SURVEY §5 (spatial scaling over ICI tori).
+
+_YZP_YPAD = 8
+_YZP_ZPAD = 128
+
+
+def _pick_tx_yzp(bx: int, byp: int, bzp: int, by: int, bz: int, ext: int,
+                 itemsize: int, n_lower: int, analytic_b: bool = False):
+    plane = byp * bzp * itemsize
+    iplane = by * bz * itemsize
+    for tx in (32, 16, 8, 4, 2, 1):
+        if bx % tx:
+            continue
+        need = (
+            2 * (tx + 2 * ext) * plane          # ψ windows (double-buffered)
+            + tx * iplane                        # result (single-buffered)
+            + (0 if analytic_b else tx * iplane)  # b chunk
+            + n_lower * (tx + 2 * ext) * plane   # lower windows
+        )
+        if need <= _VMEM_BUDGET:
+            return tx
+    return None
+
+
+def step_fused_yzp_supported(bx: int, by: int, bz: int, ext: int,
+                             itemsize: int, n_lower: int) -> bool:
+    byp = by + 2 * _YZP_YPAD
+    bzp = bz + 2 * _YZP_ZPAD
+    return (
+        by % 8 == 0
+        and bz % 128 == 0
+        and bx >= ext
+        and _pick_tx_yzp(bx, byp, bzp, by, bz, ext, itemsize, n_lower)
+        is not None
+    )
+
+
+def _evolve_kernel_yzp(
+    phi_hbm,    # (BX+2e, BYP, BZP) ANY — y/z-padded local block
+    b_hbm,      # (BX, BYP, BZP) ANY (stub when analytic; pads unread)
+    store_hbm,  # (S·(BX+2e), BYP, BZP) ANY
+    coef_smem,  # (1+S, 1) SMEM
+    org_smem,   # (3, 1) SMEM i32 — shard's global interior (x, y, z) origin
+    out_hbm,    # (BX+2e, BYP, BZP) ANY — interior + zeroed x-halos written;
+    # y/z pads are left unwritten (the caller refreshes the ext rows read)
+    norm_out,   # (1, 1) SMEM
+    over_out,   # (S, 1) SMEM
+    slab,       # (2, TX+2e, BYP, BZP) VMEM
+    b_slab,     # (TX, BY, BZ) VMEM
+    result,     # (TX, BY, BZ) VMEM — single-buffered
+    lower_slab, # (S·(TX+2e), BYP, BZP) VMEM
+    zeros_xhalo,  # (ext, BYP, BZP) VMEM
+    sem_in,     # DMA (2,)
+    sem_b,
+    sem_lower,  # DMA (S,)
+    sem_out,
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    by: int,
+    bz: int,
+    n_lower: int,
+    with_norm: bool,
+    analytic=None,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    win_rows = tx + 2 * ext
+    byp = by + 2 * _YZP_YPAD
+    bzp = bz + 2 * _YZP_ZPAD
+    nxp_rows = phi_hbm.shape[0]
+    yp, zp = _YZP_YPAD, _YZP_ZPAD
+
+    def in_copy(window, to_slot):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(window * tx, win_rows)],
+            slab.at[to_slot],
+            sem_in.at[to_slot],
+        )
+
+    @pl.when(i == 0)
+    def _first_window():
+        in_copy(jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(i + 1 < nprog)
+    def _prefetch():
+        in_copy(i + 1, next_slot).start()
+
+    if analytic is None:
+        b_copy = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(i * tx, tx), pl.ds(yp, by), pl.ds(zp, bz)],
+            b_slab,
+            sem_b,
+        )
+        b_copy.start()
+
+    lower_copies = []
+    for s_idx in range(n_lower):
+        lc = pltpu.make_async_copy(
+            store_hbm.at[pl.ds(jnp.int32(s_idx * nxp_rows) + i * tx, win_rows)],
+            lower_slab.at[pl.ds(jnp.int32(s_idx * win_rows), win_rows)],
+            sem_lower.at[jnp.int32(s_idx)],
+        )
+        lc.start()
+        lower_copies.append(lc)
+
+    # x-halo rows of the output: zeroed unconditionally (the sharded caller
+    # refreshes them from neighbours each step; at global edges the zeros
+    # ARE the Dirichlet condition — same composition as _evolve_kernel)
+    @pl.when(i == 0)
+    def _zero_xlo():
+        zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+        hc = pltpu.make_async_copy(
+            zeros_xhalo, out_hbm.at[pl.ds(0, ext)], sem_halo
+        )
+        hc.start()
+        hc.wait()
+
+    @pl.when(i == nprog - 1)
+    def _zero_xhi():
+        zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+        hc = pltpu.make_async_copy(
+            zeros_xhalo, out_hbm.at[pl.ds(nxp_rows - ext, ext)], sem_halo
+        )
+        hc.start()
+        hc.wait()
+
+    in_copy(i, slot).wait()
+
+    if n_lower > 0 or with_norm:
+        if n_lower > 0:
+            for lc in lower_copies:
+                lc.wait()
+        win = slab[slot] * coef_smem[0, 0]
+        for s_idx in range(n_lower):
+            win = win - coef_smem[s_idx + 1, 0] * lower_slab[
+                s_idx * win_rows : (s_idx + 1) * win_rows
+            ]
+    else:
+        win = slab[slot]
+
+    def rows(x0):
+        return win[x0 : x0 + tx]
+
+    def center(x0):
+        return rows(x0)[:, yp : yp + by, zp : zp + bz]
+
+    c = center(ext)
+    cr = rows(ext)
+    acc = -center_c * c
+    for off, cf in zip(offsets, coeffs):
+        acc = acc + cf * (center(ext + off) + center(ext - off))
+        # y/z taps read the exchanged pad rows via aligned rolls
+        acc = acc + cf * (
+            pltpu.roll(cr, byp - off, 1)[:, yp : yp + by, zp : zp + bz]
+            + pltpu.roll(cr, off, 1)[:, yp : yp + by, zp : zp + bz]
+        )
+        acc = acc + cf * (
+            pltpu.roll(cr, bzp - off, 2)[:, yp : yp + by, zp : zp + bz]
+            + pltpu.roll(cr, off, 2)[:, yp : yp + by, zp : zp + bz]
+        )
+
+    if analytic is None:
+        b_copy.wait()
+        b = b_slab[...]
+    else:
+        x0 = (i * tx + jnp.int32(ext) + org_smem[0, 0]).astype(jnp.float32)
+        y0 = (jnp.int32(ext) + org_smem[1, 0]).astype(jnp.float32)
+        z0 = (jnp.int32(ext) + org_smem[2, 0]).astype(jnp.float32)
+        b = _analytic_b(analytic, (tx, by, bz), x0, y0, z0)
+    new = b * (2.0 * c + scale * acc) - c
+
+    @pl.when(i >= 1)
+    def _drain_prev_out():
+        pltpu.make_async_copy(
+            result,
+            out_hbm.at[pl.ds((i - 1) * tx + ext, tx), pl.ds(yp, by), pl.ds(zp, bz)],
+            sem_out,
+        ).wait()
+
+    result[...] = new
+    pltpu.make_async_copy(
+        result,
+        out_hbm.at[pl.ds(i * tx + ext, tx), pl.ds(yp, by), pl.ds(zp, bz)],
+        sem_out,
+    ).start()
+
+    if with_norm or n_lower > 0:
+        @pl.when(i == 0)
+        def _init():
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+            for s in range(n_lower):
+                over_out[s, 0] = jnp.zeros((), over_out.dtype)
+
+        norm_out[0, 0] += jnp.sum(new * new)
+    for s_idx in range(n_lower):
+        over_out[s_idx, 0] += jnp.sum(
+            lower_slab[
+                s_idx * win_rows + ext : s_idx * win_rows + ext + tx,
+                yp : yp + by,
+                zp : zp + bz,
+            ]
+            * new
+        )
+
+    @pl.when(i == nprog - 1)
+    def _drain_tail():
+        pltpu.make_async_copy(
+            result,
+            out_hbm.at[pl.ds(i * tx + ext, tx), pl.ds(yp, by), pl.ds(zp, bz)],
+            sem_out,
+        ).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "scale", "n_lower", "with_norm", "interpret", "analytic"
+    ),
+)
+def evolve_step_fused_yzp(
+    phi_pad3: jnp.ndarray,
+    b_pad3: Optional[jnp.ndarray],
+    store_pad3: Optional[jnp.ndarray],
+    order: str,
+    scale: float,
+    n_lower: int = 0,
+    with_norm: bool = True,
+    interpret: bool = False,
+    coef: Optional[jnp.ndarray] = None,
+    analytic=None,
+    origin=None,
+):
+    """One fused sweep on a y/z-padded local block (multi-axis meshes).
+
+    Args:
+      phi_pad3: (BX+2e, BY+16, BZ+256) — x-padded by ext, y/z padded by
+        the alignment pads; the innermost ext pad rows hold neighbour data
+        (or zeros at global edges), refreshed by the caller per step.
+      b_pad3: interior-rows B in the same y/z-padded layout (pads unread),
+        or None with ``analytic``.
+      store_pad3: (S, BX+2e, BY+16, BZ+256) stored states, halos/pads
+        filled like ψ's.
+      origin: (3, 1) i32 global interior (x, y, z) origin of this shard.
+
+    Returns:
+      (ψ'_pad3, norm2, overlaps[S]) — y/z pads of ψ' are unwritten (the
+      caller must refresh before the next read); reductions cover the
+      interior block only.
+    """
+    ext = _EXT[order]
+    bxp, byp, bzp = phi_pad3.shape
+    bx = bxp - 2 * ext
+    by = byp - 2 * _YZP_YPAD
+    bz = bzp - 2 * _YZP_ZPAD
+    dtype = phi_pad3.dtype
+    tx = _pick_tx_yzp(bx, byp, bzp, by, bz, ext, dtype.itemsize, n_lower,
+                      analytic is not None)
+    if tx is None:
+        raise ValueError(
+            f"y/z-padded fused sweep does not fit VMEM for block {by}x{bz}"
+        )
+    if b_pad3 is None:
+        assert analytic is not None
+        b_pad3 = jnp.zeros((1, 1, 1), dtype=dtype)
+    if store_pad3 is None or n_lower == 0:
+        store_pad3 = jnp.zeros((1, bxp, byp, bzp), dtype=dtype)
+    n_store = store_pad3.shape[0]
+    store_flat = store_pad3.reshape(n_store * bxp, byp, bzp)
+    if coef is None:
+        coef = jnp.concatenate(
+            [jnp.ones((1, 1), dtype), jnp.zeros((n_store, 1), dtype)]
+        )
+    if origin is None:
+        origin = jnp.zeros((3, 1), jnp.int32)
+    else:
+        origin = jnp.asarray(origin, jnp.int32).reshape(3, 1)
+
+    kernel = functools.partial(
+        _evolve_kernel_yzp,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        by=by,
+        bz=bz,
+        n_lower=n_lower,
+        with_norm=with_norm,
+        analytic=analytic,
+    )
+    win_rows = tx + 2 * ext
+    b_slab_shape = (1, 8, 128) if analytic is not None else (tx, by, bz)
+    with jax.enable_x64(False):
+        out_pad3, norm2, overlaps = pl.pallas_call(
+            kernel,
+            grid=(bx // tx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bxp, byp, bzp), dtype),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+                jax.ShapeDtypeStruct((n_store, 1), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, win_rows, byp, bzp), dtype),
+                pltpu.VMEM(b_slab_shape, dtype),
+                pltpu.VMEM((tx, by, bz), dtype),
+                pltpu.VMEM((max(n_store, 1) * win_rows, byp, bzp), dtype),
+                pltpu.VMEM((ext, byp, bzp), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((max(n_store, 1),)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=_compiler_params(),
+        )(phi_pad3, b_pad3, store_flat, coef, origin)
+    return out_pad3, norm2[0, 0], overlaps[:n_lower or 1, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

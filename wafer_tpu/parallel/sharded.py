@@ -105,25 +105,48 @@ class ShardedOps:
         dims = config.work_size()
         nx, ny, nz = (dims[i] for i in perm)
         bx = nx // mesh_shape[0]
+        by = ny // mesh_shape[1]
+        bz = nz // mesh_shape[2]
         itemsize = jnp.dtype(config.real_dtype).itemsize
-        pallas_ok = (
-            mesh_shape[1] == 1
-            and mesh_shape[2] == 1
-            and not config.potential.is_complex
+        _common_ok = (
+            not config.potential.is_complex
             and config.real_dtype == jnp.float32
+            and nx % mesh_shape[0] == 0
+            and ny % mesh_shape[1] == 0
+            and nz % mesh_shape[2] == 0
+            and bx >= ext
+        )
+        pallas_ok = (
+            _common_ok
+            and mesh_shape[1] == 1
+            and mesh_shape[2] == 1
             and ny % 8 == 0
             and nz % 128 == 0
-            and bx >= ext
             and pk.step_fused_supported(bx, ny, nz, ext, itemsize, n_lower)
         )
+        # multi-axis meshes ((2,2,2), (4,2,1)…): the y/z-padded kernel
+        # consumes exchanged y/z halos (pk._evolve_kernel_yzp)
+        yzp_ok = (
+            _common_ok
+            and not pallas_ok
+            and (mesh_shape[1] > 1 or mesh_shape[2] > 1)
+            and by >= ext
+            and bz >= ext
+            and pk.step_fused_yzp_supported(bx, by, bz, ext, itemsize, n_lower)
+        )
+        pallas_mode = "x" if pallas_ok else ("yzp" if yzp_ok else None)
         if use_pallas is None:
-            use_pallas = pallas_ok and jax.default_backend() not in ("cpu",)
-        elif use_pallas and not pallas_ok:
+            use_pallas = (
+                pallas_mode is not None
+                and jax.default_backend() not in ("cpu",)
+            )
+        elif use_pallas and pallas_mode is None:
             raise ValueError(
-                "sharded pallas sweep requires an x-only mesh, real f32, "
-                "tile-aligned y/z and a VMEM-sized block"
+                "sharded pallas sweep requires real f32, tile-aligned "
+                "per-shard blocks and a VMEM-sized slab"
             )
         self.use_pallas = use_pallas
+        self.pallas_mode = pallas_mode if use_pallas else None
 
         # analytic-B per shard: the kernel takes the shard's global x origin
         # as a traced SMEM scalar, so formula potentials skip the B stream
@@ -137,16 +160,28 @@ class ShardedOps:
             PotentialType.SIMPLE_CORNELL: "SimpleCornell",
             PotentialType.PERIODIC: "Periodic",
         }
-        if (
-            use_pallas
-            and config.potential in _analytic_kinds
-            and (
+        if self.pallas_mode == "x":
+            _analytic_fits = (
                 pk._pick_tx(bx, ny, nz, ext, itemsize, n_lower, True) is not None
                 or pk._pick_tx_yt(bx, ny, nz, ext, itemsize, n_lower, True)
                 is not None
                 or pk._pick_tx_zt(bx, ny, nz, ext, itemsize, n_lower, True)
                 is not None
             )
+        elif self.pallas_mode == "yzp":
+            _analytic_fits = (
+                pk._pick_tx_yzp(
+                    bx, by + 2 * pk._YZP_YPAD, bz + 2 * pk._YZP_ZPAD, by, bz,
+                    ext, itemsize, n_lower, True,
+                )
+                is not None
+            )
+        else:
+            _analytic_fits = False
+        if (
+            use_pallas
+            and config.potential in _analytic_kinds
+            and _analytic_fits
         ):
             g = config.grid
             analytic = (
@@ -169,7 +204,7 @@ class ShardedOps:
         # masking is driven by per-shard global-edge flags.
         forced_k = k_fuse
         k_fuse = 1
-        if use_pallas and n_lower == 0:
+        if use_pallas and self.pallas_mode == "x" and n_lower == 0:
             if forced_k is not None:  # explicit override (tests/benchmarks)
                 k_fuse = forced_k
             else:
@@ -187,7 +222,12 @@ class ShardedOps:
         # budget for the (bx + 2R·ext) block and by screen_update.
         forced_res = res_steps
         res_steps = 0
-        if use_pallas and n_lower == 0 and analytic is not None:
+        if (
+            use_pallas
+            and self.pallas_mode == "x"
+            and n_lower == 0
+            and analytic is not None
+        ):
             candidates = (
                 (forced_res,) if forced_res is not None else (16, 8, 4, 2)
             )
@@ -219,6 +259,137 @@ class ShardedOps:
           # per_step_norm: renormalise the ground state every step too —
           # required in f32 when the potential's offset drifts ψ's scale out
           # of range within one chunk (see ops/stencil.evolve_chunk).
+
+          def evolve_chunk_yzp(phi, b, store):
+            """Multi-axis-mesh chunk via the y/z-padded kernel: the local
+            block carries alignment pads (8 sublanes / 128 lanes) whose
+            innermost ext rows are refreshed from neighbours (ppermute;
+            zeros at global edges) every step — see
+            ops/pallas_stencil._evolve_kernel_yzp. Corners never exchange:
+            the stencil is an axis-aligned star."""
+            e = ext
+            yp, zp = pk._YZP_YPAD, pk._YZP_ZPAD
+            bx_l, by_l, bz_l = phi.shape
+            dtype = phi.dtype
+            pads = ((e, e), (yp, yp), (zp, zp))
+            pad_off = (e, yp, zp)
+            blens = (bx_l, by_l, bz_l)
+            origin = jnp.stack(
+                [
+                    jax.lax.axis_index(axis_names[d]).astype(jnp.int32)
+                    * jnp.int32(blens[d])
+                    for d in range(3)
+                ]
+            ).reshape(3, 1)
+
+            def to_pad3(p):
+                return jnp.pad(p, pads)
+
+            def refresh_axis(pp, axis):
+                pad = pad_off[axis]
+                blen = blens[axis]
+                lo_face = lax.slice_in_dim(pp, pad, pad + e, axis=axis)
+                if mesh_shape[axis] == 1:
+                    # global Dirichlet on an unsharded axis: the pad rows
+                    # the kernel reads must be zero every step
+                    z = jnp.zeros_like(lo_face)
+                    pp = lax.dynamic_update_slice_in_dim(pp, z, pad - e, axis)
+                    return lax.dynamic_update_slice_in_dim(pp, z, pad + blen, axis)
+                hi_face = lax.slice_in_dim(
+                    pp, pad + blen - e, pad + blen, axis=axis
+                )
+                from_left = lax.ppermute(
+                    hi_face, axis_names[axis],
+                    [(j, j + 1) for j in range(mesh_shape[axis] - 1)],
+                )
+                from_right = lax.ppermute(
+                    lo_face, axis_names[axis],
+                    [(j + 1, j) for j in range(mesh_shape[axis] - 1)],
+                )
+                pp = lax.dynamic_update_slice_in_dim(pp, from_left, pad - e, axis)
+                return lax.dynamic_update_slice_in_dim(
+                    pp, from_right, pad + blen, axis
+                )
+
+            def refresh3(pp):
+                for axis in range(3):
+                    pp = refresh_axis(pp, axis)
+                return pp
+
+            b_p3 = (
+                None
+                if analytic is not None
+                else jnp.pad(b, ((0, 0), (yp, yp), (zp, zp)))
+            )
+            store_p3 = (
+                jnp.stack(
+                    [refresh3(to_pad3(store[s])) for s in range(n_lower)]
+                )
+                if n_lower > 0
+                else None
+            )
+
+            if n_lower == 0 and not per_step_norm:
+
+                def body(_i, pp):
+                    pp = refresh3(pp)
+                    out, _n2, _ov = pk.evolve_step_fused_yzp(
+                        pp, b_p3, None, order, scale, 0, False,
+                        pallas_interpret, analytic=analytic, origin=origin,
+                    )
+                    return out
+
+                pp = lax.fori_loop(0, screen_update, body, to_pad3(phi))
+                return pp[e : e + bx_l, yp : yp + by_l, zp : zp + bz_l]
+
+            if n_lower == 0:
+
+                def body_norm(_i, carry):
+                    pp, coef = carry
+                    pp = refresh3(pp)
+                    out, n2_loc, _ov = pk.evolve_step_fused_yzp(
+                        pp, b_p3, None, order, scale, 0, True,
+                        pallas_interpret, coef, analytic, origin,
+                    )
+                    inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                    return out, inv.reshape(1, 1)
+
+                coef0 = jnp.ones((1, 1), dtype)
+                pp, coef = lax.fori_loop(
+                    0, screen_update, body_norm, (to_pad3(phi), coef0)
+                )
+                return (
+                    pp[e : e + bx_l, yp : yp + by_l, zp : zp + bz_l]
+                    * coef[0, 0]
+                )
+
+            coef0 = jnp.concatenate(
+                [jnp.ones((1, 1), dtype), jnp.zeros((n_lower, 1), dtype)]
+            )
+
+            def body_exc(_i, carry):
+                pp, coef = carry
+                pp = refresh3(pp)
+                out, n2_loc, ov_loc = pk.evolve_step_fused_yzp(
+                    pp, b_p3, store_p3, order, scale, n_lower, True,
+                    pallas_interpret, coef, analytic, origin,
+                )
+                inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                ov = _psum(ov_loc)
+                coef = jnp.concatenate(
+                    [inv.reshape(1, 1), (ov * inv).reshape(n_lower, 1)]
+                )
+                return out, coef
+
+            pp, coef = lax.fori_loop(
+                0, screen_update, body_exc, (to_pad3(phi), coef0)
+            )
+            proj = jnp.tensordot(coef[1:, 0], store, axes=1)
+            return (
+                pp[e : e + bx_l, yp : yp + by_l, zp : zp + bz_l] * coef[0, 0]
+                - proj
+            )
+
           def step_local(phi, a, b, store):
             padded = exchange_halos(phi, ext, mesh_shape, axis_names)
             taps = stencil_taps(padded, order)
@@ -235,6 +406,8 @@ class ShardedOps:
                 return lax.fori_loop(
                     0, screen_update, lambda _i, p: step_local(p, a, b, store), phi
                 )
+            if self.pallas_mode == "yzp":
+                return evolve_chunk_yzp(phi, b, store)
 
             # fused-kernel path: ppermute x-halo exchange + local pallas
             # sweep. Excited states carry the normalise+project update as an
