@@ -96,13 +96,13 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
             elif pk.pick_resb(n, n, n, ext, 4, STEPS) is not None:
                 # x-blocked deep-halo resident chunks (HBM-sized grids,
                 # e.g. WAFER_BENCH_N=512) — the solver's second rung
-                bx_b, r_b, _tx, _rate = pk.pick_resb(n, n, n, ext, 4, STEPS)
+                bx_b, r_b, tx_b, pf_b, _rate = pk.pick_resb(n, n, n, ext, 4, STEPS)
                 phi = pk.to_xpad_k(phi, ext, r_b)
 
                 def chunk(p):
                     return pk.evolve_chunk_resident_blocked(
                         p, order, dt, dn, mass, STEPS, analytic,
-                        bx=bx_b, r_steps=r_b,
+                        bx=bx_b, r_steps=r_b, tx=tx_b, prefetch=pf_b,
                     )
 
             else:

@@ -73,19 +73,21 @@ def probe(n: int) -> None:
     an = ("Harmonic", dn, dt, mass, n, n, n)
     import os
 
-    force = os.environ.get("WAFER_RESB_FORCE")  # "bx,r,tx" override
+    force = os.environ.get("WAFER_RESB_FORCE")  # "bx,r,tx,prefetch" override
     plan = pk.pick_resb(n, n, n, ext, 4, STEPS)
     print(f"[{n}^3] pick_resb -> {plan}", flush=True)
     if force:
-        bx, r, tx = (int(x) for x in force.split(","))
+        parts = [int(x) for x in force.split(",")]
+        bx, r, tx = parts[:3]
+        pf = bool(parts[3]) if len(parts) > 3 else False
         rate = 0.0
     elif plan is None:
         return
     else:
-        bx, r, tx, rate = plan
+        bx, r, tx, pf, rate = plan
     print(
-        f"[{n}^3] bx={bx} r={r} tx={tx} modeled {rate * 1.27e11:.3g} "
-        "updates/s",
+        f"[{n}^3] bx={bx} r={r} tx={tx} prefetch={pf} modeled "
+        f"{rate * 1.27e11:.3g} updates/s",
         flush=True,
     )
 
@@ -105,7 +107,7 @@ def probe(n: int) -> None:
     t0 = time.perf_counter()
     out = pk.evolve_chunk_resident_blocked(
         pk.to_xpad_k(phi, ext, r), order, dt, dn, mass, r, an, bx=bx,
-        r_steps=r, tx=tx,
+        r_steps=r, tx=tx, prefetch=pf,
     )
     out_int = np.asarray(pk.from_xpad_k(out, ext, r))[
         ext:-ext, ext:-ext, ext:-ext
@@ -121,7 +123,8 @@ def probe(n: int) -> None:
     # -- throughput -------------------------------------------------------
     def chunk(p):
         return pk.evolve_chunk_resident_blocked(
-            p, order, dt, dn, mass, STEPS, an, bx=bx, r_steps=r, tx=tx
+            p, order, dt, dn, mass, STEPS, an, bx=bx, r_steps=r, tx=tx,
+            prefetch=pf,
         )
 
     p = pk.to_xpad_k(phi, ext, r)

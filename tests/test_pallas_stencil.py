@@ -1280,7 +1280,7 @@ def test_pick_resb_plans():
     for (n, e), _ in zip(((512, 1), (288, 1), (512, 3)), range(3)):
         plan = pk.pick_resb(n, n, n, e, 4, 500)
         assert plan is not None, (n, e)
-        bx, r, tx, rate = plan
+        bx, r, tx, _pf, rate = plan
         assert n % bx == 0 and n // bx >= 2
         assert 2 <= r <= 8
         assert (bx + 2 * r * e) * n * n * 4 <= pk._RES_BUDGET

@@ -851,3 +851,83 @@ def test_sharded_yzp_excited_and_streamed_b(monkeypatch):
         )
     )
     np.testing.assert_allclose(outg, refg, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_resident_exc_matches_xla(monkeypatch):
+    """Sharded excited fast path (per-step ψ-resident sweeps, psum'd
+    coefficient recursion, streamed l/Sl) == the sharded XLA path
+    (VERDICT r2 #2). f32 streams for strict equivalence."""
+    monkeypatch.setenv("WAFER_EXC_STREAM", "f32")
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(71)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower /= np.sqrt(np.sum(lower.astype(np.float64) ** 2)).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+    store = jnp.stack([jnp.asarray(lower)])
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 1, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(store),
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 1, use_pallas=True, pallas_interpret=True)
+    assert ops_p.use_res_exc, "resident-exc gate should engage at bx=8"
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(store),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=2e-5)
+
+
+def test_sharded_resident_exc_bf16_streams():
+    """bf16 l/Sl streams on the sharded excited fast path: trajectory
+    within bf16 quantisation of the XLA path, orthogonality preserved."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 32, "y": 16, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(72)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower /= np.sqrt(np.sum(lower.astype(np.float64) ** 2)).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    store = jnp.stack([jnp.asarray(lower)])
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 1, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(geometry.work_area(a, ext)),
+            ops_x.put(geometry.work_area(b, ext)), ops_x.put_store(store),
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 1, use_pallas=True, pallas_interpret=True)
+    assert ops_p.use_res_exc
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(geometry.work_area(a, ext)),
+            ops_p.put(geometry.work_area(b, ext)), ops_p.put_store(store),
+        )
+    )
+    scale_ = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() / scale_ < 3e-2
+    ov = float(np.sum(lower.astype(np.float64) * out.astype(np.float64)))
+    n2 = float(np.sum(out.astype(np.float64) ** 2))
+    assert abs(ov) < 1e-3 * np.sqrt(n2), ov

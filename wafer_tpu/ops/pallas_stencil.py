@@ -2096,6 +2096,9 @@ def _evolve_kernel_res(
     sstore_hbm, # (S·NX, NY, NZ) ANY — swept lower states Sl_s = S(l_s)
     xorg_smem,  # (1, 1) SMEM i32 — global interior x offset (sharded)
     edge_smem,  # (2, 1) SMEM i32 — [at_global_lo, at_global_hi]
+    coef0_smem, # (1+S, 1) SMEM f32 — step 0's pending [inv, corr…]
+    # (identity single-device: the solver measures/normalises at the chunk
+    # head; sharded per-step callers pass the previous step's psum'd coef)
     out_hbm,    # (NX+2h, NY, NZ) ANY
     red_out,    # (1+S, 1) SMEM — final step's [‖new‖², ⟨l_s|new⟩…]
     psi_buf,    # (NX+2h, NY, NZ) VMEM — resident across all grid programs
@@ -2151,12 +2154,29 @@ def _evolve_kernel_res(
     if nx % tx:
         slabs.append((ext + (nx // tx) * tx, nx % tx))
     nslabs = len(slabs)
+    nxp_all = psi_buf.shape[0]
+
+    # The chunk's one HBM load rides the first sweep: per-slab segments
+    # are all started up front, and the first step's slab loop waits only
+    # the segment it is about to read — everything later streams in behind
+    # the compute (measured: the whole-buffer load+wait serialised ~8% of
+    # a sharded R=8 call). seg 0 carries the leading halo, the last seg
+    # the trailing halo.
+    seg_lo = [0] + [rs for rs, _t in slabs[1:]]
+    seg_hi = seg_lo[1:] + [nxp_all]
+
+    def in_seg(s):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
+            psi_buf.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
+            sem_in.at[s],
+        )
 
     @pl.when(i == 0)
     def _load():
-        cp = pltpu.make_async_copy(phi_hbm, psi_buf, sem_in)
-        cp.start()
-        cp.wait()
+        for s in range(nslabs):
+            in_seg(s).start()
+        in_seg(0).wait()
         if kind is None:
             yz_buf[...] = jnp.zeros_like(yz_buf)
             return
@@ -2182,13 +2202,14 @@ def _evolve_kernel_res(
     if with_norm or n_lower > 0:
         slot = jax.lax.rem(i, jnp.int32(2))
         prev = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
-        inv = jnp.where(
-            i == 0,
-            jnp.float32(1.0),
-            jax.lax.rsqrt(jnp.maximum(racc[prev, 0], jnp.float32(1e-37))),
+        inv_rec = jax.lax.rsqrt(
+            jnp.maximum(racc[prev, 0], jnp.float32(1e-37))
         )
+        inv = jnp.where(i == 0, coef0_smem[0, 0], inv_rec)
         corr = [
-            jnp.where(i == 0, jnp.float32(0.0), racc[prev, 1 + st] * inv)
+            jnp.where(
+                i == 0, coef0_smem[1 + st, 0], racc[prev, 1 + st] * inv_rec
+            )
             for st in range(n_lower)
         ]
         racc[slot, 0] = jnp.float32(0.0)
@@ -2229,9 +2250,16 @@ def _evolve_kernel_res(
     # one sweep, ascending slabs, in place. The lag seed rows [0, ext) are
     # the Dirichlet zeros single-device (never written) or stale-but-valid
     # neighbour data in sharded deep-halo mode.
+    plain_store = not (with_norm or n_lower > 0)
     lag[...] = psi_buf[0:ext]
     for s, (rs, txs) in enumerate(slabs):
         bslot = s % 2
+        if s + 1 < nslabs:
+
+            @pl.when(i == 0)
+            def _wait_next_seg(_s=s + 1):
+                in_seg(_s).wait()
+
         if n_lower > 0:
             if s + 1 < nslabs:
                 for st in range(n_lower):
@@ -2296,6 +2324,21 @@ def _evolve_kernel_res(
                 )
         lag[...] = psi_buf[rs + txs - ext : rs + txs]  # old top rows, pre-write
         psi_buf[rs : rs + txs] = new
+        if plain_store:
+            # plain ground mode: the chunk's one HBM store rides the last
+            # sweep — final interior rows go out as soon as they are
+            # written (halo-side rows follow after the Dirichlet re-zero)
+            olo = max(rs, halo)
+            ohi = min(rs + txs, nxp_all - halo)
+            if ohi > olo:
+
+                @pl.when(i == n_steps - 1)
+                def _store_slab(_lo=olo, _hi=ohi, _s=s):
+                    pltpu.make_async_copy(
+                        psi_buf.at[pl.ds(_lo, _hi - _lo)],
+                        out_hbm.at[pl.ds(_lo, _hi - _lo)],
+                        sem_out.at[_s],
+                    ).start()
 
     if halo > ext:
         # deep-halo Dirichlet: global-edge shards re-zero their halo side
@@ -2331,15 +2374,49 @@ def _evolve_kernel_res(
             red_out[0, 0] = racc[slot, 0]
         else:
             red_out[0, 0] = jnp.float32(0.0)
-        cp = pltpu.make_async_copy(psi_buf, out_hbm, sem_out)
-        cp.start()
-        cp.wait()
+        if plain_store:
+            # the interior went out per slab during the sweep; the halo-
+            # side rows (post-re-zero) and the drains finish the chunk
+            pltpu.make_async_copy(
+                psi_buf.at[pl.ds(0, halo)],
+                out_hbm.at[pl.ds(0, halo)],
+                sem_out.at[nslabs],
+            ).start()
+            pltpu.make_async_copy(
+                psi_buf.at[pl.ds(nxp_all - halo, halo)],
+                out_hbm.at[pl.ds(nxp_all - halo, halo)],
+                sem_out.at[nslabs + 1],
+            ).start()
+            for s in range(nslabs):
+                rs, txs = slabs[s]
+                olo = max(rs, halo)
+                ohi = min(rs + txs, nxp_all - halo)
+                if ohi > olo:
+                    pltpu.make_async_copy(
+                        psi_buf.at[pl.ds(olo, ohi - olo)],
+                        out_hbm.at[pl.ds(olo, ohi - olo)],
+                        sem_out.at[s],
+                    ).wait()
+            pltpu.make_async_copy(
+                psi_buf.at[pl.ds(0, halo)],
+                out_hbm.at[pl.ds(0, halo)],
+                sem_out.at[nslabs],
+            ).wait()
+            pltpu.make_async_copy(
+                psi_buf.at[pl.ds(nxp_all - halo, halo)],
+                out_hbm.at[pl.ds(nxp_all - halo, halo)],
+                sem_out.at[nslabs + 1],
+            ).wait()
+        else:
+            cp = pltpu.make_async_copy(psi_buf, out_hbm, sem_out.at[nslabs])
+            cp.start()
+            cp.wait()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "interpret", "per_step_norm", "halo"),
+                     "interpret", "per_step_norm", "halo", "raw_reductions"),
 )
 def evolve_chunk_resident(
     phi_xpad: jnp.ndarray,
@@ -2357,7 +2434,9 @@ def evolve_chunk_resident(
     x_origin=None,
     edges=None,
     halo: int = 0,
-) -> jnp.ndarray:
+    coef0=None,
+    raw_reductions: bool = False,
+):
     """A full chunk of ``n_steps`` sweeps with ψ VMEM-resident.
 
     ``phi_xpad``: (NX+2e, NY, NZ) x-padded layout (:func:`to_xpad`), halo
@@ -2413,6 +2492,15 @@ def evolve_chunk_resident(
         edges = jnp.ones((2, 1), jnp.int32)
     else:
         edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
+    if coef0 is None:
+        coef0 = jnp.concatenate(
+            [
+                jnp.ones((1, 1), jnp.float32),
+                jnp.zeros((n_lower, 1), jnp.float32),
+            ]
+        )
+    else:
+        coef0 = jnp.asarray(coef0, jnp.float32).reshape(-1, 1)
     if n_lower > 0:
         # stored states may arrive in bf16 (the bf16-stream mode: half the
         # per-step HBM bytes for the l/Sl streams; the kernel computes in
@@ -2459,6 +2547,7 @@ def evolve_chunk_resident(
         + ny * nz * 4
     )
     lrows = max(2 * n_lower * tx, 1)
+    nslabs_res = nx // tx + (1 if nx % tx else 0)
     with jax.enable_x64(False):
         out, red = pl.pallas_call(
             kernel,
@@ -2468,6 +2557,7 @@ def evolve_chunk_resident(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -2487,15 +2577,19 @@ def evolve_chunk_resident(
                 pltpu.VMEM((lrows, ny, nz), stream_dtype),
                 pltpu.VMEM((lrows, ny, nz), stream_dtype),
                 pltpu.VMEM((brows, ny, nz), dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((nslabs_res,)),
+                pltpu.SemaphoreType.DMA((nslabs_res + 2,)),
                 pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
                 pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(phi_xpad, b_arg, store_int, sstore_int, x_origin, edges)
+        )(phi_xpad, b_arg, store_int, sstore_int, x_origin, edges, coef0)
+    if raw_reductions:
+        # sharded per-step callers: the pending correction needs globally
+        # psum'd reductions — return the raw output + local partials
+        return out, red
     if n_lower == 0:
         return out
     # materialise the last step's pending correction (the unswept basis)
@@ -2560,13 +2654,15 @@ def pick_resb(nx: int, ny: int, nz: int, ext: int, itemsize: int,
               n_steps: int):
     """(bx, r, tx, modeled_rate) for the x-blocked resident kernel, or None.
 
-    The model scores bx·r useful row-updates per block-pass against the VPU
-    recompute rows r·(bx+2(r−1)e) plus the residual DMA slack (the load is
-    hidden behind the first step's compute and the store behind the last
-    step's via per-slab segment DMAs — ~0.73 VPU-row-equivalents per DMA
-    row, 4 B/row-cell over a ~700 GB/s HBM vs the 1.27e11 update/s VPU
-    sweep; only the segment-granularity edges remain). Requires ≥2 blocks
-    (one block ≡ the plain resident kernel)."""
+    Returns (bx, r, tx, prefetch, modeled_rate). The model scores bx·r
+    useful row-updates per block-pass against the VPU recompute rows
+    r·(bx+2(r−1)e) plus the DMA cost — measured on-chip (512³): without the
+    staging buffer the load/store do NOT overlap compute (Mosaic serialises
+    the in-place buffer traffic), costing ~0.73 VPU-row-equivalents per DMA
+    row; with ``prefetch`` (a second block-sized buffer staging the next
+    block's window during compute) only the VMEM→VMEM install copy
+    (~0.25·bxp rows) remains. Requires ≥2 blocks (one block ≡ the plain
+    resident kernel)."""
     if itemsize != 4:
         return None
     plane = ny * nz * itemsize
@@ -2580,19 +2676,36 @@ def pick_resb(nx: int, ny: int, nz: int, ext: int, itemsize: int,
             bxp = bx + 2 * h
             if bxp * plane > _RES_BUDGET:
                 continue
-            tx = _pick_tx_resb(bxp, ext, h, plane)
-            if tx is None:
-                continue
             vpu_rows = r * (bx + 2 * (r - 1) * ext)
-            # residual un-overlapped DMA: the first segment's load latency
-            # plus the last slab's store (everything else rides compute)
-            dma_rows = 0.73 * (2 * tx + 2 * ext)
-            rate = bx * r / (vpu_rows + dma_rows)
-            if rate > best_rate:
-                best, best_rate = (bx, r, tx), rate
+            # prefetch variant: TWO block buffers + temporaries under the
+            # cap (its own, smaller slab height), and the per-pass HBM
+            # bytes must fit under the pass's compute time
+            tx_pf = None
+            if (
+                2 * bxp * plane <= _RES_BUDGET
+                and 0.73 * (bxp + bx) <= vpu_rows
+            ):
+                rows = bxp - 2 * ext
+                for cand in (64, 32, 16, 8, 4):
+                    if cand > rows or cand <= ext or not (
+                        rows % cand == 0 or rows % cand > ext
+                    ):
+                        continue
+                    if (2 * bxp + ext + h + 6 * cand) * plane <= _RESB_NEED_CAP:
+                        tx_pf = cand
+                        break
+            if tx_pf is not None:
+                rate = bx * r / (vpu_rows + 0.25 * bxp)
+                if rate > best_rate:
+                    best, best_rate = (bx, r, tx_pf, True), rate
+            tx = _pick_tx_resb(bxp, ext, h, plane)
+            if tx is not None:
+                rate = bx * r / (vpu_rows + 0.73 * (bxp + bx))
+                if rate > best_rate:
+                    best, best_rate = (bx, r, tx, False), rate
     if best is None:
         return None
-    return best[0], best[1], best[2], best_rate
+    return best[0], best[1], best[2], best[3], best_rate
 
 
 def resident_blocked_supported(nx: int, ny: int, nz: int, ext: int,
@@ -2605,10 +2718,13 @@ def _evolve_kernel_resb(
     phi_hbm,    # (NX+2H, NY, NZ) ANY — deep x-padded layout, H = R·ext
     out_hbm,    # (NX+2H, NY, NZ) ANY
     psi_buf,    # (BX+2H, NY, NZ) VMEM — resident across this block's R steps
+    stage,      # (BX+2H, NY, NZ) VMEM prefetch staging (1-row stub when off)
     lag,        # (ext, NY, NZ) VMEM
     yz_buf,     # (NY, NZ) VMEM — hoisted plane-constant (see _evolve_kernel_res)
     zeros_halo, # (H, NY, NZ) VMEM
     sem_in,
+    sem_stage,
+    sem_copy,
     sem_out,
     sem_halo,
     *,
@@ -2619,6 +2735,7 @@ def _evolve_kernel_resb(
     ext: int,
     analytic,
     r_steps: int,
+    prefetch: bool = False,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)       # block index (outer)
@@ -2671,19 +2788,54 @@ def _evolve_kernel_resb(
             sem_out.at[s],
         )
 
+    def in_stage_seg(blk, s):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(blk * bx + seg_lo[s], seg_hi[s] - seg_lo[s])],
+            stage.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
+            sem_stage.at[s],
+        )
+
     # the previous block's interior write-back still reads psi_buf — drain
-    # it before the loads overwrite
+    # it before the loads (or the stage copy) overwrite
     @pl.when(jnp.logical_and(t == 0, i >= 1))
     def _drain_prev():
         for s in range(nslabs):
             if out_rng[s] is not None:
                 out_seg(i - 1, s).wait()
 
-    @pl.when(t == 0)
-    def _load():
-        for s in range(nslabs):
-            in_seg(i, s).start()
-        in_seg(i, 0).wait()
+    if prefetch:
+        # Cross-block overlap: block i+1's window streams into ``stage``
+        # during block i's compute (issued after the first step, when the
+        # previous block's write-backs have mostly drained), then one fast
+        # VMEM→VMEM copy installs it — all static slices, no Mosaic
+        # dynamic-leading-axis penalties. Block 0 cold-starts directly.
+        assert r_steps >= 2, "prefetch mode needs R >= 2"
+
+        @pl.when(jnp.logical_and(t == 0, i == 0))
+        def _cold_load():
+            for s in range(nslabs):
+                in_seg(i, s).start()
+            in_seg(i, 0).wait()
+
+        @pl.when(jnp.logical_and(t == 1, i + 1 < nblk))
+        def _prefetch_next():
+            for s in range(nslabs):
+                in_stage_seg(i + 1, s).start()
+
+        @pl.when(jnp.logical_and(t == 0, i >= 1))
+        def _install_stage():
+            for s in range(nslabs):
+                in_stage_seg(i, s).wait()
+            cp = pltpu.make_async_copy(stage, psi_buf, sem_copy)
+            cp.start()
+            cp.wait()
+    else:
+
+        @pl.when(t == 0)
+        def _load():
+            for s in range(nslabs):
+                in_seg(i, s).start()
+            in_seg(i, 0).wait()
 
     @pl.when(jnp.logical_and(i == 0, t == 0))
     def _hoist_yz():
@@ -2698,11 +2850,16 @@ def _evolve_kernel_resb(
             yz_buf[...] = yz
 
     last_t = t == r_steps - 1
+    # direct-load segment waits: every t==0 program (serial mode) or only
+    # block 0's cold start (prefetch mode — later blocks were staged)
+    _seg_wait_cond = (
+        jnp.logical_and(t == 0, i == 0) if prefetch else (t == 0)
+    )
     lag[...] = psi_buf[0:ext]
     for s_idx, (rs, txs) in enumerate(slabs):
         if s_idx + 1 < nslabs:
 
-            @pl.when(t == 0)
+            @pl.when(_seg_wait_cond)
             def _wait_next_seg(_s=s_idx + 1):
                 in_seg(i, _s).wait()
 
@@ -2789,7 +2946,7 @@ def _evolve_kernel_resb(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "scale", "bx", "r_steps", "analytic",
-                     "interpret", "tx"),
+                     "interpret", "tx", "prefetch"),
 )
 def evolve_steps_resident_blocked(
     phi_h: jnp.ndarray,
@@ -2800,11 +2957,14 @@ def evolve_steps_resident_blocked(
     analytic,
     interpret: bool = False,
     tx: Optional[int] = None,
+    prefetch: bool = False,
 ) -> jnp.ndarray:
     """One out-of-place pass of ``r_steps`` blind deep-halo sweeps over
     VMEM-sized x-blocks (see the section comment). ``phi_h`` is the deep
     x-padded layout (NX+2·R·ext, NY, NZ) with zero halo rows; the result is
-    bit-identical to ``r_steps`` single sweeps in the same layout."""
+    bit-identical to ``r_steps`` single sweeps in the same layout.
+    ``prefetch`` stages the next block's window during this block's compute
+    (a second block-sized VMEM buffer — the picker decides the fit)."""
     ext = _EXT[order]
     h = r_steps * ext
     nxp, ny, nz = phi_h.shape
@@ -2828,10 +2988,14 @@ def evolve_steps_resident_blocked(
         ext=ext,
         analytic=analytic,
         r_steps=r_steps,
+        prefetch=prefetch,
     )
     rows_swept = bxp - 2 * ext
     nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
-    need = (bxp + ext + h + 6 * tx) * plane + ny * nz * 4
+    stage_rows = bxp if prefetch else 1
+    need = (
+        (bxp + stage_rows + ext + h + 6 * tx) * plane + ny * nz * 4
+    )
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
@@ -2841,10 +3005,13 @@ def evolve_steps_resident_blocked(
             out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
             scratch_shapes=[
                 pltpu.VMEM((bxp, ny, nz), dtype),
+                pltpu.VMEM((stage_rows, ny, nz), dtype),
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.VMEM((ny, nz), jnp.float32),
                 pltpu.VMEM((h, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA((nslabs,)),
+                pltpu.SemaphoreType.DMA((nslabs,)),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((nslabs,)),
                 pltpu.SemaphoreType.DMA,
             ],
@@ -2856,7 +3023,7 @@ def evolve_steps_resident_blocked(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "bx", "r_steps", "interpret", "tx"),
+                     "bx", "r_steps", "interpret", "tx", "prefetch"),
 )
 def evolve_chunk_resident_blocked(
     phi_h: jnp.ndarray,
@@ -2870,6 +3037,7 @@ def evolve_chunk_resident_blocked(
     r_steps: int,
     interpret: bool = False,
     tx: Optional[int] = None,
+    prefetch: bool = False,
 ) -> jnp.ndarray:
     """A ``screen_update`` chunk through the x-blocked deep-halo resident
     kernel. ``phi_h`` is the deep layout (:func:`to_xpad_k` with
@@ -2882,7 +3050,7 @@ def evolve_chunk_resident_blocked(
 
     def body(_i, p):
         return evolve_steps_resident_blocked(
-            p, order, scale, bx, r_steps, analytic, interpret, tx
+            p, order, scale, bx, r_steps, analytic, interpret, tx, prefetch
         )
 
     phi = jax.lax.fori_loop(0, n_steps // r_steps, body, phi_h)

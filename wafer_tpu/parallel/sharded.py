@@ -248,6 +248,27 @@ class ShardedOps:
                     break
         self.res_steps = res_steps
 
+        # Sharded excited fast path: per-step ψ-resident sweeps (R = 1 —
+        # the per-step global Gram-Schmidt reductions forbid deeper
+        # residency without in-kernel collectives) with the l/Sl windows
+        # streamed, in bf16 when the sublane tiling allows. The coefficient
+        # recursion is psum'd between steps (exact per-step reference
+        # semantics, src/grid.rs:674-681).
+        use_res_exc = False
+        exc_stream_bf16 = False
+        if use_pallas and self.pallas_mode == "x" and n_lower > 0:
+            import os as _os_m
+
+            exc_stream_bf16 = (
+                _os_m.environ.get("WAFER_EXC_STREAM", "bf16") == "bf16"
+                and ny % 16 == 0
+            )
+            use_res_exc = pk.resident_exc_supported(
+                bx, ny, nz, ext, itemsize, n_lower, analytic is not None,
+                stream_itemsize=2 if exc_stream_bf16 else None,
+            )
+        self.use_res_exc = use_res_exc
+
         def orthogonalise(phi, store):
             for s in range(n_lower):
                 lower = store[s]
@@ -602,6 +623,59 @@ class ShardedOps:
                     0, screen_update, body_norm, (to_xpad(phi, ext), coef0)
                 )
                 return p[ext:-ext] * coef[0, 0]
+
+            if use_res_exc:
+                # ψ-resident per-step sweeps: the swept images Sl_s = S(l_s)
+                # are computed once per chunk (their own halos are never
+                # read — the kernel windows the store interiors)
+                sls = []
+                for s_i in range(n_lower):
+                    sl_s, _n2s, _ovs = pk.evolve_step_fused(
+                        store_x[s_i],
+                        None if analytic is not None else b,
+                        None, order, scale, 0, False, pallas_interpret,
+                        analytic=analytic, x_origin=x_org,
+                    )
+                    sls.append(sl_s)
+                sstore_x = jnp.stack(sls)
+                store_s, sstore_s = store_x, sstore_x
+                if exc_stream_bf16:
+                    store_s = store_x.astype(jnp.bfloat16)
+                    sstore_s = sstore_x.astype(jnp.bfloat16)
+                coef0_re = jnp.concatenate(
+                    [
+                        jnp.ones((1, 1), jnp.float32),
+                        jnp.zeros((n_lower, 1), jnp.float32),
+                    ]
+                )
+
+                def body_re(_i, carry):
+                    p, coef = carry
+                    p = refresh_halo(p, ext)
+                    out_x, red = pk.evolve_chunk_resident(
+                        p, order, dt, dn, mass, 1, analytic,
+                        interpret=pallas_interpret,
+                        store_xpad=store_s, sstore_xpad=sstore_s,
+                        b_int=None if analytic is not None else b,
+                        x_origin=x_org, coef0=coef, raw_reductions=True,
+                    )
+                    red_g = _psum(red[:, 0])
+                    inv = jax.lax.rsqrt(
+                        jnp.maximum(red_g[0], jnp.float32(1e-37))
+                    )
+                    coef = jnp.concatenate(
+                        [
+                            inv.reshape(1, 1),
+                            (red_g[1:] * inv).reshape(n_lower, 1),
+                        ]
+                    ).astype(jnp.float32)
+                    return out_x, coef
+
+                p, coef = lax.fori_loop(
+                    0, screen_update, body_re, (to_xpad(phi, ext), coef0_re)
+                )
+                proj = jnp.tensordot(coef[1:, 0].astype(dtype), store, axes=1)
+                return p[ext:-ext] * coef[0, 0].astype(dtype) - proj
 
             coef0 = jnp.concatenate(
                 [jnp.ones((1, 1), dtype), jnp.zeros((n_lower, 1), dtype)]

@@ -485,7 +485,8 @@ def solve(
             return pk.from_xpad_k(
                 pk.evolve_chunk_resident_blocked(
                     pk.to_xpad_k(phi, ext, r_b), order, dt, dn, mass, su,
-                    analytic, bx=bx_b, r_steps=r_b,
+                    analytic, bx=bx_b, r_steps=r_b, tx=resb_plan[2],
+                    prefetch=resb_plan[3],
                 ),
                 ext,
                 r_b,
