@@ -931,3 +931,37 @@ def test_sharded_resident_exc_bf16_streams():
     ov = float(np.sum(lower.astype(np.float64) * out.astype(np.float64)))
     n2 = float(np.sum(out.astype(np.float64) ** 2))
     assert abs(ov) < 1e-3 * np.sqrt(n2), ov
+
+
+def test_sharded_sync_update_matches_per_chunk(tmp_run):
+    """sync_update batching on the sharded driver: step counts, energies,
+    and final fields match the per-chunk cadence (VERDICT r2 #7)."""
+    from wafer_tpu.parallel.solver_sharded import run_sharded
+
+    common = dict(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.25, "dt": 0.015},
+        tolerance=1e-7,
+        potential="Harmonic",
+        init_condition="Gaussian",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        wavemax=1,
+        mesh={"x": 2, "y": 2, "z": 2},
+    )
+    run_dir.check_output_dir("test")
+    cfg1 = base_config(**common)
+    cfg1.sync_update = 1
+    ref = run_sharded(cfg1, seed=9)
+    cfg8 = base_config(**common)
+    cfg8.sync_update = 8
+    out = run_sharded(cfg8, seed=9)
+    for r_ref, r_out in zip(ref, out):
+        assert r_out.steps == r_ref.steps, (r_ref.wnum, r_ref.steps, r_out.steps)
+        e_ref = r_ref.observables.energy / r_ref.observables.norm2
+        e_out = r_out.observables.energy / r_out.observables.norm2
+        assert abs(e_ref - e_out) < 1e-12, (r_ref.wnum, e_ref, e_out)
+        # scan-fused vs eager chunk arithmetic differs at the f64 ulp
+        # level under shard_map; the trajectories are the same
+        np.testing.assert_allclose(
+            np.asarray(r_ref.phi), np.asarray(r_out.phi), rtol=0, atol=1e-14
+        )

@@ -55,12 +55,6 @@ def run_sharded(
             )
 
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
-    if config.sync_update and config.sync_update > 1:
-        log.warning(
-            "sync_update=%d is not implemented on the sharded driver; "
-            "running per-chunk host synchronisation",
-            config.sync_update,
-        )
     pots = potentials_mod.load_arrays(config, log)
     ext = config.central_difference.ext
 
@@ -145,10 +139,144 @@ def _solve_state(
     obs = None
     per_step_norm = False
 
+    # Device-side convergence batching (sync_update — the same opt-in
+    # cadence contract as solver.solve: per-chunk observables, snapshot
+    # and max_steps semantics replayed on the host from the batch's rows).
+    # Round trips cost most on multi-chip meshes, which is exactly this
+    # driver (VERDICT r2 #7). Spec: src/grid.rs:126-220.
+    import jax as _jax
+    from wafer_tpu.solver import pick_batch_k
+
+    k_sync = config.sync_update or 1
+    su = config.output.screen_update
+    if k_sync > 1 and not _jax.config.jax_enable_x64:
+        log.warning(
+            "sync_update=%d with jax_enable_x64 off: the on-device "
+            "convergence verdict is f32 and may differ from the host check "
+            "by an ulp at the tolerance edge",
+            k_sync,
+        )
+    _batched_cache: dict = {}
+
+    def _get_batched(k_chunks: int, chunk_fn):
+        key = (k_chunks, id(chunk_fn))
+        if key in _batched_cache:
+            return _batched_cache[key]
+
+        def _batched(phi0, last_e0):
+            def body(carry, _):
+                phi_c, phi_conv, last_e, done = carry
+
+                def work(args):
+                    phi_c, phi_conv, last_e = args
+                    (e, n2, vinf, r2), phi_n = ops.measure(
+                        phi_c, v_d, r2_d, sub_d, store_d
+                    )
+                    if _jax.config.jax_enable_x64:
+                        qdt = jnp.complex128 if is_complex else jnp.float64
+                        norm_e = e.astype(qdt) / n2.astype(jnp.float64)
+                    else:
+                        norm_e = e / n2
+                    norm_e = norm_e.astype(last_e.dtype)
+                    done_now = jnp.abs(norm_e - last_e) < config.tolerance
+                    phi_next = _jax.lax.cond(
+                        done_now,
+                        lambda p: p,
+                        lambda p: chunk_fn(p, a_d, b_d, store_d),
+                        phi_n,
+                    )
+                    phi_conv2 = _jax.lax.cond(
+                        done_now, lambda _: phi_n, lambda _: phi_conv, None
+                    )
+                    return (
+                        (phi_next, phi_conv2, norm_e, done_now),
+                        (e, n2, vinf, r2, jnp.bool_(True), done_now),
+                    )
+
+                def idle(args):
+                    phi_c, phi_conv, last_e = args
+                    rdt = (
+                        jnp.float64
+                        if _jax.config.jax_enable_x64
+                        else jnp.float32
+                    )
+                    ze = jnp.zeros((), last_e.dtype)
+                    one = jnp.ones((), rdt)
+                    zf = jnp.zeros((), rdt)
+                    return (
+                        (phi_c, phi_conv, last_e, jnp.bool_(True)),
+                        (ze, one, zf, zf, jnp.bool_(False), jnp.bool_(True)),
+                    )
+
+                return _jax.lax.cond(done, idle, work, (phi_c, phi_conv, last_e))
+
+            init = (phi0, phi0, last_e0, jnp.bool_(False))
+            (phi_f, phi_conv, _le, _done), rows = _jax.lax.scan(
+                body, init, None, length=k_chunks
+            )
+            return phi_f, phi_conv, rows
+
+        fn = _jax.jit(_batched)
+        _batched_cache[key] = fn
+        return fn
+
+    rows_pending: list = []
+    batch_phi_next = None
+    batch_phi_conv = None
+
     while True:
-        (e, n2, vinf, r2), phi = ops.measure(phi, v_d, r2_d, sub_d, store_d)
-        energy = device_get_scalar(e) if is_complex else float(e)
-        obs = Observables(energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2))
+        dev_done = None
+        if rows_pending:
+            obs, dev_done = rows_pending.pop(0)
+        else:
+            k_batch = pick_batch_k(
+                step, k_sync, su, config.output.snap_update, config.max_steps
+            )
+            if k_batch > 1:
+                chunk_fn = (
+                    ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
+                )
+                if is_complex:
+                    led = (
+                        jnp.complex128
+                        if _jax.config.jax_enable_x64
+                        else jnp.complex64
+                    )
+                else:
+                    led = (
+                        jnp.float64
+                        if _jax.config.jax_enable_x64
+                        else jnp.float32
+                    )
+                phi_f, phi_conv, out_rows = _get_batched(k_batch, chunk_fn)(
+                    phi, jnp.asarray(last_energy, dtype=led)
+                )
+                es, n2s, vinfs, r2s_, execs, dones = (
+                    np.asarray(x) for x in out_rows
+                )
+                for j in range(k_batch):
+                    if not bool(execs[j]):
+                        break
+                    rows_pending.append((
+                        Observables(
+                            energy=(
+                                complex(es[j]) if is_complex else float(es[j])
+                            ),
+                            norm2=float(n2s[j]),
+                            v_infinity=float(vinfs[j]),
+                            r2=float(r2s_[j]),
+                        ),
+                        bool(dones[j]),
+                    ))
+                batch_phi_next = phi_f
+                batch_phi_conv = phi_conv
+                continue
+            (e, n2, vinf, r2), phi = ops.measure(phi, v_d, r2_d, sub_d, store_d)
+            energy = device_get_scalar(e) if is_complex else float(e)
+            obs = Observables(
+                energy=energy, norm2=float(n2), v_infinity=float(vinf),
+                r2=float(r2),
+            )
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
@@ -201,7 +329,14 @@ def _solve_state(
                 log.warning("Could not output partial wavefunction: %s", exc)
 
         diff = abs(norm_energy - last_energy)
-        if diff < config.tolerance:
+        converged_now = (
+            dev_done if dev_done is not None else diff < config.tolerance
+        )
+        if converged_now:
+            if dev_done is not None:
+                phi = batch_phi_conv  # the measured psi of this row
+                rows_pending.clear()
+                batch_phi_next = batch_phi_conv = None
             if progress is not None:
                 progress.finish()
             print(terminal.print_measurements(tau, diff, obs))
@@ -231,6 +366,19 @@ def _solve_state(
 
         if config.max_steps is not None and step > config.max_steps:
             break
+
+        if rows_pending:
+            # more device-batch rows pending: advance the cadence only
+            diff_old = float(diff)
+            step += su
+            continue
+        if batch_phi_next is not None:
+            # last row of a device batch: adopt the already-evolved psi
+            phi = batch_phi_next
+            batch_phi_next = batch_phi_conv = None
+            diff_old = float(diff)
+            step += su
+            continue
 
         chunk_fn = ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
         phi = chunk_fn(phi, a_d, b_d, store_d)
