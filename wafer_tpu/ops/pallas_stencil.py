@@ -2717,15 +2717,14 @@ def resident_blocked_supported(nx: int, ny: int, nz: int, ext: int,
 def _evolve_kernel_resb(
     phi_hbm,    # (NX+2H, NY, NZ) ANY — deep x-padded layout, H = R·ext
     out_hbm,    # (NX+2H, NY, NZ) ANY
-    psi_buf,    # (BX+2H, NY, NZ) VMEM — resident across this block's R steps
-    stage,      # (BX+2H, NY, NZ) VMEM prefetch staging (1-row stub when off)
+    psi_a,      # (BX+2H, NY, NZ) VMEM — block buffer (slot 0)
+    psi_b,      # (BX+2H, NY, NZ) VMEM — slot-1 buffer (1-row stub when the
+    # ping-pong prefetch is off)
     lag,        # (ext, NY, NZ) VMEM
     yz_buf,     # (NY, NZ) VMEM — hoisted plane-constant (see _evolve_kernel_res)
     zeros_halo, # (H, NY, NZ) VMEM
-    sem_in,
-    sem_stage,
-    sem_copy,
-    sem_out,
+    sem_in,     # DMA (2·nslabs,)
+    sem_out,    # DMA (2·nslabs,)
     sem_halo,
     *,
     order: str,
@@ -2741,101 +2740,46 @@ def _evolve_kernel_resb(
     i = pl.program_id(0)       # block index (outer)
     t = pl.program_id(1)       # in-block step (inner, sequential)
     nblk = pl.num_programs(0)
-    ny, nz = psi_buf.shape[1], psi_buf.shape[2]
+    ny, nz = psi_a.shape[1], psi_a.shape[2]
     kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
     vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
     h = r_steps * ext
     bxp = bx + 2 * h
-    # padded x coordinate of psi_buf row 0 for this block: interior row 0 of
-    # block i sits at psi_buf row h ↔ padded coordinate ext + i·bx
+    # padded x coordinate of buffer row 0 for this block: interior row 0 of
+    # block i sits at buffer row h ↔ padded coordinate ext + i·bx
     x_row0 = (i * bx).astype(jnp.float32) + jnp.float32(ext - h)
+    last_t = t == r_steps - 1
 
-    # one blind sweep over rows [ext, bxp−ext), ascending slabs, in place
+    # one blind sweep covers rows [ext, bxp−ext), ascending slabs, in place
     rows_swept = bxp - 2 * ext
     slabs = [(ext + s * tx, tx) for s in range(rows_swept // tx)]
     if rows_swept % tx:
         slabs.append((ext + (rows_swept // tx) * tx, rows_swept % tx))
     nslabs = len(slabs)
-
-    # Load/store ride the compute: the block window is DMA'd in per-slab
-    # segments — slab s only waits segment s+1, so all later segment loads
-    # overlap the first step's sweep; the last step's interior rows are
-    # written back per slab as soon as they are final, overlapping the rest
-    # of that sweep. seg 0 = [0, rs₁) (leading halo + slab 0), middle segs
-    # one slab each, last seg extends to bxp (trailing halo).
-    seg_lo = [0] + [rs for rs, _tx in slabs[1:]]
+    # load segments: seg 0 = leading halo + slab 0, last seg extends to bxp
+    seg_lo = [0] + [rs for rs, _t in slabs[1:]]
     seg_hi = seg_lo[1:] + [bxp]
-
-    def in_seg(blk, s):
-        return pltpu.make_async_copy(
-            phi_hbm.at[pl.ds(blk * bx + seg_lo[s], seg_hi[s] - seg_lo[s])],
-            psi_buf.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
-            sem_in.at[s],
-        )
-
-    # interior rows this slab finalises at the last step: ∩ [h, h+bx)
+    # interior rows each slab finalises: ∩ [h, h+bx)
     out_rng = []
     for rs, txs in slabs:
         lo = max(rs, h)
         hi = min(rs + txs, h + bx)
         out_rng.append((lo, hi) if hi > lo else None)
 
-    def out_seg(blk, s):
-        lo, hi = out_rng[s]
-        return pltpu.make_async_copy(
-            psi_buf.at[pl.ds(lo, hi - lo)],
-            out_hbm.at[pl.ds(blk * bx + lo, hi - lo)],
-            sem_out.at[s],
-        )
-
-    def in_stage_seg(blk, s):
+    def in_seg(blk, s, buf, base):
         return pltpu.make_async_copy(
             phi_hbm.at[pl.ds(blk * bx + seg_lo[s], seg_hi[s] - seg_lo[s])],
-            stage.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
-            sem_stage.at[s],
+            buf.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
+            sem_in.at[base * nslabs + s],
         )
 
-    # the previous block's interior write-back still reads psi_buf — drain
-    # it before the loads (or the stage copy) overwrite
-    @pl.when(jnp.logical_and(t == 0, i >= 1))
-    def _drain_prev():
-        for s in range(nslabs):
-            if out_rng[s] is not None:
-                out_seg(i - 1, s).wait()
-
-    if prefetch:
-        # Cross-block overlap: block i+1's window streams into ``stage``
-        # during block i's compute (issued after the first step, when the
-        # previous block's write-backs have mostly drained), then one fast
-        # VMEM→VMEM copy installs it — all static slices, no Mosaic
-        # dynamic-leading-axis penalties. Block 0 cold-starts directly.
-        assert r_steps >= 2, "prefetch mode needs R >= 2"
-
-        @pl.when(jnp.logical_and(t == 0, i == 0))
-        def _cold_load():
-            for s in range(nslabs):
-                in_seg(i, s).start()
-            in_seg(i, 0).wait()
-
-        @pl.when(jnp.logical_and(t == 1, i + 1 < nblk))
-        def _prefetch_next():
-            for s in range(nslabs):
-                in_stage_seg(i + 1, s).start()
-
-        @pl.when(jnp.logical_and(t == 0, i >= 1))
-        def _install_stage():
-            for s in range(nslabs):
-                in_stage_seg(i, s).wait()
-            cp = pltpu.make_async_copy(stage, psi_buf, sem_copy)
-            cp.start()
-            cp.wait()
-    else:
-
-        @pl.when(t == 0)
-        def _load():
-            for s in range(nslabs):
-                in_seg(i, s).start()
-            in_seg(i, 0).wait()
+    def out_seg(blk, s, buf, base):
+        lo, hi = out_rng[s]
+        return pltpu.make_async_copy(
+            buf.at[pl.ds(lo, hi - lo)],
+            out_hbm.at[pl.ds(blk * bx + lo, hi - lo)],
+            sem_out.at[base * nslabs + s],
+        )
 
     @pl.when(jnp.logical_and(i == 0, t == 0))
     def _hoist_yz():
@@ -2849,72 +2793,173 @@ def _evolve_kernel_resb(
         else:
             yz_buf[...] = yz
 
-    last_t = t == r_steps - 1
-    # direct-load segment waits: every t==0 program (serial mode) or only
-    # block 0's cold start (prefetch mode — later blocks were staged)
-    _seg_wait_cond = (
-        jnp.logical_and(t == 0, i == 0) if prefetch else (t == 0)
-    )
-    lag[...] = psi_buf[0:ext]
-    for s_idx, (rs, txs) in enumerate(slabs):
-        if s_idx + 1 < nslabs:
+    def sweep(buf, cold_waits, base):
+        """One blind sweep over ``buf``, in place. ``cold_waits``: wait the
+        next load segment just in time (block 0's cold start)."""
+        lag[...] = buf[0:ext]
+        for s_idx, (rs, txs) in enumerate(slabs):
+            if cold_waits is not None and s_idx + 1 < nslabs:
 
-            @pl.when(_seg_wait_cond)
-            def _wait_next_seg(_s=s_idx + 1):
-                in_seg(i, _s).wait()
+                @pl.when(cold_waits)
+                def _wait_next_seg(_s=s_idx + 1):
+                    in_seg(i, _s, buf, base).wait()
 
-        c = psi_buf[rs : rs + txs]
-        acc = (-float(center_c)) * c
-        for off, cf in zip(offsets, coeffs):
-            cf = float(cf)
-            xm = jnp.concatenate(
-                [lag[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
+            c = buf[rs : rs + txs]
+            acc = (-float(center_c)) * c
+            for off, cf in zip(offsets, coeffs):
+                cf = float(cf)
+                xm = jnp.concatenate(
+                    [lag[ext - off : ext], buf[rs : rs + txs - off]], axis=0
+                )
+                xp = buf[rs + off : rs + txs + off]
+                acc += cf * (xm + xp)
+                acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
+                acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
+            if kind == "NoPotential":
+                b = 1.0 / (1.0 - 0.5 * dt_ * vshift)
+            elif kind == "Harmonic":
+                dx = jax.lax.broadcasted_iota(
+                    jnp.int32, (txs, 1, 1), 0
+                ).astype(jnp.float32) + (
+                    x_row0 + jnp.float32(rs) - (ngx + 1.0) / 2.0
+                )
+                q = (0.25 * dt_ * dn * dn) * (dx * dx)
+                b = 1.0 / (yz_buf[...][None, :, :] + q)
+            elif kind == "Periodic":
+                px = jax.lax.broadcasted_iota(
+                    jnp.int32, (txs, 1, 1), 0
+                ).astype(jnp.float32) + (x_row0 + jnp.float32(rs))
+                two_pi = 2.0 * 3.14159265358979323846
+                sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
+                cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
+                b = 1.0 / (cconst - sx * yz_buf[...][None, :, :])
+            else:
+                b = _analytic_b(
+                    analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext,
+                    ext, yz=yz_buf[...],
+                )
+            new = b * (2.0 * c + scale * acc) - c
+            lag[...] = buf[rs + txs - ext : rs + txs]
+            buf[rs : rs + txs] = new
+
+    def dirichlet(buf):
+        # global Dirichlet: edge blocks re-zero their halo side each step
+        # (the blind sweep wrote into it)
+        @pl.when(i == 0)
+        def _lo():
+            buf[0:h] = jnp.zeros((h, ny, nz), buf.dtype)
+
+        @pl.when(i == nblk - 1)
+        def _hi():
+            buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), buf.dtype)
+
+    if not prefetch:
+        # serial mode: one buffer; loads at t==0 with just-in-time waits,
+        # per-slab write-back during the last sweep
+        @pl.when(jnp.logical_and(t == 0, i >= 1))
+        def _drain_prev():
+            for s in range(nslabs):
+                if out_rng[s] is not None:
+                    out_seg(i - 1, s, psi_a, 0).wait()
+
+        @pl.when(t == 0)
+        def _load():
+            for s in range(nslabs):
+                in_seg(i, s, psi_a, 0).start()
+            in_seg(i, 0, psi_a, 0).wait()
+
+        sweep(psi_a, t == 0, 0)
+        dirichlet(psi_a)
+
+        @pl.when(last_t)
+        def _emit_outs():
+            for s in range(nslabs):
+                if out_rng[s] is not None:
+                    out_seg(i, s, psi_a, 0).start()
+
+        @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+        def _drain_tail():
+            for s in range(nslabs):
+                if out_rng[s] is not None:
+                    out_seg(i, s, psi_a, 0).wait()
+    else:
+        # Ping-pong prefetch: block i computes in place on buf[i%2] while
+        # the DMA engine only touches the *other* buffer (loads for block
+        # i+1, drains of block i-1's write-backs) — no compute↔DMA hazard
+        # on a shared buffer, so the transfers genuinely hide behind the
+        # sweeps (Mosaic serialises same-buffer traffic; measured 512³:
+        # in-place single-buffer overlap never engaged). The slot is made
+        # static by duplicating the schedule under two predicates.
+        assert r_steps >= 2, "ping-pong prefetch needs R >= 2"
+        bufs = (psi_a, psi_b)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        for sl in (0, 1):
+            p_slot = slot == sl
+            buf = bufs[sl]
+            other = bufs[1 - sl]
+
+            # cold start (block 0 only lives in slot 0)
+            if sl == 0:
+
+                @pl.when(jnp.logical_and(p_slot, jnp.logical_and(t == 0, i == 0)))
+                def _cold_load():
+                    for s in range(nslabs):
+                        in_seg(i, s, buf, sl).start()
+                    in_seg(i, 0, buf, sl).wait()
+
+            # later blocks: the window was staged by block i-1 — just wait
+            @pl.when(jnp.logical_and(p_slot, jnp.logical_and(t == 0, i >= 1)))
+            def _wait_staged(_buf=buf, _sl=sl):
+                for s in range(nslabs):
+                    in_seg(i, s, _buf, _sl).wait()
+
+            # after the first step: drain block i-1's write-backs from the
+            # other buffer, then stage block i+1's window into it
+            @pl.when(
+                jnp.logical_and(
+                    p_slot,
+                    jnp.logical_and(t == 1, jnp.logical_and(i >= 1, i + 1 < nblk)),
+                )
             )
-            xp = psi_buf[rs + off : rs + txs + off]
-            acc += cf * (xm + xp)
-            acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
-            acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
-        if kind == "NoPotential":
-            b = 1.0 / (1.0 - 0.5 * dt_ * vshift)
-        elif kind == "Harmonic":
-            dx = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
-                jnp.float32
-            ) + (x_row0 + jnp.float32(rs) - (ngx + 1.0) / 2.0)
-            q = (0.25 * dt_ * dn * dn) * (dx * dx)
-            b = 1.0 / (yz_buf[...][None, :, :] + q)
-        elif kind == "Periodic":
-            px = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
-                jnp.float32
-            ) + (x_row0 + jnp.float32(rs))
-            two_pi = 2.0 * 3.14159265358979323846
-            sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
-            cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
-            b = 1.0 / (cconst - sx * yz_buf[...][None, :, :])
-        else:
-            b = _analytic_b(
-                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext,
-                yz=yz_buf[...],
+            def _drain_prev_outs(_other=other, _osl=1 - sl):
+                for s in range(nslabs):
+                    if out_rng[s] is not None:
+                        out_seg(i - 1, s, _other, _osl).wait()
+
+            @pl.when(jnp.logical_and(p_slot, jnp.logical_and(t == 1, i + 1 < nblk)))
+            def _stage_next(_other=other, _osl=1 - sl):
+                for s in range(nslabs):
+                    in_seg(i + 1, s, _other, _osl).start()
+
+            @pl.when(p_slot)
+            def _sweep(_buf=buf, _sl=sl):
+                cold = (
+                    jnp.logical_and(t == 0, i == 0) if _sl == 0 else None
+                )
+                sweep(_buf, cold, _sl)
+                dirichlet(_buf)
+
+            # write-backs issued after the whole sweep: they drain during
+            # the NEXT block's compute (which runs on the other buffer)
+            @pl.when(jnp.logical_and(p_slot, last_t))
+            def _emit_outs(_buf=buf, _sl=sl):
+                for s in range(nslabs):
+                    if out_rng[s] is not None:
+                        out_seg(i, s, _buf, _sl).start()
+
+            @pl.when(
+                jnp.logical_and(p_slot, jnp.logical_and(last_t, i == nblk - 1))
             )
-        new = b * (2.0 * c + scale * acc) - c
-        lag[...] = psi_buf[rs + txs - ext : rs + txs]
-        psi_buf[rs : rs + txs] = new
-        if out_rng[s_idx] is not None:
-            # last step: these interior rows are final — write back now,
-            # overlapping the rest of the sweep
-            @pl.when(last_t)
-            def _store_slab(_s=s_idx):
-                out_seg(i, _s).start()
+            def _drain_tail(_buf=buf, _sl=sl, _other=other, _osl=1 - sl):
+                for s in range(nslabs):
+                    if out_rng[s] is not None:
+                        out_seg(i, s, _buf, _sl).wait()
 
-    # global Dirichlet: edge blocks re-zero their halo side after every step
-    # (the blind sweep wrote into it; the halo is outside the stored
-    # interior, so the in-flight out segments are unaffected)
-    @pl.when(i == 0)
-    def _dirichlet_lo():
-        psi_buf[0:h] = jnp.zeros((h, ny, nz), psi_buf.dtype)
-
-    @pl.when(i == nblk - 1)
-    def _dirichlet_hi():
-        psi_buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+                @pl.when(i >= 1)
+                def _drain_second_last():
+                    for s in range(nslabs):
+                        if out_rng[s] is not None:
+                            out_seg(i - 1, s, _other, _osl).wait()
 
     # the out array's halo rows are Dirichlet zeros
     @pl.when(jnp.logical_and(last_t, i == 0))
@@ -2935,12 +2980,6 @@ def _evolve_kernel_resb(
         )
         hc.start()
         hc.wait()
-
-    @pl.when(jnp.logical_and(last_t, i == nblk - 1))
-    def _drain_tail():
-        for s in range(nslabs):
-            if out_rng[s] is not None:
-                out_seg(i, s).wait()
 
 
 @functools.partial(
@@ -2992,9 +3031,9 @@ def evolve_steps_resident_blocked(
     )
     rows_swept = bxp - 2 * ext
     nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
-    stage_rows = bxp if prefetch else 1
+    slot_rows = bxp if prefetch else 1
     need = (
-        (bxp + stage_rows + ext + h + 6 * tx) * plane + ny * nz * 4
+        (bxp + slot_rows + ext + h + 6 * tx) * plane + ny * nz * 4
     )
     with jax.enable_x64(False):
         return pl.pallas_call(
@@ -3005,14 +3044,12 @@ def evolve_steps_resident_blocked(
             out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
             scratch_shapes=[
                 pltpu.VMEM((bxp, ny, nz), dtype),
-                pltpu.VMEM((stage_rows, ny, nz), dtype),
+                pltpu.VMEM((slot_rows, ny, nz), dtype),
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.VMEM((ny, nz), jnp.float32),
                 pltpu.VMEM((h, ny, nz), dtype),
-                pltpu.SemaphoreType.DMA((nslabs,)),
-                pltpu.SemaphoreType.DMA((nslabs,)),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA((nslabs,)),
+                pltpu.SemaphoreType.DMA((2 * nslabs,)),
+                pltpu.SemaphoreType.DMA((2 * nslabs,)),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
