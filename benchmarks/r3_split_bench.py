@@ -38,11 +38,14 @@ def main() -> None:
     plan = ps.pick_resb_sc(N, N, N, ext, 4, STEPS)
     print(f"[split {N}^3] pick_resb_sc -> {plan}", flush=True)
     if force:
-        bx, r, tx = (int(x) for x in force.split(","))
+        parts = [int(x) for x in force.split(",")]
+        bx, r, tx = parts[:3]
+        pf = bool(parts[3]) if len(parts) > 3 else False
     elif plan is None:
         return
     else:
-        bx, r, tx, _rate = plan
+        bx, r, tx, pf, _rate = plan
+    print(f"[split {N}^3] using bx={bx} r={r} tx={tx} prefetch={pf}", flush=True)
 
     rng = np.random.default_rng(0)
     pr = np.zeros((N + 2 * ext,) * 3, np.float32)
@@ -65,7 +68,7 @@ def main() -> None:
     t0 = time.perf_counter()
     out2 = ps.evolve_chunk_resident_blocked_sc(
         ps.to_xpad_k_sc(pr, pi, ext, r), order, dt, dn, mass, r, an,
-        bx=bx, r_steps=r, tx=tx,
+        bx=bx, r_steps=r, tx=tx, prefetch=pf,
     )
     or_, oi_ = ps.from_xpad_k_sc(out2, ext, r)
     dev = max(
@@ -81,7 +84,8 @@ def main() -> None:
 
     def chunk(p2):
         return ps.evolve_chunk_resident_blocked_sc(
-            p2, order, dt, dn, mass, STEPS, an, bx=bx, r_steps=r, tx=tx
+            p2, order, dt, dn, mass, STEPS, an, bx=bx, r_steps=r, tx=tx,
+            prefetch=pf,
         )
 
     def run_chain(p2, reps):

@@ -273,7 +273,7 @@ def test_pick_resb_sc_plans():
     multi-block deep-halo plan within the resident budget."""
     plan = ps.pick_resb_sc(256, 256, 256, 1, 4, 500)
     assert plan is not None
-    bx, r, tx, _rate = plan
+    bx, r, tx, _pf, _rate = plan
     assert 256 % bx == 0 and 256 // bx >= 2
     assert 2 * (bx + 2 * r) * 256 * 256 * 4 <= ps._pk._RES_BUDGET
     assert ps.pick_resb_sc(256, 256, 256, 1, 8, 500) is None  # f32 only

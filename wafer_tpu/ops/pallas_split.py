@@ -791,8 +791,11 @@ def evolve_chunk_resident_sc(
 
 def pick_resb_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                  n_steps: int):
-    """(bx, r, tx, modeled_rate) for the split blocked kernel, or None.
-    Mirrors ops/pallas_stencil.pick_resb with pair-doubled buffers."""
+    """(bx, r, tx, prefetch, modeled_rate) for the split blocked kernel, or
+    None. Mirrors ops/pallas_stencil.pick_resb with pair-doubled buffers:
+    without the ping-pong second buffer the DMA serialises against the
+    in-place sweep (measured on the real kernel); with it only the
+    residual slack remains."""
     if itemsize != 4:
         return None
     plane = ny * nz * itemsize
@@ -806,28 +809,35 @@ def pick_resb_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
             bxp = bx + 2 * h
             if 2 * bxp * plane > _pk._RES_BUDGET:
                 continue
-            tx = None
             rows = bxp - 2 * ext
-            for cand in (32, 16, 8, 4):
-                if cand > rows or cand <= ext or not (
-                    rows % cand == 0 or rows % cand > ext
-                ):
-                    continue
-                if (2 * bxp + 2 * ext + h + 12 * cand) * plane <= (
-                    _pk._RESB_NEED_CAP
-                ):
-                    tx = cand
-                    break
-            if tx is None:
-                continue
+
+            def _tx_under(cap_rows):
+                for cand in (32, 16, 8, 4):
+                    if cand > rows or cand <= ext or not (
+                        rows % cand == 0 or rows % cand > ext
+                    ):
+                        continue
+                    if (cap_rows + 12 * cand) * plane <= _pk._RESB_NEED_CAP:
+                        return cand
+                return None
+
             vpu_rows = r * (bx + 2 * (r - 1) * ext)
-            dma_rows = 0.73 * (2 * tx + 2 * ext)
-            rate = bx * r / (vpu_rows + dma_rows)
-            if rate > best_rate:
-                best, best_rate = (bx, r, tx), rate
+            # ping-pong: FOUR pair-component buffers (2 slots × (re, im))
+            tx_pf = None
+            if 4 * bxp * plane <= 2 * _pk._RES_BUDGET:
+                tx_pf = _tx_under(4 * bxp + 2 * ext + h)
+            if tx_pf is not None:
+                rate = bx * r / (vpu_rows + 0.25 * bxp)
+                if rate > best_rate:
+                    best, best_rate = (bx, r, tx_pf, True), rate
+            tx = _tx_under(2 * bxp + 2 * ext + h)
+            if tx is not None:
+                rate = bx * r / (vpu_rows + 0.73 * 2 * (bxp + bx))
+                if rate > best_rate:
+                    best, best_rate = (bx, r, tx, False), rate
     if best is None:
         return None
-    return best[0], best[1], best[2], best_rate
+    return best[0], best[1], best[2], best[3], best_rate
 
 
 def resident_blocked_sc_supported(nx: int, ny: int, nz: int, ext: int,
@@ -842,12 +852,14 @@ def resident_blocked_sc_supported(nx: int, ny: int, nz: int, ext: int,
 def _evolve_kernel_resb_sc(
     psi_hbm,    # (2·NXH, NY, NZ) ANY — deep layout, NXH = NX+2H, re rows first
     out_hbm,    # (2·NXH, NY, NZ) ANY
-    psi_buf,    # (2·BXP, NY, NZ) VMEM — block pair, re rows [0, BXP)
+    psi_a,      # (2·BXP, NY, NZ) VMEM — block pair, re rows [0, BXP)
+    psi_b,      # (2·BXP, NY, NZ) VMEM — slot-1 pair (1-row stub when the
+    # ping-pong prefetch is off)
     lag_r,      # (ext, NY, NZ) VMEM
     lag_i,      # (ext, NY, NZ) VMEM
     zeros_halo, # (H, NY, NZ) VMEM
-    sem_in,     # DMA (2·nslabs,)
-    sem_out,    # DMA (2·nslabs,)
+    sem_in,     # DMA (2·2·nslabs,)
+    sem_out,    # DMA (2·2·nslabs,)
     sem_halo,
     *,
     order: str,
@@ -857,16 +869,18 @@ def _evolve_kernel_resb_sc(
     ext: int,
     analytic,
     r_steps: int,
+    prefetch: bool = False,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
     t = pl.program_id(1)
     nblk = pl.num_programs(0)
-    ny, nz = psi_buf.shape[1], psi_buf.shape[2]
+    ny, nz = psi_a.shape[1], psi_a.shape[2]
     h = r_steps * ext
     bxp = bx + 2 * h
     nxh = psi_hbm.shape[0] // 2
     x_row0 = (i * bx).astype(jnp.float32) + jnp.float32(ext - h)
+    last_t = t == r_steps - 1
 
     rows_swept = bxp - 2 * ext
     slabs = [(ext + s * tx, tx) for s in range(rows_swept // tx)]
@@ -876,105 +890,182 @@ def _evolve_kernel_resb_sc(
 
     seg_lo = [0] + [rs for rs, _t in slabs[1:]]
     seg_hi = seg_lo[1:] + [bxp]
-
-    def in_seg(blk, s, comp):
-        src0 = comp * nxh + blk * bx + seg_lo[s]
-        dst0 = comp * bxp + seg_lo[s]
-        return pltpu.make_async_copy(
-            psi_hbm.at[pl.ds(src0, seg_hi[s] - seg_lo[s])],
-            psi_buf.at[pl.ds(dst0, seg_hi[s] - seg_lo[s])],
-            sem_in.at[comp * nslabs + s],
-        )
-
     out_rng = []
     for rs, txs in slabs:
         lo = max(rs, h)
         hi = min(rs + txs, h + bx)
         out_rng.append((lo, hi) if hi > lo else None)
 
-    def out_seg(blk, s, comp):
+    def in_seg(blk, s, comp, buf, base):
+        src0 = comp * nxh + blk * bx + seg_lo[s]
+        dst0 = comp * bxp + seg_lo[s]
+        return pltpu.make_async_copy(
+            psi_hbm.at[pl.ds(src0, seg_hi[s] - seg_lo[s])],
+            buf.at[pl.ds(dst0, seg_hi[s] - seg_lo[s])],
+            sem_in.at[(base * 2 + comp) * nslabs + s],
+        )
+
+    def out_seg(blk, s, comp, buf, base):
         lo, hi = out_rng[s]
         return pltpu.make_async_copy(
-            psi_buf.at[pl.ds(comp * bxp + lo, hi - lo)],
+            buf.at[pl.ds(comp * bxp + lo, hi - lo)],
             out_hbm.at[pl.ds(comp * nxh + blk * bx + lo, hi - lo)],
-            sem_out.at[comp * nslabs + s],
+            sem_out.at[(base * 2 + comp) * nslabs + s],
         )
 
-    @pl.when(jnp.logical_and(t == 0, i >= 1))
-    def _drain_prev():
+    def sweep(buf, cold_waits, base):
+        lag_r[...] = buf[0:ext]
+        lag_i[...] = buf[bxp : bxp + ext]
+        for s_idx, (rs, txs) in enumerate(slabs):
+            if cold_waits is not None and s_idx + 1 < nslabs:
+
+                @pl.when(cold_waits)
+                def _wait_next_seg(_s=s_idx + 1):
+                    in_seg(i, _s, 0, buf, base).wait()
+                    in_seg(i, _s, 1, buf, base).wait()
+
+            cr = buf[rs : rs + txs]
+            ci = buf[bxp + rs : bxp + rs + txs]
+            acc_r = (-float(center_c)) * cr
+            acc_i = (-float(center_c)) * ci
+            for off, cf in zip(offsets, coeffs):
+                cf = float(cf)
+                xm_r = jnp.concatenate(
+                    [lag_r[ext - off : ext], buf[rs : rs + txs - off]], axis=0
+                )
+                xp_r = buf[rs + off : rs + txs + off]
+                acc_r += cf * (xm_r + xp_r)
+                acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))
+                acc_r += cf * (_shift_z(cr, off) + _shift_z(cr, -off))
+                xm_i = jnp.concatenate(
+                    [lag_i[ext - off : ext],
+                     buf[bxp + rs : bxp + rs + txs - off]], axis=0
+                )
+                xp_i = buf[bxp + rs + off : bxp + rs + txs + off]
+                acc_i += cf * (xm_i + xp_i)
+                acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
+                acc_i += cf * (_shift_z(ci, off) + _shift_z(ci, -off))
+            br, bi = _analytic_b_sc(
+                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext
+            )
+            tr = 2.0 * cr + scale * acc_r
+            ti = 2.0 * ci + scale * acc_i
+            new_r = br * tr - bi * ti - cr
+            new_i = br * ti + bi * tr - ci
+            lag_r[...] = buf[rs + txs - ext : rs + txs]
+            lag_i[...] = buf[bxp + rs + txs - ext : bxp + rs + txs]
+            buf[rs : rs + txs] = new_r
+            buf[bxp + rs : bxp + rs + txs] = new_i
+
+    def dirichlet(buf):
+        @pl.when(i == 0)
+        def _lo():
+            buf[0:h] = jnp.zeros((h, ny, nz), buf.dtype)
+            buf[bxp : bxp + h] = jnp.zeros((h, ny, nz), buf.dtype)
+
+        @pl.when(i == nblk - 1)
+        def _hi():
+            buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), buf.dtype)
+            buf[2 * bxp - h : 2 * bxp] = jnp.zeros((h, ny, nz), buf.dtype)
+
+    def start_all(blk, buf, base):
+        for s in range(nslabs):
+            in_seg(blk, s, 0, buf, base).start()
+            in_seg(blk, s, 1, buf, base).start()
+
+    def wait_all_in(blk, buf, base):
+        for s in range(nslabs):
+            in_seg(blk, s, 0, buf, base).wait()
+            in_seg(blk, s, 1, buf, base).wait()
+
+    def emit_outs(blk, buf, base):
         for s in range(nslabs):
             if out_rng[s] is not None:
-                out_seg(i - 1, s, 0).wait()
-                out_seg(i - 1, s, 1).wait()
+                out_seg(blk, s, 0, buf, base).start()
+                out_seg(blk, s, 1, buf, base).start()
 
-    @pl.when(t == 0)
-    def _load():
+    def drain_outs(blk, buf, base):
         for s in range(nslabs):
-            in_seg(i, s, 0).start()
-            in_seg(i, s, 1).start()
-        in_seg(i, 0, 0).wait()
-        in_seg(i, 0, 1).wait()
+            if out_rng[s] is not None:
+                out_seg(blk, s, 0, buf, base).wait()
+                out_seg(blk, s, 1, buf, base).wait()
 
-    last_t = t == r_steps - 1
-    lag_r[...] = psi_buf[0:ext]
-    lag_i[...] = psi_buf[bxp : bxp + ext]
-    for s_idx, (rs, txs) in enumerate(slabs):
-        if s_idx + 1 < nslabs:
+    if not prefetch:
+        @pl.when(jnp.logical_and(t == 0, i >= 1))
+        def _drain_prev():
+            drain_outs(i - 1, psi_a, 0)
 
-            @pl.when(t == 0)
-            def _wait_next_seg(_s=s_idx + 1):
-                in_seg(i, _s, 0).wait()
-                in_seg(i, _s, 1).wait()
+        @pl.when(t == 0)
+        def _load():
+            start_all(i, psi_a, 0)
+            in_seg(i, 0, 0, psi_a, 0).wait()
+            in_seg(i, 0, 1, psi_a, 0).wait()
 
-        cr = psi_buf[rs : rs + txs]
-        ci = psi_buf[bxp + rs : bxp + rs + txs]
-        acc_r = (-float(center_c)) * cr
-        acc_i = (-float(center_c)) * ci
-        for off, cf in zip(offsets, coeffs):
-            cf = float(cf)
-            xm_r = jnp.concatenate(
-                [lag_r[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
+        sweep(psi_a, t == 0, 0)
+        dirichlet(psi_a)
+
+        @pl.when(last_t)
+        def _emit():
+            emit_outs(i, psi_a, 0)
+
+        @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+        def _drain_tail():
+            drain_outs(i, psi_a, 0)
+    else:
+        # two-buffer ping-pong: see ops/pallas_stencil._evolve_kernel_resb —
+        # compute never shares a buffer with in-flight DMA
+        assert r_steps >= 2, "ping-pong prefetch needs R >= 2"
+        bufs = (psi_a, psi_b)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        for sl in (0, 1):
+            p_slot = slot == sl
+            buf = bufs[sl]
+            other = bufs[1 - sl]
+
+            if sl == 0:
+
+                @pl.when(jnp.logical_and(p_slot, jnp.logical_and(t == 0, i == 0)))
+                def _cold_load():
+                    start_all(i, psi_a, 0)
+                    in_seg(i, 0, 0, psi_a, 0).wait()
+                    in_seg(i, 0, 1, psi_a, 0).wait()
+
+            @pl.when(jnp.logical_and(p_slot, jnp.logical_and(t == 0, i >= 1)))
+            def _wait_staged(_buf=buf, _sl=sl):
+                wait_all_in(i, _buf, _sl)
+
+            @pl.when(
+                jnp.logical_and(
+                    p_slot,
+                    jnp.logical_and(t == 1, jnp.logical_and(i >= 1, i + 1 < nblk)),
+                )
             )
-            xp_r = psi_buf[rs + off : rs + txs + off]
-            acc_r += cf * (xm_r + xp_r)
-            acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))
-            acc_r += cf * (_shift_z(cr, off) + _shift_z(cr, -off))
-            xm_i = jnp.concatenate(
-                [lag_i[ext - off : ext],
-                 psi_buf[bxp + rs : bxp + rs + txs - off]], axis=0
+            def _drain_prev_outs(_other=other, _osl=1 - sl):
+                drain_outs(i - 1, _other, _osl)
+
+            @pl.when(jnp.logical_and(p_slot, jnp.logical_and(t == 1, i + 1 < nblk)))
+            def _stage_next(_other=other, _osl=1 - sl):
+                start_all(i + 1, _other, _osl)
+
+            @pl.when(p_slot)
+            def _sweep(_buf=buf, _sl=sl):
+                cold = jnp.logical_and(t == 0, i == 0) if _sl == 0 else None
+                sweep(_buf, cold, _sl)
+                dirichlet(_buf)
+
+            @pl.when(jnp.logical_and(p_slot, last_t))
+            def _emit(_buf=buf, _sl=sl):
+                emit_outs(i, _buf, _sl)
+
+            @pl.when(
+                jnp.logical_and(p_slot, jnp.logical_and(last_t, i == nblk - 1))
             )
-            xp_i = psi_buf[bxp + rs + off : bxp + rs + txs + off]
-            acc_i += cf * (xm_i + xp_i)
-            acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
-            acc_i += cf * (_shift_z(ci, off) + _shift_z(ci, -off))
-        br, bi = _analytic_b_sc(
-            analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext
-        )
-        tr = 2.0 * cr + scale * acc_r
-        ti = 2.0 * ci + scale * acc_i
-        new_r = br * tr - bi * ti - cr
-        new_i = br * ti + bi * tr - ci
-        lag_r[...] = psi_buf[rs + txs - ext : rs + txs]
-        lag_i[...] = psi_buf[bxp + rs + txs - ext : bxp + rs + txs]
-        psi_buf[rs : rs + txs] = new_r
-        psi_buf[bxp + rs : bxp + rs + txs] = new_i
-        if out_rng[s_idx] is not None:
+            def _drain_tail(_buf=buf, _sl=sl, _other=other, _osl=1 - sl):
+                drain_outs(i, _buf, _sl)
 
-            @pl.when(last_t)
-            def _store_slab(_s=s_idx):
-                out_seg(i, _s, 0).start()
-                out_seg(i, _s, 1).start()
-
-    # global Dirichlet: edge blocks re-zero the halo side of both components
-    @pl.when(i == 0)
-    def _dirichlet_lo():
-        psi_buf[0:h] = jnp.zeros((h, ny, nz), psi_buf.dtype)
-        psi_buf[bxp : bxp + h] = jnp.zeros((h, ny, nz), psi_buf.dtype)
-
-    @pl.when(i == nblk - 1)
-    def _dirichlet_hi():
-        psi_buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), psi_buf.dtype)
-        psi_buf[2 * bxp - h : 2 * bxp] = jnp.zeros((h, ny, nz), psi_buf.dtype)
+                @pl.when(i >= 1)
+                def _drain_second_last():
+                    drain_outs(i - 1, _other, _osl)
 
     @pl.when(jnp.logical_and(last_t, i == 0))
     def _zero_lo():
@@ -996,18 +1087,11 @@ def _evolve_kernel_resb_sc(
             hc.start()
             hc.wait()
 
-    @pl.when(jnp.logical_and(last_t, i == nblk - 1))
-    def _drain_tail():
-        for s in range(nslabs):
-            if out_rng[s] is not None:
-                out_seg(i, s, 0).wait()
-                out_seg(i, s, 1).wait()
-
 
 @functools.partial(
     jax.jit,
     static_argnames=("order", "scale", "bx", "r_steps", "analytic",
-                     "interpret", "tx"),
+                     "interpret", "tx", "prefetch"),
 )
 def evolve_steps_resident_blocked_sc(
     psi2_h: jnp.ndarray,
@@ -1018,6 +1102,7 @@ def evolve_steps_resident_blocked_sc(
     analytic,
     interpret: bool = False,
     tx: Optional[int] = None,
+    prefetch: bool = False,
 ) -> jnp.ndarray:
     """One out-of-place pass of ``r_steps`` blind deep-halo split sweeps
     over VMEM-sized x-blocks. ``psi2_h`` is the stacked deep layout
@@ -1055,10 +1140,12 @@ def evolve_steps_resident_blocked_sc(
         ext=ext,
         analytic=analytic,
         r_steps=r_steps,
+        prefetch=prefetch,
     )
     rows_swept = bxp - 2 * ext
     nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
-    need = (2 * bxp + 2 * ext + h + 12 * tx) * plane
+    slot_rows = 2 * bxp if prefetch else 1
+    need = (2 * bxp + slot_rows + 2 * ext + h + 12 * tx) * plane
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
@@ -1068,11 +1155,12 @@ def evolve_steps_resident_blocked_sc(
             out_shape=jax.ShapeDtypeStruct((nxh2, ny, nz), dtype),
             scratch_shapes=[
                 pltpu.VMEM((2 * bxp, ny, nz), dtype),
+                pltpu.VMEM((slot_rows, ny, nz), dtype),
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.VMEM((h, ny, nz), dtype),
-                pltpu.SemaphoreType.DMA((2 * nslabs,)),
-                pltpu.SemaphoreType.DMA((2 * nslabs,)),
+                pltpu.SemaphoreType.DMA((4 * nslabs,)),
+                pltpu.SemaphoreType.DMA((4 * nslabs,)),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
@@ -1083,7 +1171,7 @@ def evolve_steps_resident_blocked_sc(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "bx", "r_steps", "interpret", "tx"),
+                     "bx", "r_steps", "interpret", "tx", "prefetch"),
 )
 def evolve_chunk_resident_blocked_sc(
     psi2_h: jnp.ndarray,
@@ -1097,6 +1185,7 @@ def evolve_chunk_resident_blocked_sc(
     r_steps: int,
     interpret: bool = False,
     tx: Optional[int] = None,
+    prefetch: bool = False,
 ) -> jnp.ndarray:
     """A split-complex ground chunk through the x-blocked deep-halo
     resident kernel; remainder steps run as 1-step fused split sweeps
@@ -1107,7 +1196,7 @@ def evolve_chunk_resident_blocked_sc(
 
     def body(_i, p):
         return evolve_steps_resident_blocked_sc(
-            p, order, scale, bx, r_steps, analytic, interpret, tx
+            p, order, scale, bx, r_steps, analytic, interpret, tx, prefetch
         )
 
     psi2 = jax.lax.fori_loop(0, n_steps // r_steps, body, psi2_h)

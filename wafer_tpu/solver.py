@@ -1246,7 +1246,7 @@ def _solve_split(
                         order, dt, dn, mass, config.output.screen_update,
                         sc_analytic,
                         bx=resb_sc_plan[0], r_steps=resb_sc_plan[1],
-                        tx=resb_sc_plan[2],
+                        tx=resb_sc_plan[2], prefetch=resb_sc_plan[3],
                     ),
                     ext,
                     resb_sc_plan[1],
