@@ -27,6 +27,7 @@ src/grid.rs:674-681).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -822,14 +823,17 @@ def pick_resb_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                 return None
 
             vpu_rows = r * (bx + 2 * (r - 1) * ext)
-            # ping-pong: FOUR pair-component buffers (2 slots × (re, im))
-            tx_pf = None
-            if 4 * bxp * plane <= 2 * _pk._RES_BUDGET:
-                tx_pf = _tx_under(4 * bxp + 2 * ext + h)
-            if tx_pf is not None:
-                rate = bx * r / (vpu_rows + 0.25 * bxp)
-                if rate > best_rate:
-                    best, best_rate = (bx, r, tx_pf, True), rate
+            # serial by default (overlap variants measured no better on the
+            # real kernel — see ops/pallas_stencil.pick_resb); ping-pong
+            # behind WAFER_RESB_PREFETCH=1
+            if _os.environ.get("WAFER_RESB_PREFETCH") == "1":
+                tx_pf = None
+                if 4 * bxp * plane <= 2 * _pk._RES_BUDGET:
+                    tx_pf = _tx_under(4 * bxp + 2 * ext + h)
+                if tx_pf is not None:
+                    rate = bx * r / (vpu_rows + 0.25 * bxp)
+                    if rate > best_rate:
+                        best, best_rate = (bx, r, tx_pf, True), rate
             tx = _tx_under(2 * bxp + 2 * ext + h)
             if tx is not None:
                 rate = bx * r / (vpu_rows + 0.73 * 2 * (bxp + bx))
@@ -872,9 +876,11 @@ def _evolve_kernel_resb_sc(
     prefetch: bool = False,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
-    i = pl.program_id(0)
-    t = pl.program_id(1)
-    nblk = pl.num_programs(0)
+    # 1-D grid: see ops/pallas_stencil._evolve_kernel_resb
+    idx = pl.program_id(0)
+    nblk = pl.num_programs(0) // r_steps
+    i = idx // r_steps
+    t = idx - i * r_steps
     ny, nz = psi_a.shape[1], psi_a.shape[2]
     h = r_steps * ext
     bxp = bx + 2 * h
@@ -1149,7 +1155,7 @@ def evolve_steps_resident_blocked_sc(
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
-            grid=(nx // bx, r_steps),
+            grid=((nx // bx) * r_steps,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nxh2, ny, nz), dtype),

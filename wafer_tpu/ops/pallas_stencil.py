@@ -2632,8 +2632,11 @@ def evolve_chunk_resident(
 # Total scoped-VMEM cap for the blocked kernel: block buffer + slab
 # temporaries must leave Mosaic register/spill headroom within the 128 MiB
 # v5e VMEM (a 512³ bx=64 tile with tx=64 slabs spilled 65 MiB and failed).
+# Measured on-chip: a (64,4,8) tile with a 125 MiB computed limit compiles
+# and runs (the hard wall is the 128 MiB VMEM itself; the tx-induced
+# register spill is what kills tall slabs).
 _RESB_NEED_CAP = int(
-    _os.environ.get("WAFER_RESB_NEED_CAP_MB", "100")
+    _os.environ.get("WAFER_RESB_NEED_CAP_MB", "126")
 ) * 1024 * 1024
 
 
@@ -2677,27 +2680,30 @@ def pick_resb(nx: int, ny: int, nz: int, ext: int, itemsize: int,
             if bxp * plane > _RES_BUDGET:
                 continue
             vpu_rows = r * (bx + 2 * (r - 1) * ext)
-            # prefetch variant: TWO block buffers + temporaries under the
-            # cap (its own, smaller slab height), and the per-pass HBM
-            # bytes must fit under the pass's compute time
-            tx_pf = None
-            if (
-                2 * bxp * plane <= _RES_BUDGET
-                and 0.73 * (bxp + bx) <= vpu_rows
-            ):
-                rows = bxp - 2 * ext
-                for cand in (64, 32, 16, 8, 4):
-                    if cand > rows or cand <= ext or not (
-                        rows % cand == 0 or rows % cand > ext
-                    ):
-                        continue
-                    if (2 * bxp + ext + h + 6 * cand) * plane <= _RESB_NEED_CAP:
-                        tx_pf = cand
-                        break
-            if tx_pf is not None:
-                rate = bx * r / (vpu_rows + 0.25 * bxp)
-                if rate > best_rate:
-                    best, best_rate = (bx, r, tx_pf, True), rate
+            # Default: the serial schedule. Every overlap variant measured
+            # on-chip (512³: per-slab JIT waits, a staging buffer, and a
+            # two-buffer ping-pong) failed to hide the block DMA behind
+            # the in-place sweeps — best measured serial (64,4,8) 7.95e10
+            # vs 5.6-7.2e10 for the overlap variants. The ping-pong path
+            # survives behind WAFER_RESB_PREFETCH=1 for future probing.
+            if _os.environ.get("WAFER_RESB_PREFETCH") == "1":
+                tx_pf = None
+                if 2 * bxp * plane <= _RES_BUDGET:
+                    rows = bxp - 2 * ext
+                    for cand in (64, 32, 16, 8, 4):
+                        if cand > rows or cand <= ext or not (
+                            rows % cand == 0 or rows % cand > ext
+                        ):
+                            continue
+                        if (2 * bxp + ext + h + 6 * cand) * plane <= (
+                            _RESB_NEED_CAP
+                        ):
+                            tx_pf = cand
+                            break
+                if tx_pf is not None:
+                    rate = bx * r / (vpu_rows + 0.25 * bxp)
+                    if rate > best_rate:
+                        best, best_rate = (bx, r, tx_pf, True), rate
             tx = _pick_tx_resb(bxp, ext, h, plane)
             if tx is not None:
                 rate = bx * r / (vpu_rows + 0.73 * (bxp + bx))
@@ -2737,9 +2743,12 @@ def _evolve_kernel_resb(
     prefetch: bool = False,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
-    i = pl.program_id(0)       # block index (outer)
-    t = pl.program_id(1)       # in-block step (inner, sequential)
-    nblk = pl.num_programs(0)
+    # 1-D grid (the proven-overlap layout: Mosaic's cross-program DMA
+    # pipelining engages on flat grids); (block, step) derived
+    idx = pl.program_id(0)
+    nblk = pl.num_programs(0) // r_steps
+    i = idx // r_steps         # block index (outer)
+    t = idx - i * r_steps      # in-block step (inner, sequential)
     ny, nz = psi_a.shape[1], psi_a.shape[2]
     kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
     vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
@@ -3038,7 +3047,7 @@ def evolve_steps_resident_blocked(
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
-            grid=(nx // bx, r_steps),
+            grid=((nx // bx) * r_steps,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
