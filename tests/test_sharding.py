@@ -858,6 +858,7 @@ def test_sharded_resident_exc_matches_xla(monkeypatch):
     coefficient recursion, streamed l/Sl) == the sharded XLA path
     (VERDICT r2 #2). f32 streams for strict equivalence."""
     monkeypatch.setenv("WAFER_EXC_STREAM", "f32")
+    monkeypatch.setenv("WAFER_SHARDED_RES_EXC", "1")
     cfg = base_config(
         precision="f32",
         grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
@@ -893,9 +894,10 @@ def test_sharded_resident_exc_matches_xla(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=5e-4, atol=2e-5)
 
 
-def test_sharded_resident_exc_bf16_streams():
+def test_sharded_resident_exc_bf16_streams(monkeypatch):
     """bf16 l/Sl streams on the sharded excited fast path: trajectory
     within bf16 quantisation of the XLA path, orthogonality preserved."""
+    monkeypatch.setenv("WAFER_SHARDED_RES_EXC", "1")
     cfg = base_config(
         precision="f32",
         grid={"size": {"x": 32, "y": 16, "z": 128}, "dn": 0.2, "dt": 0.01},

@@ -248,24 +248,34 @@ class ShardedOps:
                     break
         self.res_steps = res_steps
 
-        # Sharded excited fast path: per-step ψ-resident sweeps (R = 1 —
+        # Sharded excited alternative: per-step ψ-resident sweeps (R = 1 —
         # the per-step global Gram-Schmidt reductions forbid deeper
         # residency without in-kernel collectives) with the l/Sl windows
-        # streamed, in bf16 when the sublane tiling allows. The coefficient
-        # recursion is psum'd between steps (exact per-step reference
-        # semantics, src/grid.rs:674-681).
+        # streamed, in bf16 when the sublane tiling allows. Measured on a
+        # 1×1×1 mesh at 256³: 2.38e10 vs the windowed carried-coefficient
+        # path's ~3.2e10 — the per-step ψ load/store does NOT overlap the
+        # sweep (v5e, see pick_resb's serial-DMA note), so this stays
+        # opt-in (WAFER_SHARDED_RES_EXC=1) until residency can span an
+        # exchange window.
         use_res_exc = False
         exc_stream_bf16 = False
-        if use_pallas and self.pallas_mode == "x" and n_lower > 0:
+        if (
+            use_pallas
+            and self.pallas_mode == "x"
+            and n_lower > 0
+        ):
             import os as _os_m
 
             exc_stream_bf16 = (
                 _os_m.environ.get("WAFER_EXC_STREAM", "bf16") == "bf16"
                 and ny % 16 == 0
             )
-            use_res_exc = pk.resident_exc_supported(
-                bx, ny, nz, ext, itemsize, n_lower, analytic is not None,
-                stream_itemsize=2 if exc_stream_bf16 else None,
+            use_res_exc = (
+                _os_m.environ.get("WAFER_SHARDED_RES_EXC") == "1"
+                and pk.resident_exc_supported(
+                    bx, ny, nz, ext, itemsize, n_lower, analytic is not None,
+                    stream_itemsize=2 if exc_stream_bf16 else None,
+                )
             )
         self.use_res_exc = use_res_exc
 
