@@ -145,8 +145,14 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
         for _ in range(REPEATS):
             t1, phi = run_chain(phi, 1)
             t5, phi = run_chain(phi, 5)
-            per_chunk = max((t5 - t1) / 4.0, 1e-9)
-            ups = (n ** 3) * STEPS / per_chunk
+            if t5 - t1 <= 0.05 * t5:
+                # nonphysical differencing (observed once: a transient
+                # tunnel hiccup made t5 <= t1) — fall back to the longer
+                # chain's absolute wall, a conservative LOWER bound on the
+                # rate (it still contains the constant dispatch overhead)
+                ups = (n ** 3) * STEPS * 5 / max(t5, 1e-9)
+            else:
+                ups = (n ** 3) * STEPS * 4 / (t5 - t1)
             best = max(best, ups)
         return best
 
