@@ -455,3 +455,47 @@ def test_pick_batch_k_snapshot_alignment():
             assert k == 1
         else:
             assert k * su <= to_snap
+
+
+def test_solver_blocked_resident_dispatch(tmp_run, monkeypatch):
+    """solve() routes >VMEM analytic grounds through the x-blocked
+    deep-halo resident kernel (regression: a 512^3 e2e run hit an unbound
+    local in the plan lookup); energies match the XLA path."""
+    import functools
+
+    import jax
+
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    common = dict(
+        precision="f32",
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-5,
+        potential="Harmonic",
+        init_condition="Gaussian",
+        output={"screen_update": 6, "file_type": "Json"},
+        max_steps=20000,
+    )
+    run_dir.check_output_dir("test")
+    cfg_x = base_config(**common)
+    cfg_x.backend = "xla"
+    ref = solver.run(cfg_x, seed=5)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # force the blocked path: whole-array residency "does not fit"
+    monkeypatch.setattr(pk, "resident_supported", lambda *a: False)
+    monkeypatch.setattr(
+        pk, "pick_resb", lambda nx, ny, nz, ext, it, su: (8, 2, 4, False, 1.0)
+    )
+    monkeypatch.setattr(
+        pk,
+        "evolve_chunk_resident_blocked",
+        functools.partial(pk.evolve_chunk_resident_blocked, interpret=True),
+    )
+    cfg_p = base_config(**common)
+    out = solver.run(cfg_p, seed=5)
+    for r_ref, r_out in zip(ref, out):
+        e_ref = r_ref.observables.energy / r_ref.observables.norm2
+        e_out = r_out.observables.energy / r_out.observables.norm2
+        assert abs(e_ref - e_out) < 2e-4, (e_ref, e_out)
+        assert r_ref.steps == r_out.steps

@@ -326,7 +326,10 @@ def solve(
                 )
             else:
                 if analytic is not None:
-                    resb_plan = pk.pick_resb(nx, ny, nz, ext, itemsize, su)
+                    resb_plan = pk.pick_resb(
+                        nx, ny, nz, ext, itemsize,
+                        config.output.screen_update,
+                    )
                 if resb_plan is not None:
                     log.info(
                         "Ground-state chunks run the x-blocked deep-halo "
