@@ -35,7 +35,7 @@ from wafer_tpu.ops.stencil import evolve_step
 N = int(os.environ.get("WAFER_BENCH_N", "256"))
 N_CPU = int(os.environ.get("WAFER_BENCH_N_CPU", "128"))
 STEPS = int(os.environ.get("WAFER_BENCH_STEPS", "200"))
-REPEATS = 3
+REPEATS = 5
 
 
 def _make_config(n: int) -> Config:
@@ -141,7 +141,11 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
 
         _t, phi = run_chain(phi, 1)  # compile + warm
 
-        best = 0.0
+        # median of the repeats: single differenced readings through the
+        # tunnel occasionally report wildly high (a hiccup shrinking t5−t1;
+        # observed 2.7e11 for a ~1.3e11 kernel) or nonphysical values, so
+        # neither max nor a lone sample is trustworthy
+        samples = []
         for _ in range(REPEATS):
             t1, phi = run_chain(phi, 1)
             t5, phi = run_chain(phi, 5)
@@ -150,11 +154,11 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
                 # tunnel hiccup made t5 <= t1) — fall back to the longer
                 # chain's absolute wall, a conservative LOWER bound on the
                 # rate (it still contains the constant dispatch overhead)
-                ups = (n ** 3) * STEPS * 5 / max(t5, 1e-9)
+                samples.append((n ** 3) * STEPS * 5 / max(t5, 1e-9))
             else:
-                ups = (n ** 3) * STEPS * 4 / (t5 - t1)
-            best = max(best, ups)
-        return best
+                samples.append((n ** 3) * STEPS * 4 / (t5 - t1))
+        samples.sort()
+        return samples[len(samples) // 2]
 
 
 def main() -> None:
