@@ -93,10 +93,10 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
                         p, order, dt, dn, mass, STEPS, analytic
                     )
 
-            elif pk.pick_resb(n, n, n, ext, 4, STEPS) is not None:
+            elif (resb_plan := pk.pick_resb(n, n, n, ext, 4, STEPS)) is not None:
                 # x-blocked deep-halo resident chunks (HBM-sized grids,
                 # e.g. WAFER_BENCH_N=512) — the solver's second rung
-                bx_b, r_b, tx_b, pf_b, _rate = pk.pick_resb(n, n, n, ext, 4, STEPS)
+                bx_b, r_b, tx_b, pf_b, _rate = resb_plan
                 phi = pk.to_xpad_k(phi, ext, r_b)
 
                 def chunk(p):

@@ -967,3 +967,33 @@ def test_sharded_sync_update_matches_per_chunk(tmp_run):
         np.testing.assert_allclose(
             np.asarray(r_ref.phi), np.asarray(r_out.phi), rtol=0, atol=1e-14
         )
+
+
+def test_sharded_sync_update_f32_precision(tmp_run):
+    """Regression (code review r3): the batched scan's idle branch must
+    type-match the sharded measure's outputs at precision: f32 under x64
+    (the CLI default) — an f32 v_infinity placeholder used to crash
+    lax.cond at trace time on any potential without a pot_sub."""
+    from wafer_tpu.parallel.solver_sharded import run_sharded
+
+    common = dict(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.25, "dt": 0.015},
+        tolerance=1e-5,
+        potential="Harmonic",
+        init_condition="Gaussian",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        mesh={"x": 2, "y": 2, "z": 2},
+    )
+    run_dir.check_output_dir("test")
+    cfg1 = base_config(**common)
+    cfg1.sync_update = 1
+    ref = run_sharded(cfg1, seed=9)
+    cfg8 = base_config(**common)
+    cfg8.sync_update = 8
+    out = run_sharded(cfg8, seed=9)
+    assert out[0].steps == ref[0].steps
+    e_ref = ref[0].observables.energy / ref[0].observables.norm2
+    e_out = out[0].observables.energy / out[0].observables.norm2
+    assert abs(e_ref - e_out) < 1e-9, (e_ref, e_out)

@@ -1125,13 +1125,17 @@ def evolve_steps_resident_blocked_sc(
     bxp = bx + 2 * h
     plane = ny * nz * dtype.itemsize
     if tx is None:
-        picked = pick_resb_sc(nx, ny, nz, ext, dtype.itemsize, r_steps * 2)
-        tx = picked[2] if picked is not None and picked[0] == bx else None
-    if tx is None:
+        # cap-aware pick from the ACTUAL block geometry (a pick_resb_sc
+        # plan may carry a different r whose tx was sized for a smaller
+        # block — see the real kernel's wrapper)
         rows = bxp - 2 * ext
         for cand in (32, 16, 8, 4):
-            if cand <= rows and cand > ext and (
+            if cand > rows or cand <= ext or not (
                 rows % cand == 0 or rows % cand > ext
+            ):
+                continue
+            if (2 * bxp + 2 * ext + h + 12 * cand) * plane <= (
+                _pk._RESB_NEED_CAP
             ):
                 tx = cand
                 break

@@ -2016,6 +2016,49 @@ def b_to_xpad_k(b_int: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
 # (src/grid.rs:544-687) for the ground state (no per-step reductions,
 # src/grid.rs:674-681 applies to excited states only).
 
+def _res_hoist_yz(kind, analytic, ny, nz, ext):
+    """Plane-constant hoist for the resident kernels' in-kernel B: the
+    value stored once in yz_buf and reused by every slab of every step."""
+    _kind, dn, dt_, _mass, _ngx, _ngy, _ngz = analytic[:7]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    yz = _analytic_yz(analytic, ny, nz, ext, ext)
+    if kind == "Harmonic":
+        # b = 1/(P + q_x): P = 1 − dt/2·vshift + dt·dn²/4·(dy²+dz²)
+        return (1.0 - 0.5 * dt_ * vshift) + (0.25 * dt_ * dn * dn) * yz
+    if kind == "Periodic":
+        # b = 1/(C − s_x·S): S = dt/2·sin²y·sin²z (yz is the product)
+        return (0.5 * dt_) * yz
+    return yz  # raw dy²+dz² for the generic per-slab B
+
+
+def _res_b_slab(kind, analytic, yz_val, x0f, txs, ny, nz, ext):
+    """Per-slab analytic B from the hoisted plane constant — the ONE
+    source of truth for the resident-family factor arithmetic (shared by
+    the whole-array and x-blocked kernels; the trajectory-equivalence
+    tests assume both paths compute bit-identical factors). ``x0f`` is
+    the padded x coordinate (f32, may be traced) of the slab's first
+    row."""
+    _kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    if kind == "NoPotential":
+        return 1.0 / (1.0 - 0.5 * dt_ * vshift)  # python float: scalar B
+    if kind == "Harmonic":
+        dx = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
+            jnp.float32
+        ) + (x0f - (ngx + 1.0) / 2.0)
+        q = (0.25 * dt_ * dn * dn) * (dx * dx)
+        return 1.0 / (yz_val[None, :, :] + q)
+    if kind == "Periodic":
+        px = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
+            jnp.float32
+        ) + x0f
+        two_pi = 2.0 * 3.14159265358979323846
+        sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
+        cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
+        return 1.0 / (cconst - sx * yz_val[None, :, :])
+    return _analytic_b(analytic, (txs, ny, nz), x0f, ext, ext, yz=yz_val)
+
+
 _RES_BUDGET = int(_os.environ.get("WAFER_RES_BUDGET_MB", "72")) * 1024 * 1024
 
 
@@ -2180,17 +2223,7 @@ def _evolve_kernel_res(
         if kind is None:
             yz_buf[...] = jnp.zeros_like(yz_buf)
             return
-        yz = _analytic_yz(analytic, ny, nz, ext, ext)
-        if kind == "Harmonic":
-            # b = 1/(P + q_x): P = 1 − dt/2·vshift + dt·dn²/4·(dy²+dz²)
-            yz_buf[...] = (1.0 - 0.5 * dt_ * vshift) + (
-                0.25 * dt_ * dn * dn
-            ) * yz
-        elif kind == "Periodic":
-            # b = 1/(C − s_x·S): S = dt/2·sin²y·sin²z (yz is the product)
-            yz_buf[...] = (0.5 * dt_) * yz
-        else:
-            yz_buf[...] = yz  # raw dy²+dz² for the generic per-slab B
+        yz_buf[...] = _res_hoist_yz(kind, analytic, ny, nz, ext)
 
     # Per-step renormalise(+project) carried across grid programs (the
     # 1-step kernel's coefficient recursion, evolve_chunk_fused): the sweep
@@ -2285,26 +2318,10 @@ def _evolve_kernel_res(
             acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
         if kind is None:
             b = bbuf[bslot * tx : bslot * tx + txs]
-        elif kind == "NoPotential":
-            b = 1.0 / (1.0 - 0.5 * dt_ * vshift)  # python float: scalar B
-        elif kind == "Harmonic":
-            dx = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
-                jnp.float32
-            ) + (x_row0 + jnp.float32(rs) - (ngx + 1.0) / 2.0)
-            q = (0.25 * dt_ * dn * dn) * (dx * dx)
-            b = 1.0 / (yz_buf[...][None, :, :] + q)
-        elif kind == "Periodic":
-            px = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
-                jnp.float32
-            ) + (x_row0 + jnp.float32(rs))
-            two_pi = 2.0 * 3.14159265358979323846
-            sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
-            cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
-            b = 1.0 / (cconst - sx * yz_buf[...][None, :, :])
         else:
-            b = _analytic_b(
-                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext,
-                yz=yz_buf[...],
+            b = _res_b_slab(
+                kind, analytic, yz_buf[...], x_row0 + jnp.float32(rs), txs,
+                ny, nz, ext,
             )
         new = b * (2.0 * c + scale * acc) - c
         if with_norm or n_lower > 0:
@@ -2792,15 +2809,7 @@ def _evolve_kernel_resb(
 
     @pl.when(jnp.logical_and(i == 0, t == 0))
     def _hoist_yz():
-        yz = _analytic_yz(analytic, ny, nz, ext, ext)
-        if kind == "Harmonic":
-            yz_buf[...] = (1.0 - 0.5 * dt_ * vshift) + (
-                0.25 * dt_ * dn * dn
-            ) * yz
-        elif kind == "Periodic":
-            yz_buf[...] = (0.5 * dt_) * yz
-        else:
-            yz_buf[...] = yz
+        yz_buf[...] = _res_hoist_yz(kind, analytic, ny, nz, ext)
 
     def sweep(buf, cold_waits, base):
         """One blind sweep over ``buf``, in place. ``cold_waits``: wait the
@@ -2824,29 +2833,10 @@ def _evolve_kernel_resb(
                 acc += cf * (xm + xp)
                 acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
                 acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
-            if kind == "NoPotential":
-                b = 1.0 / (1.0 - 0.5 * dt_ * vshift)
-            elif kind == "Harmonic":
-                dx = jax.lax.broadcasted_iota(
-                    jnp.int32, (txs, 1, 1), 0
-                ).astype(jnp.float32) + (
-                    x_row0 + jnp.float32(rs) - (ngx + 1.0) / 2.0
-                )
-                q = (0.25 * dt_ * dn * dn) * (dx * dx)
-                b = 1.0 / (yz_buf[...][None, :, :] + q)
-            elif kind == "Periodic":
-                px = jax.lax.broadcasted_iota(
-                    jnp.int32, (txs, 1, 1), 0
-                ).astype(jnp.float32) + (x_row0 + jnp.float32(rs))
-                two_pi = 2.0 * 3.14159265358979323846
-                sx = jnp.sin(two_pi * (px - 1.0) / (ngx - 1.0)) ** 2
-                cconst = 1.0 + 0.5 * dt_ * (1.0 - vshift)
-                b = 1.0 / (cconst - sx * yz_buf[...][None, :, :])
-            else:
-                b = _analytic_b(
-                    analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext,
-                    ext, yz=yz_buf[...],
-                )
+            b = _res_b_slab(
+                kind, analytic, yz_buf[...], x_row0 + jnp.float32(rs), txs,
+                ny, nz, ext,
+            )
             new = b * (2.0 * c + scale * acc) - c
             lag[...] = buf[rs + txs - ext : rs + txs]
             buf[rs : rs + txs] = new

@@ -736,7 +736,10 @@ class ShardedOps:
             elif pot_sub_scalar is not None:
                 v_inf = norm2 * pot_sub_scalar
             else:
-                v_inf = jnp.zeros((), dtype=abs2.dtype)
+                # norm2's dtype (f64 under x64 via hybrid_sum), matching
+                # observables.py — an f32 zero here breaks the batched
+                # scan's lax.cond branch typing at precision: f32
+                v_inf = jnp.zeros((), dtype=norm2.dtype)
             r2 = _psum(_sum_h(abs2 * r2_grid))
             phi = phi / jnp.sqrt(norm2).astype(phi.dtype)
             phi = orthogonalise(phi, store)

@@ -143,9 +143,11 @@ def _solve_state(
     # cadence contract as solver.solve: per-chunk observables, snapshot
     # and max_steps semantics replayed on the host from the batch's rows).
     # Round trips cost most on multi-chip meshes, which is exactly this
-    # driver (VERDICT r2 #7). Spec: src/grid.rs:126-220.
+    # driver (VERDICT r2 #7). Spec: src/grid.rs:126-220. The shared
+    # runner threads every device array through an env argument (never a
+    # jit closure — HTTP 413 through remote compile services, CLAUDE.md).
     import jax as _jax
-    from wafer_tpu.solver import pick_batch_k
+    from wafer_tpu.solver import make_batched_runner, pick_batch_k
 
     k_sync = config.sync_update or 1
     su = config.output.screen_update
@@ -157,68 +159,27 @@ def _solve_state(
             k_sync,
         )
     _batched_cache: dict = {}
+    _batch_env = {
+        "v": v_d, "r2": r2_d, "sub": sub_d, "a": a_d, "b": b_d,
+        "store": store_d,
+    }
 
-    def _get_batched(k_chunks: int, chunk_fn):
-        key = (k_chunks, id(chunk_fn))
-        if key in _batched_cache:
-            return _batched_cache[key]
+    def _measure_env(phi, env):
+        return ops.measure(phi, env["v"], env["r2"], env["sub"], env["store"])
 
-        def _batched(phi0, last_e0):
-            def body(carry, _):
-                phi_c, phi_conv, last_e, done = carry
+    def _get_batched(k_chunks: int, psn: bool):
+        key = (k_chunks, psn)
+        if key not in _batched_cache:
+            chunk_fn = ops.evolve_chunk_psn if psn else ops.evolve_chunk
 
-                def work(args):
-                    phi_c, phi_conv, last_e = args
-                    (e, n2, vinf, r2), phi_n = ops.measure(
-                        phi_c, v_d, r2_d, sub_d, store_d
-                    )
-                    if _jax.config.jax_enable_x64:
-                        qdt = jnp.complex128 if is_complex else jnp.float64
-                        norm_e = e.astype(qdt) / n2.astype(jnp.float64)
-                    else:
-                        norm_e = e / n2
-                    norm_e = norm_e.astype(last_e.dtype)
-                    done_now = jnp.abs(norm_e - last_e) < config.tolerance
-                    phi_next = _jax.lax.cond(
-                        done_now,
-                        lambda p: p,
-                        lambda p: chunk_fn(p, a_d, b_d, store_d),
-                        phi_n,
-                    )
-                    phi_conv2 = _jax.lax.cond(
-                        done_now, lambda _: phi_n, lambda _: phi_conv, None
-                    )
-                    return (
-                        (phi_next, phi_conv2, norm_e, done_now),
-                        (e, n2, vinf, r2, jnp.bool_(True), done_now),
-                    )
+            def _evolve_env(phi, env, _fn=chunk_fn):
+                return _fn(phi, env["a"], env["b"], env["store"])
 
-                def idle(args):
-                    phi_c, phi_conv, last_e = args
-                    rdt = (
-                        jnp.float64
-                        if _jax.config.jax_enable_x64
-                        else jnp.float32
-                    )
-                    ze = jnp.zeros((), last_e.dtype)
-                    one = jnp.ones((), rdt)
-                    zf = jnp.zeros((), rdt)
-                    return (
-                        (phi_c, phi_conv, last_e, jnp.bool_(True)),
-                        (ze, one, zf, zf, jnp.bool_(False), jnp.bool_(True)),
-                    )
-
-                return _jax.lax.cond(done, idle, work, (phi_c, phi_conv, last_e))
-
-            init = (phi0, phi0, last_e0, jnp.bool_(False))
-            (phi_f, phi_conv, _le, _done), rows = _jax.lax.scan(
-                body, init, None, length=k_chunks
+            _batched_cache[key] = make_batched_runner(
+                _measure_env, _evolve_env, config.tolerance, is_complex,
+                k_chunks,
             )
-            return phi_f, phi_conv, rows
-
-        fn = _jax.jit(_batched)
-        _batched_cache[key] = fn
-        return fn
+        return _batched_cache[key]
 
     rows_pending: list = []
     batch_phi_next = None
@@ -233,9 +194,6 @@ def _solve_state(
                 step, k_sync, su, config.output.snap_update, config.max_steps
             )
             if k_batch > 1:
-                chunk_fn = (
-                    ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
-                )
                 if is_complex:
                     led = (
                         jnp.complex128
@@ -248,8 +206,8 @@ def _solve_state(
                         if _jax.config.jax_enable_x64
                         else jnp.float32
                     )
-                phi_f, phi_conv, out_rows = _get_batched(k_batch, chunk_fn)(
-                    phi, jnp.asarray(last_energy, dtype=led)
+                phi_f, phi_conv, out_rows = _get_batched(k_batch, per_step_norm)(
+                    phi, jnp.asarray(last_energy, dtype=led), _batch_env
                 )
                 es, n2s, vinfs, r2s_, execs, dones = (
                     np.asarray(x) for x in out_rows

@@ -107,6 +107,74 @@ def pick_batch_k(
     return max(k, 1)
 
 
+def make_batched_runner(measure_fn, evolve_fn, tolerance, is_complex,
+                        k_chunks: int):
+    """Jitted device-side convergence batch (``sync_update``): runs
+    ``k_chunks`` measure → check → evolve iterations in one ``lax.scan``
+    with the convergence verdict on-device, emitting every chunk's
+    observables for host replay. Shared by the single-device and sharded
+    drivers (identical cadence contract, src/grid.rs:126-220).
+
+    ``measure_fn(phi, env) -> ((e, n2, vinf, r2), phi)`` and
+    ``evolve_fn(phi, env) -> phi`` must read every device array through
+    ``env`` — the env pytree is a jit *argument*, never a closure: large
+    arrays baked into the graph as constants overflow a remote compile
+    service's request limit (HTTP 413 at 256³; see CLAUDE.md)."""
+
+    def _batched(phi0, last_e0, env):
+        def body(carry, _):
+            phi_c, phi_conv, last_e, done = carry
+
+            def work(args):
+                phi_c, phi_conv, last_e = args
+                (e, n2, vinf, r2), phi_n = measure_fn(phi_c, env)
+                # convergence quotient in f64 when x64 is live (the CLI
+                # guarantees it): bit-identical to the host check
+                if jax.config.jax_enable_x64:
+                    qdt = jnp.complex128 if is_complex else jnp.float64
+                    norm_e = e.astype(qdt) / n2.astype(jnp.float64)
+                else:
+                    norm_e = e / n2
+                norm_e = norm_e.astype(last_e.dtype)
+                done_now = jnp.abs(norm_e - last_e) < tolerance
+                phi_next = jax.lax.cond(
+                    done_now,
+                    lambda p: p,
+                    lambda p: evolve_fn(p, env),
+                    phi_n,
+                )
+                phi_conv2 = jax.lax.cond(
+                    done_now, lambda _: phi_n, lambda _: phi_conv, None
+                )
+                return (
+                    (phi_next, phi_conv2, norm_e, done_now),
+                    (e, n2, vinf, r2, jnp.bool_(True), done_now),
+                )
+
+            def idle(args):
+                phi_c, phi_conv, last_e = args
+                rdt = (
+                    jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+                )
+                ze = jnp.zeros((), last_e.dtype)
+                one = jnp.ones((), rdt)
+                zf = jnp.zeros((), rdt)
+                return (
+                    (phi_c, phi_conv, last_e, jnp.bool_(True)),
+                    (ze, one, zf, zf, jnp.bool_(False), jnp.bool_(True)),
+                )
+
+            return jax.lax.cond(done, idle, work, (phi_c, phi_conv, last_e))
+
+        init = (phi0, phi0, last_e0, jnp.bool_(False))
+        (phi_f, phi_conv, _le, _done), rows = jax.lax.scan(
+            body, init, None, length=k_chunks
+        )
+        return phi_f, phi_conv, rows
+
+    return jax.jit(_batched)
+
+
 def eta(step: int, diff_old: float, diff_new: float, config: Config) -> Optional[float]:
     """Estimated ``screen_update`` cycles to convergence via point-slope fit
     of log₁₀(diff) (reference: src/grid.rs:254-283)."""
@@ -576,76 +644,22 @@ def solve(
         )
     _batched_cache: dict = {}
 
+    def _measure_env(phi, env):
+        return _measure_and_prepare(
+            phi, env["v"], env["r2"], env["psa"], pots.pot_sub_scalar,
+            env["stacked"], order, dn, mass, n_lower,
+        )
+
+    def _evolve_env(phi, env):
+        return _evolve_dispatch(phi, False, env)
+
     def _get_batched(k_chunks: int):
-        if k_chunks in _batched_cache:
-            return _batched_cache[k_chunks]
-
-        def _batched(phi0, last_e0, env):
-            def body(carry, _):
-                phi_c, phi_conv, last_e, done = carry
-
-                def work(args):
-                    phi_c, phi_conv, last_e = args
-                    (e, n2, vinf, r2), phi_n = _measure_and_prepare(
-                        phi_c, env["v"], env["r2"], env["psa"],
-                        pots.pot_sub_scalar, env["stacked"], order, dn,
-                        mass, n_lower,
-                    )
-                    # The convergence quotient in f64 (x64 is enabled by
-                    # the CLI): |E| can exceed the tolerance's f32
-                    # resolution (Cornell's ≈18.6 GeV has a 1.9e-6 ulp vs
-                    # the 1e-6 default tol), and f64-of-f32-scalars is
-                    # exactly the host path's arithmetic — the device
-                    # verdict is then bit-identical to sync_update: 1.
-                    if jax.config.jax_enable_x64:
-                        qdt = jnp.complex128 if is_complex else jnp.float64
-                        norm_e = e.astype(qdt) / n2.astype(jnp.float64)
-                    else:
-                        norm_e = e / n2
-                    norm_e = norm_e.astype(last_e.dtype)
-                    done_now = jnp.abs(norm_e - last_e) < config.tolerance
-                    phi_next = jax.lax.cond(
-                        done_now,
-                        lambda p: p,
-                        lambda p: _evolve_dispatch(p, False, env),
-                        phi_n,
-                    )
-                    phi_conv2 = jax.lax.cond(
-                        done_now, lambda _: phi_n, lambda _: phi_conv, None
-                    )
-                    return (
-                        (phi_next, phi_conv2, norm_e, done_now),
-                        (e, n2, vinf, r2, jnp.bool_(True), done_now),
-                    )
-
-                def idle(args):
-                    phi_c, phi_conv, last_e = args
-                    rdt = (
-                        jnp.float64
-                        if jax.config.jax_enable_x64
-                        else jnp.float32
-                    )
-                    ze = jnp.zeros((), last_e.dtype)
-                    one = jnp.ones((), rdt)
-                    zf = jnp.zeros((), rdt)
-                    return (
-                        (phi_c, phi_conv, last_e, jnp.bool_(True)),
-                        (ze, one, zf, zf, jnp.bool_(False), jnp.bool_(True)),
-                    )
-
-                return jax.lax.cond(
-                    done, idle, work, (phi_c, phi_conv, last_e)
-                )
-
-            init = (phi0, phi0, last_e0, jnp.bool_(False))
-            (phi_f, phi_conv, _le, done), rows = jax.lax.scan(
-                body, init, None, length=k_chunks
+        if k_chunks not in _batched_cache:
+            _batched_cache[k_chunks] = make_batched_runner(
+                _measure_env, _evolve_env, config.tolerance, is_complex,
+                k_chunks,
             )
-            return phi_f, phi_conv, rows
-
-        fn = jax.jit(_batched)
-        _batched_cache[k_chunks] = fn
-        return fn
+        return _batched_cache[k_chunks]
 
     def _pick_batch_k(step: int) -> int:
         return pick_batch_k(
