@@ -997,3 +997,79 @@ def test_sharded_sync_update_f32_precision(tmp_run):
     e_ref = ref[0].observables.energy / ref[0].observables.norm2
     e_out = out[0].observables.energy / out[0].observables.norm2
     assert abs(e_ref - e_out) < 1e-9, (e_ref, e_out)
+
+
+def test_sharded_1x1x1_whole_chunk_resident():
+    """A fully unsharded mesh runs ground chunks as one whole-chunk
+    resident call (no per-exchange psi round trips) and still matches the
+    sharded XLA path."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 5},
+    )
+    ext = 1
+    rng = np.random.default_rng(81)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_windowed_excited_bf16_streams():
+    """bf16 stored-state windows on the sharded *windowed* excited path
+    (the default excited fast path): within bf16 quantisation of the XLA
+    trajectory, orthogonality preserved."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 32, "y": 16, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(91)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower /= np.sqrt(np.sum(lower.astype(np.float64) ** 2)).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    store = jnp.stack([jnp.asarray(lower)])
+
+    mesh = make_mesh((4, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 1, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(geometry.work_area(a, ext)),
+            ops_x.put(geometry.work_area(b, ext)), ops_x.put_store(store),
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 1, use_pallas=True, pallas_interpret=True)
+    assert not ops_p.use_res_exc  # windowed path is the default
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(geometry.work_area(a, ext)),
+            ops_p.put(geometry.work_area(b, ext)), ops_p.put_store(store),
+        )
+    )
+    scale_ = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() / scale_ < 3e-2
+    ov = float(np.sum(lower.astype(np.float64) * out.astype(np.float64)))
+    n2 = float(np.sum(out.astype(np.float64) ** 2))
+    assert abs(ov) < 1e-3 * np.sqrt(n2), ov

@@ -249,9 +249,11 @@ def _evolve_kernel(
                 lc.wait()
         win = slab[slot] * coef_smem[0, 0]
         for s_idx in range(n_lower):
+            # stored-state windows may stream in bf16 (half the HBM
+            # bytes); compute stays in the ψ dtype
             win = win - coef_smem[s_idx + 1, 0] * lower_slab[
                 s_idx * win_rows : (s_idx + 1) * win_rows
-            ]
+            ].astype(win.dtype)
         def read(row0, rows):
             return win[row0 : row0 + rows]
     else:
@@ -307,7 +309,7 @@ def _evolve_kernel(
             over_out[s_idx, 0] += jnp.sum(
                 lower_slab[
                     s_idx * win_rows + ext : s_idx * win_rows + ext + tx
-                ]
+                ].astype(new.dtype)
                 * new
             )
 
@@ -1392,6 +1394,12 @@ def evolve_step_fused(
 
     if store_xpad is None or n_lower == 0:
         store_xpad = jnp.zeros((1, nxp, ny, nz), dtype=dtype)
+    if store_xpad.dtype != dtype and (tx is None or ny % 16 != 0):
+        # bf16 store windows need the plain kernel's full-extent slices
+        # (yt/zt window offsets are 8-sublane-aligned, under the (16, 128)
+        # bf16 tile) and a 16-aligned NY
+        store_xpad = store_xpad.astype(dtype)
+    stream_dtype = store_xpad.dtype
     n_store = store_xpad.shape[0]
     store_flat = store_xpad.reshape(n_store * nxp, ny, nz)
     if coef is None:
@@ -1560,7 +1568,7 @@ def evolve_step_fused(
             scratch_shapes=[
                 pltpu.VMEM((2, tx + 2 * ext, ny, nz), dtype),
                 pltpu.VMEM((tx, ny, nz), dtype),
-                pltpu.VMEM((n_store * (tx + 2 * ext), ny, nz), dtype),
+                pltpu.VMEM((n_store * (tx + 2 * ext), ny, nz), stream_dtype),
                 pltpu.VMEM((ext, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((max(n_store, 1),)),

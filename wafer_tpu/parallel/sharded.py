@@ -456,6 +456,12 @@ class ShardedOps:
                 if n_lower > 0
                 else None
             )
+            # the windowed kernel streams stored-state windows in bf16
+            # when the sublane tiling allows (evolve_step_fused upcasts
+            # on the variants that cannot) — see docs/PARITY.md #10
+            store_x_stream = store_x
+            if store_x is not None and exc_stream_bf16:
+                store_x_stream = store_x.astype(jnp.bfloat16)
             dtype = phi.dtype
             nxs = mesh_shape[0]
 
@@ -490,6 +496,22 @@ class ShardedOps:
                 )
 
             if n_lower == 0 and not per_step_norm:
+                if (
+                    nxs == 1
+                    and analytic is not None
+                    and pk.resident_supported(bx, ny, nz, ext, 4, True)
+                ):
+                    # degenerate unsharded x axis (1×1×1 mesh): there is
+                    # nothing to exchange, so the whole chunk runs as ONE
+                    # resident call — the per-R kernel re-entries would
+                    # pay a full ψ HBM round trip each (serial DMA; the
+                    # measured ~25% gap of the round-2/3 sanity bench)
+                    p = pk.evolve_chunk_resident(
+                        to_xpad(phi, ext), order, dt, dn, mass,
+                        screen_update, analytic,
+                        interpret=pallas_interpret, x_origin=x_org,
+                    )
+                    return p[ext:-ext]
                 if res_steps > 1:
                     # VMEM-resident chunks with a deep ghost zone
                     ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
@@ -697,7 +719,7 @@ class ShardedOps:
                 out_xpad, n2_loc, ov_loc = pk.evolve_step_fused(
                     p,
                     None if analytic is not None else b,
-                    store_x,
+                    store_x_stream,
                     order,
                     scale,
                     n_lower,
