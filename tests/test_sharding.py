@@ -562,10 +562,11 @@ def test_sharded_split_complex_matches_single_device(tmp_run, monkeypatch):
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
-def test_sharded_resident_matches_sharded_xla(mesh_shape):
+def test_sharded_resident_matches_sharded_xla(mesh_shape, monkeypatch):
     """VMEM-resident chunks under shard_map: R·ext-deep ghost zones
     exchanged once per R in-kernel steps (blind sweep + validity-by-depth),
     with global-edge Dirichlet re-zeroing — vs the XLA sharded sweep."""
+    monkeypatch.setenv("WAFER_SHARDED_ICI", "0")  # per-window ppermute path
     cfg = base_config(
         precision="f32",
         grid={"size": {"x": 40, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
@@ -602,9 +603,10 @@ def test_sharded_resident_matches_sharded_xla(mesh_shape):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
 
 
-def test_sharded_resident_sevenpoint():
+def test_sharded_resident_sevenpoint(monkeypatch):
     """Deep ghost zones at ext=3 (R=2 → 6-row halos): blind-sweep validity
     and edge re-zeroing for the widest stencil."""
+    monkeypatch.setenv("WAFER_SHARDED_ICI", "0")  # per-window ppermute path
     cfg = base_config(
         precision="f32",
         central_difference="SevenPoint",
@@ -631,6 +633,92 @@ def test_sharded_resident_sevenpoint():
         cfg, mesh, 0, use_pallas=True, pallas_interpret=True, res_steps=2
     )
     assert ops_p.res_steps == 2, ops_p.res_steps
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+def test_sharded_ici_resident_matches_sharded_xla(mesh_shape):
+    """Whole-chunk ψ residency with in-kernel ICI window exchanges (remote
+    DMAs into parity-slotted landing strips) == the XLA sharded sweep.
+    screen_update 5 / R=2 → one kernel call spanning two windows (one
+    in-kernel exchange at step 2) + one remainder step."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 40, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 5},
+    )
+    ext = 1
+    rng = np.random.default_rng(13)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    )
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True, res_steps=2
+    )
+    assert ops_p.ici_res, "in-kernel ICI residency gate should engage"
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_ici_resident_three_windows_race_detector():
+    """Three exchange windows (screen_update 6, R=2 → exchanges at steps 2
+    and 4, exercising BOTH parity slots) under the TPU interpret mode's
+    race detector — validates the landing-strip slot-hazard argument, the
+    SevenPoint deep halo (6-row strips), and bit-level agreement."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = base_config(
+        precision="f32",
+        central_difference="SevenPoint",
+        grid={"size": {"x": 48, "y": 8, "z": 128}, "dn": 0.25, "dt": 0.004},
+        output={"screen_update": 6},
+    )
+    ext = 3
+    rng = np.random.default_rng(5)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((2, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    )
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True,
+        pallas_interpret=pltpu.InterpretParams(
+            dma_execution_mode="eager", detect_races=True
+        ),
+        res_steps=2,
+    )
+    assert ops_p.ici_res
     out = np.asarray(
         ops_p.evolve_chunk(
             ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),

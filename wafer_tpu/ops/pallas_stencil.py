@@ -2164,6 +2164,10 @@ def _evolve_kernel_res(
     sem_l,      # DMA (2·S,)
     sem_sl,     # DMA (2·S,)
     sem_b,      # DMA (2,)
+    land,       # (4·halo, NY, NZ) VMEM — ICI landing strips (2 parity
+    # slots × 2 sides); (1,1,1) dummy when ici_r == 0
+    sem_snd,    # DMA (2,) — ICI send (one per direction)
+    sem_rcv,    # DMA (2,) — ICI recv (slot 0: lo side, 1: hi side)
     *,
     order: str,
     scale: float,
@@ -2174,6 +2178,9 @@ def _evolve_kernel_res(
     with_norm: bool = False,
     n_lower: int = 0,
     halo: int = 0,
+    ici_r: int = 0,
+    ici_axis: Optional[str] = None,
+    ici_nsh: int = 1,
 ):
     # Sharded mode (halo = R·ext > ext): the buffer carries a deep halo of
     # neighbour data exchanged once per R = n_steps in-kernel steps. The
@@ -2232,6 +2239,76 @@ def _evolve_kernel_res(
             yz_buf[...] = jnp.zeros_like(yz_buf)
             return
         yz_buf[...] = _res_hoist_yz(kind, analytic, ny, nz, ext)
+
+    if ici_r > 0:
+        # In-kernel ICI halo exchange (sharded ground resident mode): at
+        # every window boundary the interior edge strips — exact after the
+        # window's ici_r blind steps (the deep-ghost-zone argument) — are
+        # remote-DMA'd to both ring neighbours' parity-slotted landing
+        # strips, which then become the new deep halo. ψ never leaves VMEM
+        # between the chunk's load and store. The ring wraps at the global
+        # edges; edge shards re-mask their halo with the Dirichlet zeros
+        # right after the copy (and after every step below). Slot safety:
+        # a neighbour's window-(w+1) send needs its window-w recv, which
+        # needs my window-w send, which follows my window-(w−1) landing
+        # read — a slot is never overwritten before it is consumed (two
+        # parity slots suffice; validated bit-exact under the interpret
+        # race detector). Across chunk calls the host-side initial
+        # deep-halo ppermute is the barrier.
+        nxp_k = psi_buf.shape[0]
+
+        @pl.when(
+            jnp.logical_and(i > 0, jax.lax.rem(i, jnp.int32(ici_r)) == 0)
+        )
+        def _ici_exchange():
+            w = i // jnp.int32(ici_r)
+            slot = jax.lax.rem(w, jnp.int32(2))
+            my = jax.lax.axis_index(ici_axis)
+            right = jax.lax.rem(my + 1, jnp.int32(ici_nsh))
+            left = jax.lax.rem(
+                my + jnp.int32(ici_nsh - 1), jnp.int32(ici_nsh)
+            )
+            base = slot * jnp.int32(2 * halo)
+            d_r = pltpu.make_async_remote_copy(
+                psi_buf.at[pl.ds(nxp_k - 2 * halo, halo)],
+                land.at[pl.ds(base, halo)],
+                sem_snd.at[0],
+                sem_rcv.at[0],
+                device_id={ici_axis: right},
+            )
+            d_l = pltpu.make_async_remote_copy(
+                psi_buf.at[pl.ds(halo, halo)],
+                land.at[pl.ds(base + jnp.int32(halo), halo)],
+                sem_snd.at[1],
+                sem_rcv.at[1],
+                device_id={ici_axis: left},
+            )
+            d_r.start()
+            d_l.start()
+            d_r.wait_send()
+            d_l.wait_send()
+            d_r.wait_recv()  # my lo landing (sent by my left neighbour)
+            d_l.wait_recv()  # my hi landing (sent by my right neighbour)
+
+            @pl.when(slot == 0)
+            def _land0():
+                psi_buf[0:halo] = land[0:halo]
+                psi_buf[nxp_k - halo : nxp_k] = land[halo : 2 * halo]
+
+            @pl.when(slot == 1)
+            def _land1():
+                psi_buf[0:halo] = land[2 * halo : 3 * halo]
+                psi_buf[nxp_k - halo : nxp_k] = land[3 * halo : 4 * halo]
+
+            @pl.when(edge_smem[0, 0] == 1)
+            def _mask_lo():
+                psi_buf[0:halo] = jnp.zeros((halo, ny, nz), psi_buf.dtype)
+
+            @pl.when(edge_smem[1, 0] == 1)
+            def _mask_hi():
+                psi_buf[nxp_k - halo : nxp_k] = jnp.zeros(
+                    (halo, ny, nz), psi_buf.dtype
+                )
 
     # Per-step renormalise(+project) carried across grid programs (the
     # 1-step kernel's coefficient recursion, evolve_chunk_fused): the sweep
@@ -2441,7 +2518,8 @@ def _evolve_kernel_res(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "interpret", "per_step_norm", "halo", "raw_reductions"),
+                     "interpret", "per_step_norm", "halo", "raw_reductions",
+                     "ici_steps", "ici_axis", "ici_nsh"),
 )
 def evolve_chunk_resident(
     phi_xpad: jnp.ndarray,
@@ -2461,6 +2539,9 @@ def evolve_chunk_resident(
     halo: int = 0,
     coef0=None,
     raw_reductions: bool = False,
+    ici_steps: int = 0,
+    ici_axis: Optional[str] = None,
+    ici_nsh: int = 1,
 ):
     """A full chunk of ``n_steps`` sweeps with ψ VMEM-resident.
 
@@ -2509,6 +2590,16 @@ def evolve_chunk_resident(
         raise ValueError(
             "sharded resident mode is ground-state analytic-B only"
         )
+    if ici_steps:
+        # in-kernel ICI exchange mode: the chunk spans n_steps//ici_steps
+        # exchange windows with ψ VMEM-resident throughout; the deep halo
+        # must be exactly one window's ghost zone
+        if halo != ici_steps * ext:
+            raise ValueError("ici mode requires halo == ici_steps*ext")
+        if n_steps % ici_steps:
+            raise ValueError("ici mode requires n_steps % ici_steps == 0")
+        if ici_axis is None:
+            raise ValueError("ici mode requires the mesh axis name")
     if x_origin is None:
         x_origin = jnp.zeros((1, 1), jnp.int32)
     else:
@@ -2562,13 +2653,18 @@ def evolve_chunk_resident(
         with_norm=per_step_norm,
         n_lower=n_lower,
         halo=halo,
+        ici_r=ici_steps,
+        ici_axis=ici_axis,
+        ici_nsh=ici_nsh,
     )
     plane = ny * nz * dtype.itemsize
     splane = ny * nz * stream_dtype.itemsize
+    land_rows = 4 * halo if ici_steps else 1
     need = (
         (nxp + ext + 4 * tx) * plane
         + 4 * n_lower * tx * splane
         + (0 if analytic is not None else 2) * tx * plane
+        + (land_rows * plane if ici_steps else 0)
         + ny * nz * 4
     )
     lrows = max(2 * n_lower * tx, 1)
@@ -2606,6 +2702,11 @@ def evolve_chunk_resident(
                 pltpu.SemaphoreType.DMA((nslabs_res + 2,)),
                 pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
                 pltpu.SemaphoreType.DMA((max(2 * n_lower, 1),)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM(
+                    (land_rows, ny, nz) if ici_steps else (1, 1, 1), dtype
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,

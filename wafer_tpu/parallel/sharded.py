@@ -248,6 +248,36 @@ class ShardedOps:
                     break
         self.res_steps = res_steps
 
+        # In-kernel ICI residency (ground): ψ stays VMEM-resident for the
+        # WHOLE chunk — at every R-step window boundary the still-exact
+        # interior edge strips ride remote DMAs (pltpu.make_async_remote_copy
+        # over the mesh ring) into parity-slotted landing strips that become
+        # the next window's deep halo, replacing the per-window host
+        # ppermute + full ψ HBM round trip (the measured ~25% sharded gap).
+        # See ops/pallas_stencil._evolve_kernel_res (ici_r > 0).
+        import os as _os_i
+
+        _ici_env = _os_i.environ.get("WAFER_SHARDED_ICI", "1")
+        ici_res = False
+        if (
+            _ici_env in ("1", "force")
+            and use_pallas
+            and self.pallas_mode == "x"
+            and n_lower == 0
+            and analytic is not None
+            and res_steps > 1
+            and (mesh_shape[0] > 1 or _ici_env == "force")
+            and screen_update >= res_steps
+        ):
+            # ψ block + landing strips (4·halo planes) must fit the
+            # resident budget together
+            nxp_r = bx + 2 * res_steps * ext
+            ici_res = (
+                (nxp_r + 4 * res_steps * ext) * ny * nz * itemsize
+                <= pk._RES_BUDGET
+            )
+        self.ici_res = ici_res
+
         # Sharded excited alternative: per-step ψ-resident sweeps (R = 1 —
         # the per-step global Gram-Schmidt reductions forbid deeper
         # residency without in-kernel collectives) with the l/Sl windows
@@ -496,6 +526,45 @@ class ShardedOps:
                 )
 
             if n_lower == 0 and not per_step_norm:
+                if self.ici_res:
+                    # whole-chunk ψ residency with in-kernel ICI exchanges:
+                    # ONE host-side deep-halo ppermute seeds window 0; the
+                    # kernel's remote DMAs refresh the ghost zone at every
+                    # R-step boundary. Old-style interpret (bool) cannot
+                    # model remote DMAs — tests ride the TPU interpret mode.
+                    ici_interp = pallas_interpret
+                    if ici_interp is True:
+                        from jax.experimental.pallas import tpu as _pltpu
+
+                        ici_interp = _pltpu.InterpretParams(
+                            dma_execution_mode="eager"
+                        )
+                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
+                    edges = jnp.stack(
+                        [
+                            (ax_idx == 0).astype(jnp.int32),
+                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
+                        ]
+                    ).reshape(2, 1)
+                    pad = res_steps * ext
+                    n_win = screen_update // res_steps
+                    p = refresh_halo(to_xpad(phi, pad), pad)
+                    p = pk.evolve_chunk_resident(
+                        p, order, dt, dn, mass, n_win * res_steps, analytic,
+                        interpret=ici_interp, x_origin=x_org, edges=edges,
+                        halo=pad, ici_steps=res_steps,
+                        ici_axis=axis_names[0], ici_nsh=mesh_shape[0],
+                    )
+                    p = p[pad:-pad]
+                    for _ in range(screen_update % res_steps):
+                        p1 = refresh_halo(to_xpad(p, ext), ext)
+                        out1, _n2, _ov = pk.evolve_step_fused(
+                            p1, None, None, order, scale, 0, False,
+                            pallas_interpret, analytic=analytic,
+                            x_origin=x_org,
+                        )
+                        p = out1[ext:-ext]
+                    return p
                 if (
                     nxs == 1
                     and analytic is not None
