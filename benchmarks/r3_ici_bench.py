@@ -40,15 +40,16 @@ R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 STEPS = 200
 
 
-def bench(label: str, ici_env: str, res_steps):
+def bench(label: str, ici_env: str, res_steps, n_lower: int = 0):
     os.environ["WAFER_SHARDED_ICI"] = ici_env
     cfg = make_config(N)
     ext = cfg.central_difference.ext
     mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
-    ops = ShardedOps(cfg, mesh, 0, res_steps=res_steps)
+    ops = ShardedOps(cfg, mesh, n_lower, res_steps=res_steps)
     print(
         f"[{label}] pallas={ops.use_pallas} res_steps={ops.res_steps} "
-        f"ici={ops.ici_res}",
+        f"ici={ops.ici_res} ici_exc_r={getattr(ops, 'ici_exc_r', 0)} "
+        f"res_exc={getattr(ops, 'use_res_exc', False)}",
         flush=True,
     )
     v = pmod.generate(cfg).astype(jnp.float32)
@@ -57,7 +58,17 @@ def bench(label: str, ici_env: str, res_steps):
     phi = ops.put(rng.normal(size=cfg.work_size()).astype(np.float32))
     a_d = ops.put(geometry.work_area(a, ext))
     b_d = ops.put(geometry.work_area(b, ext))
-    store = ops.put_store(None)
+    if n_lower:
+        lowers = []
+        for _ in range(n_lower):
+            w = rng.normal(size=cfg.work_size()).astype(np.float32)
+            w /= np.sqrt(np.sum(w.astype(np.float64) ** 2)).astype(
+                np.float32
+            )
+            lowers.append(jnp.asarray(w))
+        store = ops.put_store(jnp.stack(lowers))
+    else:
+        store = ops.put_store(None)
 
     def run_chain(p, reps):
         t0 = time.perf_counter()
@@ -108,6 +119,13 @@ if __name__ == "__main__":
               flush=True)
         assert dev < 1e-5, dev
 
-    bench(f"whole-chunk resident {N}^3", "0", None)
-    bench(f"in-kernel ICI R={R} {N}^3 (loopback)", "force", R)
-    equiv()
+    if os.environ.get("WAFER_ICI_BENCH_EXC") == "1":
+        # S=1 excited loopback: ψ resident across windows + per-step
+        # coefficient recursion (local == global at nsh=1); compare with
+        # BASELINE.md's windowed sharded S=1 and the single-chip
+        # resident-exc numbers
+        bench(f"ici excited S=1 {N}^3 (loopback)", "force", None, n_lower=1)
+    else:
+        bench(f"whole-chunk resident {N}^3", "0", None)
+        bench(f"in-kernel ICI R={R} {N}^3 (loopback)", "force", R)
+        equiv()

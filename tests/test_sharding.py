@@ -1023,6 +1023,144 @@ def test_sharded_resident_exc_bf16_streams(monkeypatch):
     assert abs(ov) < 1e-3 * np.sqrt(n2), ov
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+@pytest.mark.parametrize("n_lower", [1, 2])
+def test_sharded_ici_excited_matches_xla(mesh_shape, n_lower, monkeypatch):
+    """ICI-resident excited chunk (ψ resident across R-step windows,
+    per-step Gram coefficients globally reduced by the in-kernel scalar
+    all-to-all, deep-padded l/Sl streams) == the sharded XLA path.
+    screen_update 6 / R=2 → three windows, both scalar parity slots and
+    both ψ-strip parity slots exercised. f32 streams for strictness."""
+    monkeypatch.setenv("WAFER_EXC_STREAM", "f32")
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 40, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 6},
+    )
+    ext = 1
+    rng = np.random.default_rng(77)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lowers = []
+    for _ in range(n_lower):
+        w = rng.normal(size=cfg.work_size()).astype(np.float32)
+        w /= np.sqrt(np.sum(w.astype(np.float64) ** 2)).astype(np.float32)
+        lowers.append(jnp.asarray(w))
+    store = jnp.stack(lowers)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, n_lower, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(store),
+        )
+    )
+    ops_p = ShardedOps(
+        cfg, mesh, n_lower, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.ici_exc_r == 2, ops_p.ici_exc_r
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(store),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=2e-5)
+
+
+def test_sharded_ici_excited_race_detector(monkeypatch):
+    """The ICI-excited kernel's remote-DMA schedule (ψ strips per window +
+    scalars per step) under the interpret-mode race detector, SevenPoint
+    (6-row strips), with orthogonality of the result."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("WAFER_EXC_STREAM", "f32")
+    cfg = base_config(
+        precision="f32",
+        central_difference="SevenPoint",
+        grid={"size": {"x": 48, "y": 8, "z": 128}, "dn": 0.25, "dt": 0.004},
+        output={"screen_update": 4},
+    )
+    ext = 3
+    rng = np.random.default_rng(78)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower /= np.sqrt(np.sum(lower.astype(np.float64) ** 2)).astype(np.float32)
+    store = jnp.stack([jnp.asarray(lower)])
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+
+    mesh = make_mesh((2, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 1, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(geometry.work_area(a, ext)),
+            ops_x.put(geometry.work_area(b, ext)), ops_x.put_store(store),
+        )
+    )
+    ops_p = ShardedOps(
+        cfg, mesh, 1, use_pallas=True,
+        pallas_interpret=pltpu.InterpretParams(
+            dma_execution_mode="eager", detect_races=True
+        ),
+    )
+    assert ops_p.ici_exc_r == 2, ops_p.ici_exc_r
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(geometry.work_area(a, ext)),
+            ops_p.put(geometry.work_area(b, ext)), ops_p.put_store(store),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-5)
+    ov = float(np.sum(lower.astype(np.float64) * out.astype(np.float64)))
+    n2 = float(np.sum(out.astype(np.float64) ** 2))
+    assert abs(ov) < 1e-4 * np.sqrt(n2), ov
+
+
+def test_sharded_ici_excited_bf16_streams():
+    """bf16 deep-padded l/Sl streams on the ICI-excited path: within bf16
+    quantisation of the XLA trajectory, orthogonality preserved."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 32, "y": 16, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 6},
+    )
+    ext = 1
+    rng = np.random.default_rng(79)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lower /= np.sqrt(np.sum(lower.astype(np.float64) ** 2)).astype(np.float32)
+    store = jnp.stack([jnp.asarray(lower)])
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+
+    mesh = make_mesh((2, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 1, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(geometry.work_area(a, ext)),
+            ops_x.put(geometry.work_area(b, ext)), ops_x.put_store(store),
+        )
+    )
+    ops_p = ShardedOps(cfg, mesh, 1, use_pallas=True, pallas_interpret=True)
+    assert ops_p.ici_exc_r == 2
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(geometry.work_area(a, ext)),
+            ops_p.put(geometry.work_area(b, ext)), ops_p.put_store(store),
+        )
+    )
+    scale_ = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() / scale_ < 3e-2
+    ov = float(np.sum(lower.astype(np.float64) * out.astype(np.float64)))
+    n2 = float(np.sum(out.astype(np.float64) ** 2))
+    assert abs(ov) < 1e-3 * np.sqrt(n2), ov
+
+
 def test_sharded_sync_update_matches_per_chunk(tmp_run):
     """sync_update batching on the sharded driver: step counts, energies,
     and final fields match the per-chunk cadence (VERDICT r2 #7)."""

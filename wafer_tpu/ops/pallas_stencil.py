@@ -2168,6 +2168,12 @@ def _evolve_kernel_res(
     # slots × 2 sides); (1,1,1) dummy when ici_r == 0
     sem_snd,    # DMA (2,) — ICI send (one per direction)
     sem_rcv,    # DMA (2,) — ICI recv (slot 0: lo side, 1: hi side)
+    scal_snd,   # (1, 128) VMEM f32 — staged per-step reduction partials
+    # (lanes 0..S) for the scalar all-to-all (sharded excited/psn ici mode)
+    scal_land,  # (2·nsh, 128) VMEM f32 — parity-slotted landing rows, one
+    # per peer (row = slot·nsh + sender)
+    sem_sc_snd,  # DMA (1,)
+    sem_sc_rcv,  # DMA (1,)
     *,
     order: str,
     scale: float,
@@ -2310,6 +2316,55 @@ def _evolve_kernel_res(
                     (halo, ny, nz), psi_buf.dtype
                 )
 
+    # Sharded ici mode with per-step reductions (excited / per-step-norm):
+    # the coefficient recursion needs GLOBAL sums every step. Each device
+    # stages its step-t partials into a 128-lane vector and remote-DMAs it
+    # to every mesh peer's parity-slotted landing row (all-to-all of
+    # (1+S)·4 bytes, self included for uniform semaphore counts); step t+1
+    # begins by waiting the nsh incoming rows of parity t%2 and reducing
+    # them. Slot safety is the same two-parity chain as the ψ strips: a
+    # peer's t+2 send (overwriting parity t%2) happens after its t+2-start
+    # waits, which need my t+1 sends, which follow my t+1-start read of
+    # parity t%2. Across chunk calls the driver's measure psum (or the
+    # seeding ppermute) is the barrier.
+    ici_scal = ici_r > 0 and ici_nsh > 1 and (with_norm or n_lower > 0)
+    if ici_scal:
+        my_sc = jax.lax.axis_index(ici_axis).astype(jnp.int32)
+
+        def _scal_send(k, slot_):
+            tgt = jax.lax.rem(my_sc + jnp.int32(k), jnp.int32(ici_nsh))
+            return pltpu.make_async_remote_copy(
+                scal_snd.at[pl.ds(0, 1)],
+                scal_land.at[pl.ds(slot_ * jnp.int32(ici_nsh) + my_sc, 1)],
+                sem_sc_snd.at[0],
+                sem_sc_rcv.at[0],
+                device_id={ici_axis: tgt},
+            )
+
+        def _scal_global(slot_):
+            """Sum the nsh landed partial rows of the given parity: a
+            (1+S)-vector of global reductions, read per lane."""
+            rows = scal_land[...]
+            par = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (2 * ici_nsh, 128), 0
+                )
+                // jnp.int32(ici_nsh)
+            )
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (2 * ici_nsh, 128), 1
+            )
+            sel = par == slot_
+            return [
+                jnp.sum(
+                    jnp.where(
+                        jnp.logical_and(sel, lane == st), rows,
+                        jnp.float32(0.0),
+                    )
+                )
+                for st in range(1 + n_lower)
+            ]
+
     # Per-step renormalise(+project) carried across grid programs (the
     # 1-step kernel's coefficient recursion, evolve_chunk_fused): the sweep
     # is linear, so the correction of step t applies to step t's *output*:
@@ -2320,13 +2375,26 @@ def _evolve_kernel_res(
     if with_norm or n_lower > 0:
         slot = jax.lax.rem(i, jnp.int32(2))
         prev = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        if ici_scal:
+
+            @pl.when(i > 0)
+            def _wait_prev_scal():
+                for _k in range(ici_nsh):
+                    _scal_send(0, prev).wait_recv()
+
+            g_prev = _scal_global(prev)
+            prev_n2 = g_prev[0]
+            prev_ov = g_prev[1:]
+        else:
+            prev_n2 = racc[prev, 0]
+            prev_ov = [racc[prev, 1 + st] for st in range(n_lower)]
         inv_rec = jax.lax.rsqrt(
-            jnp.maximum(racc[prev, 0], jnp.float32(1e-37))
+            jnp.maximum(prev_n2, jnp.float32(1e-37))
         )
         inv = jnp.where(i == 0, coef0_smem[0, 0], inv_rec)
         corr = [
             jnp.where(
-                i == 0, coef0_smem[1 + st, 0], racc[prev, 1 + st] * inv_rec
+                i == 0, coef0_smem[1 + st, 0], prev_ov[st] * inv_rec
             )
             for st in range(n_lower)
         ]
@@ -2418,12 +2486,20 @@ def _evolve_kernel_res(
                 new = new - corr[st] * slbuf[j * tx : j * tx + txs].astype(
                     new.dtype
                 )
-            racc[slot, 0] += jnp.sum(new * new)
-            for st in range(n_lower):
-                j = bslot * n_lower + st
-                racc[slot, 1 + st] += jnp.sum(
-                    lbuf[j * tx : j * tx + txs].astype(new.dtype) * new
-                )
+            # deep-halo mode: reductions count only true-interior rows
+            # [halo, nxp−halo) — halo rows are the neighbour's interior
+            # (double-count) and go progressively stale. Slab bounds are
+            # static, so the valid range is a compile-time slice.
+            v_lo = max(rs, halo) - rs
+            v_hi = min(rs + txs, nxp_all - halo) - rs
+            if v_hi > v_lo:
+                nm = new[v_lo:v_hi] if halo > ext else new
+                racc[slot, 0] += jnp.sum(nm * nm)
+                for st in range(n_lower):
+                    j = bslot * n_lower + st
+                    lwin = lbuf[j * tx : j * tx + txs].astype(new.dtype)
+                    lw = lwin[v_lo:v_hi] if halo > ext else lwin
+                    racc[slot, 1 + st] += jnp.sum(lw * nm)
         lag[...] = psi_buf[rs + txs - ext : rs + txs]  # old top rows, pre-write
         psi_buf[rs : rs + txs] = new
         if plain_store:
@@ -2442,6 +2518,27 @@ def _evolve_kernel_res(
                         sem_out.at[_s],
                     ).start()
 
+    if ici_scal:
+        # broadcast this step's partials to every peer (self included):
+        # stage the SMEM scalars into lanes 0..S of a 128-lane vector and
+        # remote-DMA it to each peer's parity-slotted landing row
+        lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        vec = jnp.zeros((1, 128), jnp.float32)
+        for st in range(1 + n_lower):
+            vec = jnp.where(lane_1 == st, racc[slot, st], vec)
+        scal_snd[...] = vec
+        for k in range(ici_nsh):
+            _scal_send(k, slot).start()
+        for k in range(ici_nsh):
+            _scal_send(k, slot).wait_send()
+
+        @pl.when(i == n_steps - 1)
+        def _wait_last_scal():
+            # the final step's global sums are consumed below (red_out /
+            # the with_norm rescale), not by a next program
+            for _k in range(ici_nsh):
+                _scal_send(0, slot).wait_recv()
+
     if halo > ext:
         # deep-halo Dirichlet: global-edge shards re-zero their halo side
         # after every step (the blind sweep wrote into it)
@@ -2459,21 +2556,25 @@ def _evolve_kernel_res(
 
     @pl.when(i == n_steps - 1)
     def _store():
+        if (n_lower > 0 or with_norm) and ici_scal:
+            fin = _scal_global(slot)  # globally-summed final reductions
+        elif n_lower > 0 or with_norm:
+            fin = [racc[slot, st] for st in range(1 + n_lower)]
         if n_lower > 0:
             # the last step's pending normalise+project needs the *unswept*
             # lower states — materialised by the host wrapper from these
-            red_out[0, 0] = racc[slot, 0]
+            red_out[0, 0] = fin[0]
             for st in range(n_lower):
-                red_out[1 + st, 0] = racc[slot, 1 + st]
+                red_out[1 + st, 0] = fin[1 + st]
         elif with_norm:
             # materialise the final pending rescale before the copy-out
             # (evolve_chunk_fused's trailing ``phi * coef``)
             r = jax.lax.rsqrt(
-                jnp.maximum(racc[slot, 0], jnp.float32(1e-37))
+                jnp.maximum(fin[0], jnp.float32(1e-37))
             )
             for rs, txs in slabs:
                 psi_buf[rs : rs + txs] = r * psi_buf[rs : rs + txs]
-            red_out[0, 0] = racc[slot, 0]
+            red_out[0, 0] = fin[0]
         else:
             red_out[0, 0] = jnp.float32(0.0)
         if plain_store:
@@ -2575,8 +2676,20 @@ def evolve_chunk_resident(
     (analytic-B coordinates), and ``edges`` flags for the global Dirichlet
     masking — see parallel/sharded.py. ``phi_xpad`` is then
     (BX+2·halo, NY, NZ) and the interior is exact after the n_steps
-    in-kernel sweeps (ground state only: no per-step global reductions
-    exist inside one exchange window)."""
+    in-kernel sweeps.
+
+    In-kernel ICI mode (``ici_steps > 0``, sharded callers): the chunk
+    spans ``n_steps // ici_steps`` exchange windows; at every window
+    boundary the still-exact interior edge strips ride remote DMAs into
+    parity-slotted landing strips on the ring neighbours — ψ never
+    returns to HBM inside the chunk. With per-step reductions (excited
+    states / ``per_step_norm``) each step additionally all-to-alls its
+    (1+S) reduction partials so the coefficient recursion uses GLOBAL
+    sums (reference per-step Gram-Schmidt semantics, src/grid.rs:674-681,
+    across shards); reductions count only true-interior rows, and the
+    deep-padded ``store_xpad``/``sstore_xpad``/ψ halos carry real
+    neighbour rows. ``red_out`` is then already globally summed — callers
+    must not psum it again."""
     ext = _EXT[order]
     nxp, ny, nz = phi_xpad.shape
     nx = nxp - 2 * ext  # rows swept per step (includes deep-halo rows)
@@ -2586,9 +2699,13 @@ def evolve_chunk_resident(
     dtype = phi_xpad.dtype
     if analytic is None and b_int is None:
         raise ValueError("resident sweep needs either analytic or b_int")
-    if halo and (n_lower > 0 or per_step_norm or analytic is None):
+    if halo and analytic is None:
+        raise ValueError("sharded resident mode is analytic-B only")
+    if halo and (n_lower > 0 or per_step_norm) and not ici_steps:
+        # per-step global reductions inside an exchange window need the
+        # in-kernel scalar all-to-all (ici mode)
         raise ValueError(
-            "sharded resident mode is ground-state analytic-B only"
+            "deep-halo excited/per-step-norm needs ici_steps > 0"
         )
     if ici_steps:
         # in-kernel ICI exchange mode: the chunk spans n_steps//ici_steps
@@ -2708,6 +2825,10 @@ def evolve_chunk_resident(
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((1, 128), jnp.float32),
+                pltpu.VMEM((max(2 * ici_nsh, 2), 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((1,)),
+                pltpu.SemaphoreType.DMA((1,)),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),

@@ -309,6 +309,40 @@ class ShardedOps:
             )
         self.use_res_exc = use_res_exc
 
+        # ICI-resident excited states: ψ VMEM-resident across R-step
+        # windows (deep ψ/l/Sl halos exchanged in-kernel) with the
+        # per-step Gram coefficients globally reduced by the kernel's
+        # scalar all-to-all — per-step reference semantics
+        # (src/grid.rs:674-681) at resident-class throughput. R must
+        # divide screen_update (no remainder path) and the ψ block +
+        # landing strips + stream windows must fit the resident budget.
+        ici_exc_r = 0
+        if (
+            _ici_env in ("1", "force")
+            and use_pallas
+            and self.pallas_mode == "x"
+            and n_lower > 0
+            and analytic is not None
+            and (mesh_shape[0] > 1 or _ici_env == "force")
+        ):
+            _stream_is = 2 if exc_stream_bf16 else None
+            for r in (8, 4, 2):
+                if screen_update % r or bx < r * ext:
+                    continue
+                if 8 * (r - 1) * ext > bx:  # blind-sweep recompute cap
+                    continue
+                h = r * ext
+                if not pk.resident_exc_supported(
+                    bx + 2 * (h - ext), ny, nz, ext, itemsize, n_lower,
+                    True, stream_itemsize=_stream_is,
+                ):
+                    continue
+                if (bx + 6 * h) * ny * nz * itemsize > pk._RES_BUDGET:
+                    continue  # ψ block + 4·halo landing strips
+                ici_exc_r = r
+                break
+        self.ici_exc_r = ici_exc_r
+
         def orthogonalise(phi, store):
             for s in range(n_lower):
                 lower = store[s]
@@ -724,6 +758,75 @@ class ShardedOps:
                     0, screen_update, body_norm, (to_xpad(phi, ext), coef0)
                 )
                 return p[ext:-ext] * coef[0, 0]
+
+            if self.ici_exc_r:
+                # ICI-resident excited chunk: ONE kernel call spans the
+                # whole chunk; ψ/l/Sl carry R·ext-deep neighbour halos
+                # (stores exchanged once per chunk — they are static), the
+                # kernel exchanges ψ strips per window and reduction
+                # scalars per step, and red returns GLOBAL sums (no psum).
+                r_ici = self.ici_exc_r
+                pad = r_ici * ext
+                ici_interp = pallas_interpret
+                if ici_interp is True:
+                    from jax.experimental.pallas import tpu as _pltpu
+
+                    ici_interp = _pltpu.InterpretParams(
+                        dma_execution_mode="eager"
+                    )
+                ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
+                edges = jnp.stack(
+                    [
+                        (ax_idx == 0).astype(jnp.int32),
+                        (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
+                    ]
+                ).reshape(2, 1)
+                # deep-padded stores; their swept images are valid on all
+                # streamed rows [ext, nxp−ext) because the sweep reads only
+                # the outer ext rows blind (real neighbour data to depth
+                # pad; zeros at global edges)
+                x_org_deep = x_org - jnp.int32(pad - ext)
+                store_deep = jnp.stack(
+                    [
+                        _pad_axis(store[s], pad, 0, axis_names[0],
+                                  mesh_shape[0])
+                        for s in range(n_lower)
+                    ]
+                )
+                sls = []
+                for s_i in range(n_lower):
+                    sl_s, _n2s, _ovs = pk.evolve_step_fused(
+                        store_deep[s_i], None, None, order, scale, 0,
+                        False, pallas_interpret, analytic=analytic,
+                        x_origin=x_org_deep,
+                    )
+                    sls.append(sl_s)
+                sstore_deep = jnp.stack(sls)
+                store_s, sstore_s = store_deep, sstore_deep
+                if exc_stream_bf16:
+                    store_s = store_deep.astype(jnp.bfloat16)
+                    sstore_s = sstore_deep.astype(jnp.bfloat16)
+                coef0_re = jnp.concatenate(
+                    [
+                        jnp.ones((1, 1), jnp.float32),
+                        jnp.zeros((n_lower, 1), jnp.float32),
+                    ]
+                )
+                p = refresh_halo(to_xpad(phi, pad), pad)
+                out_x, red = pk.evolve_chunk_resident(
+                    p, order, dt, dn, mass, screen_update, analytic,
+                    interpret=ici_interp, store_xpad=store_s,
+                    sstore_xpad=sstore_s, x_origin=x_org, edges=edges,
+                    halo=pad, coef0=coef0_re, raw_reductions=True,
+                    ici_steps=r_ici, ici_axis=axis_names[0],
+                    ici_nsh=mesh_shape[0],
+                )
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(red[0, 0], jnp.float32(1e-37))
+                )
+                coefs = (red[1:, 0] * inv).astype(dtype)
+                proj = jnp.tensordot(coefs, store, axes=1)
+                return out_x[pad:-pad] * inv.astype(dtype) - proj
 
             if use_res_exc:
                 # ψ-resident per-step sweeps: the swept images Sl_s = S(l_s)
