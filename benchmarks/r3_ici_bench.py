@@ -40,11 +40,27 @@ R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 STEPS = 200
 
 
+def _feasible_ici_r(cfg, mesh, r0: int):
+    """Largest R ≤ r0 whose ici_res budget gate engages (the ψ block plus
+    4·R·ext landing strips must fit the resident budget — at 256³ R=8 is
+    76 MiB and fails, R=4 fits)."""
+    os.environ["WAFER_SHARDED_ICI"] = "force"
+    r = r0
+    while r >= 2:
+        if ShardedOps(cfg, mesh, 0, res_steps=r).ici_res:
+            return r
+        r //= 2
+    raise SystemExit(f"no feasible ici R at {N}^3 (asked {r0})")
+
+
 def bench(label: str, ici_env: str, res_steps, n_lower: int = 0):
     os.environ["WAFER_SHARDED_ICI"] = ici_env
     cfg = make_config(N)
     ext = cfg.central_difference.ext
     mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    if ici_env == "force" and res_steps is not None:
+        res_steps = _feasible_ici_r(cfg, mesh, res_steps)
+        label = label.replace(f"R={R}", f"R={res_steps}")
     ops = ShardedOps(cfg, mesh, n_lower, res_steps=res_steps)
     print(
         f"[{label}] pallas={ops.use_pallas} res_steps={ops.res_steps} "
@@ -99,8 +115,8 @@ if __name__ == "__main__":
         mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
         os.environ["WAFER_SHARDED_ICI"] = "0"
         ops_a = ShardedOps(cfg, mesh, 0)
-        os.environ["WAFER_SHARDED_ICI"] = "force"
-        ops_b = ShardedOps(cfg, mesh, 0, res_steps=R)
+        r_ok = _feasible_ici_r(cfg, mesh, R)
+        ops_b = ShardedOps(cfg, mesh, 0, res_steps=r_ok)
         assert ops_b.ici_res, "ici gate must engage under force"
         v = pmod.generate(cfg).astype(jnp.float32)
         a, b = pmod.build_ab(v, cfg.grid.dt)
