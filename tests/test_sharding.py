@@ -728,13 +728,13 @@ def test_sharded_ici_resident_three_windows_race_detector():
     np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-6)
 
 
-def _split_setup(seed=51, n=8):
+def _split_setup(seed=51, n=8, screen_update=3):
     cfg = base_config(
         precision="f32",
         potential="ComplexHarmonic",
         absorb=0.2,
         grid={"size": {"x": n, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
-        output={"screen_update": 3},
+        output={"screen_update": screen_update},
     )
     rng = np.random.default_rng(seed)
     pr = rng.normal(size=cfg.work_size()).astype(np.float32)
@@ -827,6 +827,106 @@ def test_sharded_split_pallas_streamed_b(monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+def test_sharded_split_resident_windows_match_xla(mesh_shape):
+    """Sharded split ground on deep-ghost-zone resident windows (the pair
+    VMEM-resident for R blind in-kernel sweeps per ppermute exchange,
+    ops/pallas_split._evolve_kernel_res_sc halo mode) == the sharded XLA
+    split path. screen_update 5 / R=2 → two windows + one remainder
+    1-step, exercising both the blind sweep and the mixed cadence."""
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=54, n=40,
+                                                 screen_update=5)
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.sc_res_steps == 2, ops_p.sc_res_steps
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("per_step_norm", [False, True])
+def test_sharded_split_whole_chunk_resident(per_step_norm):
+    """1×1×1-mesh split ground runs the whole chunk as ONE resident-pair
+    call (with the per-step drift guard carried in SMEM when asked) and
+    matches the sharded XLA path."""
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=55, n=16)
+    mesh = make_mesh((1, 1, 1))
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.sc_whole_chunk
+    fn_x = ops_x.evolve_chunk_psn if per_step_norm else ops_x.evolve_chunk
+    fn_p = ops_p.evolve_chunk_psn if per_step_norm else ops_p.evolve_chunk
+    rr, ri = fn_x(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    or_, oi_ = fn_p(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    tol = dict(rtol=5e-5, atol=5e-6) if per_step_norm else dict(
+        rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr), **tol)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), **tol)
+
+
+def test_sharded_split_blocked_shortcut(monkeypatch):
+    """1×1×1-mesh split ground whose pair exceeds whole-array residency
+    rides the single-chip x-blocked deep-halo resident kernel and matches
+    the sharded XLA path."""
+    import wafer_tpu.ops.pallas_split as ps_mod
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=56, n=64,
+                                                 screen_update=5)
+    monkeypatch.setattr(ps_mod, "resident_sc_supported",
+                        lambda *a: False)
+    mesh = make_mesh((1, 1, 1))
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert not ops_p.sc_whole_chunk
+    assert ops_p.sc_resb_plan is not None
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
+                               rtol=2e-5, atol=2e-6)
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 2)])

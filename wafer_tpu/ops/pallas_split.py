@@ -561,6 +561,8 @@ def resident_sc_supported(nx: int, ny: int, nz: int, ext: int,
 def _evolve_kernel_res_sc(
     psi_hbm,   # (2·NXE, NY, NZ) ANY — re rows [0, NXE), im rows [NXE, 2·NXE)
     b_hbm,     # (2·NX, NY, NZ) ANY — (Br, Bi) stacked (stub when analytic)
+    xorg_smem,  # (1, 1) SMEM i32 — shard's global interior x origin
+    edge_smem,  # (2, 1) SMEM i32 — [at_global_lo, at_global_hi]
     out_hbm,   # (2·NXE, NY, NZ) ANY
     red_out,   # (1, 1) SMEM — final step's ‖ψ‖² (with_norm)
     psi_buf,   # (2·NXE, NY, NZ) VMEM — resident across all grid programs
@@ -579,12 +581,22 @@ def _evolve_kernel_res_sc(
     analytic,
     nx: int,
     with_norm: bool = False,
+    halo: int = 0,
 ):
+    # Sharded deep-halo mode (halo = R·ext > ext): the pair carries a deep
+    # ghost zone exchanged once per R = n_steps in-kernel steps; the sweep
+    # runs blind over every non-edge row (the real kernel's deep-ghost-zone
+    # schedule, _evolve_kernel_res) and global-edge shards re-zero their
+    # halo side of BOTH components after every step.
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     ny, nz = psi_buf.shape[1], psi_buf.shape[2]
     nxe = nx + 2 * ext
+    halo = halo or ext
+    # padded x coordinate of psi_buf row 0 (row ``halo`` is local interior
+    # row 0, i.e. padded coordinate ext + xorg)
+    x_row0 = xorg_smem[0, 0].astype(jnp.float32) + jnp.float32(ext - halo)
 
     @pl.when(i == 0)
     def _load():
@@ -663,7 +675,7 @@ def _evolve_kernel_res_sc(
             bi = bbuf[(bslot * 2 + 1) * tx : (bslot * 2 + 1) * tx + txs]
         else:
             br, bi = _analytic_b_sc(
-                analytic, (txs, ny, nz), float(rs), ext, ext
+                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext
             )
         tr = 2.0 * cr + scale * acc_r
         ti = 2.0 * ci + scale * acc_i
@@ -677,6 +689,21 @@ def _evolve_kernel_res_sc(
         lag_i[...] = psi_buf[nxe + rs + txs - ext : nxe + rs + txs]
         psi_buf[rs : rs + txs] = new_r
         psi_buf[nxe + rs : nxe + rs + txs] = new_i
+
+    if halo > ext:
+        # deep-halo Dirichlet: global-edge shards re-zero their halo side
+        # of both components after every blind step
+        @pl.when(edge_smem[0, 0] == 1)
+        def _mask_lo():
+            z = jnp.zeros((halo, ny, nz), psi_buf.dtype)
+            psi_buf[0:halo] = z
+            psi_buf[nxe : nxe + halo] = z
+
+        @pl.when(edge_smem[1, 0] == 1)
+        def _mask_hi():
+            z = jnp.zeros((halo, ny, nz), psi_buf.dtype)
+            psi_buf[nxe - halo : nxe] = z
+            psi_buf[2 * nxe - halo : 2 * nxe] = z
 
     @pl.when(i == n_steps - 1)
     def _store():
@@ -698,7 +725,7 @@ def _evolve_kernel_res_sc(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "interpret", "per_step_norm"),
+                     "interpret", "per_step_norm", "halo"),
 )
 def evolve_chunk_resident_sc(
     psi2: jnp.ndarray,
@@ -711,12 +738,24 @@ def evolve_chunk_resident_sc(
     interpret: bool = False,
     per_step_norm: bool = False,
     b2: Optional[jnp.ndarray] = None,
+    x_origin=None,
+    edges=None,
+    halo: int = 0,
 ) -> jnp.ndarray:
     """A full chunk of ground-state split-complex sweeps with (re, im)
     VMEM-resident; trajectory-identical to ``n_steps`` 1-step fused split
     sweeps (oracle: ops/split_complex.evolve_chunk_sc). ``per_step_norm``
     carries the inverse complex norm across grid programs in SMEM (the f32
-    drift guard, reference per-step semantics src/grid.rs:674-681)."""
+    drift guard, reference per-step semantics src/grid.rs:674-681).
+
+    Sharded mode (``halo = R·ext > ext``): ``psi2`` is the stacked pair
+    with an R·ext-deep exchanged ghost zone per component, ``x_origin``
+    the shard's global interior x origin, and ``edges`` the global-edge
+    flags for the per-step Dirichlet re-masking; after ``n_steps = R``
+    blind in-kernel sweeps the interior is exact (the real kernel's
+    deep-ghost-zone schedule, ops/pallas_stencil._evolve_kernel_res).
+    Ground state only (per-step global norms across shards would need the
+    in-kernel scalar all-to-all)."""
     ext = _EXT[order]
     nxp2, ny, nz = psi2.shape
     nxe = nxp2 // 2
@@ -726,9 +765,21 @@ def evolve_chunk_resident_sc(
     dtype = psi2.dtype
     if analytic is None and b2 is None:
         raise ValueError("resident split sweep needs analytic or b2")
+    if halo and analytic is None:
+        raise ValueError("sharded resident split mode is analytic-B only")
+    if halo and per_step_norm:
+        raise ValueError("sharded resident split mode is ground-state only")
     tx = _pk._pick_tx_res(nx, ext)
     if tx is None:
         raise ValueError(f"no resident slab height fits NX={nx}")
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
+    if edges is None:
+        edges = jnp.ones((2, 1), jnp.int32)
+    else:
+        edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
     kernel = functools.partial(
         _evolve_kernel_res_sc,
         order=order,
@@ -738,6 +789,7 @@ def evolve_chunk_resident_sc(
         analytic=analytic,
         nx=nx,
         with_norm=per_step_norm,
+        halo=halo,
     )
     b_arg = b2 if analytic is None else jnp.zeros((1, 1, 1), dtype)
     brows = 4 * tx if analytic is None else 1
@@ -750,6 +802,8 @@ def evolve_chunk_resident_sc(
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -771,7 +825,7 @@ def evolve_chunk_resident_sc(
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(psi2, b_arg)
+        )(psi2, b_arg, x_origin, edges)
     return out
 
 

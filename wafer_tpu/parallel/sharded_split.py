@@ -120,6 +120,50 @@ class ShardedSplitOps:
             )
         self.sc_analytic = sc_analytic
 
+        # Sharded VMEM-resident pair chunks (ground state): exchange an
+        # R·ext-deep ghost zone of BOTH components once per R blind
+        # in-kernel sweeps (the real path's deep-ghost-zone ladder,
+        # parallel/sharded.py res_steps; kernel:
+        # ops/pallas_split.evolve_chunk_resident_sc halo mode). On a
+        # 1-shard x axis the whole chunk runs as ONE resident call.
+        sc_res_steps = 0
+        sc_whole_chunk = False
+        sc_resb_plan = None
+        if use_pallas and n_lower == 0:
+            sc_whole_chunk = mesh_shape[0] == 1 and (
+                ps_mod.resident_sc_supported(bx, ny, nz, ext, itemsize)
+            )
+            if (
+                not sc_whole_chunk
+                and mesh_shape[0] == 1
+                and sc_analytic is not None
+            ):
+                # degenerate 1-shard axis, HBM-sized pair (256³-class):
+                # the single-chip x-blocked deep-halo resident kernel
+                # applies unchanged (its unconditional edge zeroing IS the
+                # global Dirichlet here)
+                sc_resb_plan = ps_mod.pick_resb_sc(
+                    bx, ny, nz, ext, itemsize, screen_update
+                )
+            if not sc_whole_chunk and sc_analytic is not None:
+                for r in (16, 8, 4, 2):
+                    if r > screen_update or bx < r * ext:
+                        continue
+                    # blind-sweep recompute cap, as the real ladder
+                    if 8 * (r - 1) * ext > bx:
+                        continue
+                    nxh_r = bx + 2 * r * ext
+                    if (
+                        2 * nxh_r * ny * nz * itemsize <= ps_mod._pk._RES_BUDGET
+                        and ps_mod._pk._pick_tx_res(nxh_r - 2 * ext, ext)
+                        is not None
+                    ):
+                        sc_res_steps = r
+                        break
+        self.sc_res_steps = sc_res_steps
+        self.sc_whole_chunk = sc_whole_chunk
+        self.sc_resb_plan = sc_resb_plan
+
         def norm2_g(pr, pi):
             return _psum(jnp.sum(pr * pr + pi * pi))
 
@@ -169,25 +213,27 @@ class ShardedSplitOps:
                     * jnp.int32(bx)
                 ).reshape(1, 1)
 
-                def to_x2(pr_, pi_):
-                    pad = ((ext, ext), (0, 0), (0, 0))
+                def to_x2(pr_, pi_, pad=ext):
+                    padt = ((pad, pad), (0, 0), (0, 0))
                     return jnp.concatenate(
-                        [jnp.pad(pr_, pad), jnp.pad(pi_, pad)], axis=0
+                        [jnp.pad(pr_, padt), jnp.pad(pi_, padt)], axis=0
                     )
 
-                def refresh_halo_sc(p2):
-                    """In-place x-halo refresh of both components (the
-                    kernel re-zeros global-edge pads itself each call; on a
-                    1-shard axis nothing needs refreshing)."""
+                def refresh_halo_sc(p2, pad=ext):
+                    """In-place x-halo refresh of both components to depth
+                    ``pad`` (the kernel re-zeros global-edge pads itself
+                    each call; ppermute zero-fills at the global edges; on
+                    a 1-shard axis nothing needs refreshing)."""
                     if nxs == 1:
                         return p2
+                    bxp_ = bxl + 2 * pad
                     out = p2
-                    for base in (0, bxp):
+                    for base in (0, bxp_):
                         hi_face = lax.slice_in_dim(
-                            out, base + bxl, base + bxl + ext, axis=0
+                            out, base + bxl, base + bxl + pad, axis=0
                         )
                         lo_face = lax.slice_in_dim(
-                            out, base + ext, base + 2 * ext, axis=0
+                            out, base + pad, base + 2 * pad, axis=0
                         )
                         from_left = lax.ppermute(
                             hi_face, AXIS_NAMES[0],
@@ -201,7 +247,7 @@ class ShardedSplitOps:
                             out, from_left, base, 0
                         )
                         out = lax.dynamic_update_slice_in_dim(
-                            out, from_right, base + ext + bxl, 0
+                            out, from_right, base + pad + bxl, 0
                         )
                     return out
 
@@ -228,7 +274,85 @@ class ShardedSplitOps:
                 _o2, _c2, _cc2, k2 = geometry.stencil_coefficients(order)
                 scale = dt / (k2 * dn * dn * mass)
 
+                if n_lower == 0 and sc_whole_chunk:
+                    # 1-shard x axis: nothing to exchange — the pair stays
+                    # VMEM-resident for the whole chunk (one kernel call,
+                    # per-step drift guard carried in SMEM when asked)
+                    out2 = ps_mod.evolve_chunk_resident_sc(
+                        to_x2(pr, pi), order, dt, dn, mass, screen_update,
+                        sc_analytic, interpret=pallas_interpret,
+                        per_step_norm=per_step_norm, b2=b2_loc,
+                        x_origin=x_org,
+                    )
+                    return (
+                        out2[ext : ext + bxl],
+                        out2[bxp + ext : bxp + ext + bxl],
+                    )
+
+                if (
+                    n_lower == 0
+                    and not per_step_norm
+                    and sc_resb_plan is not None
+                ):
+                    # 1-shard axis, pair exceeds whole-array residency:
+                    # ride the single-chip x-blocked deep-halo resident
+                    # kernel (see solver._solve_split)
+                    rb = sc_resb_plan
+                    out2 = ps_mod.evolve_chunk_resident_blocked_sc(
+                        to_x2(pr, pi, rb[1] * ext), order, dt, dn, mass,
+                        screen_update, sc_analytic, bx=rb[0],
+                        r_steps=rb[1], interpret=pallas_interpret,
+                        tx=rb[2], prefetch=rb[3],
+                    )
+                    pad_b = rb[1] * ext
+                    bxp_b = bxl + 2 * pad_b
+                    return (
+                        out2[pad_b : pad_b + bxl],
+                        out2[bxp_b + pad_b : bxp_b + pad_b + bxl],
+                    )
+
                 if n_lower == 0 and not per_step_norm:
+                    if sc_res_steps > 1:
+                        # deep-ghost-zone resident windows: one ppermute of
+                        # R·ext rows per component per R blind in-kernel
+                        # sweeps (ops/pallas_split._evolve_kernel_res_sc
+                        # halo mode); remainder steps ride the 1-step body
+                        pad = sc_res_steps * ext
+                        ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(
+                            jnp.int32
+                        )
+                        edges = jnp.stack(
+                            [
+                                (ax_idx == 0).astype(jnp.int32),
+                                (ax_idx == nxs - 1).astype(jnp.int32),
+                            ]
+                        ).reshape(2, 1)
+                        bxp_r = bxl + 2 * pad
+
+                        def body_r(_i, p2):
+                            p2 = refresh_halo_sc(p2, pad)
+                            return ps_mod.evolve_chunk_resident_sc(
+                                p2, order, dt, dn, mass, sc_res_steps,
+                                sc_analytic, interpret=pallas_interpret,
+                                x_origin=x_org, edges=edges, halo=pad,
+                            )
+
+                        p2 = lax.fori_loop(
+                            0, screen_update // sc_res_steps, body_r,
+                            to_x2(pr, pi, pad),
+                        )
+                        pr_c = p2[pad : pad + bxl]
+                        pi_c = p2[bxp_r + pad : bxp_r + pad + bxl]
+                        for _ in range(screen_update % sc_res_steps):
+                            p1 = refresh_halo_sc(to_x2(pr_c, pi_c))
+                            out1, _n2, _ov = ps_mod.evolve_step_fused_sc(
+                                p1, b2_loc, None, order, scale, 0, False,
+                                pallas_interpret, analytic=sc_analytic,
+                                x_origin=x_org,
+                            )
+                            pr_c = out1[ext : ext + bxl]
+                            pi_c = out1[bxp + ext : bxp + ext + bxl]
+                        return pr_c, pi_c
 
                     def body(_i, p2):
                         p2 = refresh_halo_sc(p2)
