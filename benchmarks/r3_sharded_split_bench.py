@@ -6,8 +6,10 @@ whole-chunk resident pair (ONE kernel call per chunk), 256³ the x-blocked
 deep-halo resident shortcut — the per-chip numbers the sharded split
 machinery delivers vs the single-chip ladder (BASELINE.md). The
 deep-ghost-zone windowed path (nsh > 1) is interpret-validated in
-tests/test_sharding.py; it has no loopback here because a 1-shard axis
-short-circuits to the whole-chunk call.
+tests/test_sharding.py; `WAFER_SPLIT_BENCH_ICI=1` loopback-measures the
+whole-chunk in-kernel-ICI mode instead (self remote DMAs on a forced
+1-shard ring, with the whole-chunk shortcut disabled so the ici branch is
+reachable).
 
     PYTHONPATH=/root/repo:/root/.axon_site \
         python -u benchmarks/r3_sharded_split_bench.py [N ...]
@@ -15,6 +17,7 @@ short-circuits to the whole-chunk call.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -64,11 +67,17 @@ def bench(n: int) -> None:
     cfg = make_config(n)
     ext = cfg.central_difference.ext
     mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    if os.environ.get("WAFER_SPLIT_BENCH_ICI") == "1":
+        import wafer_tpu.ops.pallas_split as ps_mod
+
+        ps_mod.resident_sc_supported = lambda *a: False
+        ps_mod.pick_resb_sc = lambda *a: None
+        os.environ["WAFER_SHARDED_ICI"] = "force"
     ops = ShardedSplitOps(cfg, mesh, 0)
     print(
         f"[sharded-split 1x1x1 {n}^3] pallas={ops.use_pallas} "
         f"whole_chunk={ops.sc_whole_chunk} resb={ops.sc_resb_plan} "
-        f"res_steps={ops.sc_res_steps}",
+        f"res_steps={ops.sc_res_steps} ici={getattr(ops, 'sc_ici', False)}",
         flush=True,
     )
     vr, vi = pmod.generate_split(cfg)

@@ -829,15 +829,19 @@ def test_sharded_split_pallas_streamed_b(monkeypatch):
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("use_ici", [False, True])
 @pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
-def test_sharded_split_resident_windows_match_xla(mesh_shape):
-    """Sharded split ground on deep-ghost-zone resident windows (the pair
-    VMEM-resident for R blind in-kernel sweeps per ppermute exchange,
-    ops/pallas_split._evolve_kernel_res_sc halo mode) == the sharded XLA
-    split path. screen_update 5 / R=2 → two windows + one remainder
-    1-step, exercising both the blind sweep and the mixed cadence."""
+def test_sharded_split_resident_windows_match_xla(mesh_shape, use_ici,
+                                                  monkeypatch):
+    """Sharded split ground on deep-ghost-zone resident windows == the
+    sharded XLA split path, both cadences: per-window ppermute exchange
+    (WAFER_SHARDED_ICI=0) and whole-chunk in-kernel ICI remote DMAs
+    (default). screen_update 5 / R=2 → two windows + a remainder step
+    (ici: one partial in-kernel window), exercising the blind sweep and
+    the mixed cadence."""
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
+    monkeypatch.setenv("WAFER_SHARDED_ICI", "1" if use_ici else "0")
     cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=54, n=40,
                                                  screen_update=5)
     mesh = make_mesh(mesh_shape)
@@ -851,6 +855,7 @@ def test_sharded_split_resident_windows_match_xla(mesh_shape):
         cfg, mesh, 0, use_pallas=True, pallas_interpret=True
     )
     assert ops_p.sc_res_steps == 2, ops_p.sc_res_steps
+    assert ops_p.sc_ici == use_ici
     or_, oi_ = ops_p.evolve_chunk(
         ops_p.put(pr), ops_p.put(pi),
         ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
@@ -860,6 +865,39 @@ def test_sharded_split_resident_windows_match_xla(mesh_shape):
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_split_ici_race_detector():
+    """The split ici kernel's remote-DMA schedule (4 strips per window,
+    both components) under the interpret-mode race detector, over two
+    chunk calls so the cross-chunk parity-slot barrier is exercised."""
+    from jax.experimental.pallas import tpu as pltpu
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=57, n=32,
+                                                 screen_update=4)
+    mesh = make_mesh((2, 1, 1))
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True,
+        pallas_interpret=pltpu.InterpretParams(
+            dma_execution_mode="eager", detect_races=True
+        ),
+    )
+    assert ops_p.sc_ici and ops_p.sc_res_steps == 2
+    args_x = (ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+              ops_x.put_store(None), ops_x.put_store(None))
+    args_p = (ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+              ops_p.put_store(None), ops_p.put_store(None))
+    rr, ri = ops_x.put(pr), ops_x.put(pi)
+    or_, oi_ = ops_p.put(pr), ops_p.put(pi)
+    for _ in range(2):
+        rr, ri = ops_x.evolve_chunk(rr, ri, *args_x)
+        or_, oi_ = ops_p.evolve_chunk(or_, oi_, *args_p)
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr),
+                               rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
+                               rtol=5e-5, atol=5e-6)
 
 
 @pytest.mark.parametrize("per_step_norm", [False, True])

@@ -573,6 +573,10 @@ def _evolve_kernel_res_sc(
     sem_in,
     sem_out,
     sem_b,     # DMA (4,)
+    land,      # (8·halo, NY, NZ) VMEM — ICI landing strips: 2 parity slots
+    # × (re lo, re hi, im lo, im hi); (1,1,1) dummy when ici_r == 0
+    sem_snd,   # DMA (4,) — ICI sends (re→right, re→left, im→right, im→left)
+    sem_rcv,   # DMA (4,) — ICI recvs (re lo, re hi, im lo, im hi)
     *,
     order: str,
     scale: float,
@@ -582,6 +586,9 @@ def _evolve_kernel_res_sc(
     nx: int,
     with_norm: bool = False,
     halo: int = 0,
+    ici_r: int = 0,
+    ici_axis=None,
+    ici_nsh: int = 1,
 ):
     # Sharded deep-halo mode (halo = R·ext > ext): the pair carries a deep
     # ghost zone exchanged once per R = n_steps in-kernel steps; the sweep
@@ -603,6 +610,93 @@ def _evolve_kernel_res_sc(
         cp = pltpu.make_async_copy(psi_hbm, psi_buf, sem_in)
         cp.start()
         cp.wait()
+
+    if ici_r > 0:
+        # In-kernel ICI halo exchange for the pair (sharded split ground):
+        # at every window boundary the still-exact interior edge strips of
+        # BOTH components ride remote DMAs into parity-slotted landing
+        # strips on the ring neighbours — the same two-parity slot chain as
+        # the real kernel (ops/pallas_stencil._evolve_kernel_res ici mode);
+        # the pair never leaves VMEM between the chunk's load and store.
+        nxe_k = nxe
+
+        @pl.when(
+            jnp.logical_and(i > 0, jax.lax.rem(i, jnp.int32(ici_r)) == 0)
+        )
+        def _ici_exchange():
+            w = i // jnp.int32(ici_r)
+            slot = jax.lax.rem(w, jnp.int32(2))
+            my = jax.lax.axis_index(ici_axis)
+            right = jax.lax.rem(my + 1, jnp.int32(ici_nsh))
+            left = jax.lax.rem(
+                my + jnp.int32(ici_nsh - 1), jnp.int32(ici_nsh)
+            )
+            base = slot * jnp.int32(4 * halo)
+            # (src rows, landing offset within slot, target, sem idx):
+            # hi edges feed the right neighbour's LO landings, lo edges
+            # the left neighbour's HI landings
+            dmas = [
+                pltpu.make_async_remote_copy(
+                    psi_buf.at[pl.ds(nxe_k - 2 * halo, halo)],
+                    land.at[pl.ds(base, halo)],
+                    sem_snd.at[0], sem_rcv.at[0],
+                    device_id={ici_axis: right},
+                ),
+                pltpu.make_async_remote_copy(
+                    psi_buf.at[pl.ds(halo, halo)],
+                    land.at[pl.ds(base + jnp.int32(halo), halo)],
+                    sem_snd.at[1], sem_rcv.at[1],
+                    device_id={ici_axis: left},
+                ),
+                pltpu.make_async_remote_copy(
+                    psi_buf.at[pl.ds(2 * nxe_k - 2 * halo, halo)],
+                    land.at[pl.ds(base + jnp.int32(2 * halo), halo)],
+                    sem_snd.at[2], sem_rcv.at[2],
+                    device_id={ici_axis: right},
+                ),
+                pltpu.make_async_remote_copy(
+                    psi_buf.at[pl.ds(nxe_k + halo, halo)],
+                    land.at[pl.ds(base + jnp.int32(3 * halo), halo)],
+                    sem_snd.at[3], sem_rcv.at[3],
+                    device_id={ici_axis: left},
+                ),
+            ]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait_send()
+            for d in dmas:
+                d.wait_recv()
+
+            @pl.when(slot == 0)
+            def _land0():
+                psi_buf[0:halo] = land[0:halo]
+                psi_buf[nxe_k - halo : nxe_k] = land[halo : 2 * halo]
+                psi_buf[nxe_k : nxe_k + halo] = land[2 * halo : 3 * halo]
+                psi_buf[2 * nxe_k - halo : 2 * nxe_k] = land[
+                    3 * halo : 4 * halo
+                ]
+
+            @pl.when(slot == 1)
+            def _land1():
+                psi_buf[0:halo] = land[4 * halo : 5 * halo]
+                psi_buf[nxe_k - halo : nxe_k] = land[5 * halo : 6 * halo]
+                psi_buf[nxe_k : nxe_k + halo] = land[6 * halo : 7 * halo]
+                psi_buf[2 * nxe_k - halo : 2 * nxe_k] = land[
+                    7 * halo : 8 * halo
+                ]
+
+            @pl.when(edge_smem[0, 0] == 1)
+            def _mask_lo_x():
+                z = jnp.zeros((halo, ny, nz), psi_buf.dtype)
+                psi_buf[0:halo] = z
+                psi_buf[nxe_k : nxe_k + halo] = z
+
+            @pl.when(edge_smem[1, 0] == 1)
+            def _mask_hi_x():
+                z = jnp.zeros((halo, ny, nz), psi_buf.dtype)
+                psi_buf[nxe_k - halo : nxe_k] = z
+                psi_buf[2 * nxe_k - halo : 2 * nxe_k] = z
 
     if with_norm:
         slot = jax.lax.rem(i, jnp.int32(2))
@@ -725,7 +819,8 @@ def _evolve_kernel_res_sc(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "interpret", "per_step_norm", "halo"),
+                     "interpret", "per_step_norm", "halo", "ici_steps",
+                     "ici_axis", "ici_nsh"),
 )
 def evolve_chunk_resident_sc(
     psi2: jnp.ndarray,
@@ -741,6 +836,9 @@ def evolve_chunk_resident_sc(
     x_origin=None,
     edges=None,
     halo: int = 0,
+    ici_steps: int = 0,
+    ici_axis=None,
+    ici_nsh: int = 1,
 ) -> jnp.ndarray:
     """A full chunk of ground-state split-complex sweeps with (re, im)
     VMEM-resident; trajectory-identical to ``n_steps`` 1-step fused split
@@ -755,7 +853,15 @@ def evolve_chunk_resident_sc(
     blind in-kernel sweeps the interior is exact (the real kernel's
     deep-ghost-zone schedule, ops/pallas_stencil._evolve_kernel_res).
     Ground state only (per-step global norms across shards would need the
-    in-kernel scalar all-to-all)."""
+    in-kernel scalar all-to-all).
+
+    In-kernel ICI mode (``ici_steps > 0``): one call spans the whole
+    chunk (``n_steps = screen_update``); at every ``ici_steps``-step
+    window boundary the still-exact interior edge strips of BOTH
+    components ride remote DMAs into parity-slotted landing strips on the
+    mesh-ring neighbours — the pair never returns to HBM inside the
+    chunk. The caller seeds the first window's deep halo (one host-side
+    ppermute), which is also the cross-chunk slot barrier."""
     ext = _EXT[order]
     nxp2, ny, nz = psi2.shape
     nxe = nxp2 // 2
@@ -769,6 +875,8 @@ def evolve_chunk_resident_sc(
         raise ValueError("sharded resident split mode is analytic-B only")
     if halo and per_step_norm:
         raise ValueError("sharded resident split mode is ground-state only")
+    if ici_steps and (not halo or ici_axis is None):
+        raise ValueError("ici mode needs halo = R·ext and a mesh axis")
     tx = _pk._pick_tx_res(nx, ext)
     if tx is None:
         raise ValueError(f"no resident slab height fits NX={nx}")
@@ -790,11 +898,15 @@ def evolve_chunk_resident_sc(
         nx=nx,
         with_norm=per_step_norm,
         halo=halo,
+        ici_r=ici_steps,
+        ici_axis=ici_axis,
+        ici_nsh=ici_nsh,
     )
     b_arg = b2 if analytic is None else jnp.zeros((1, 1, 1), dtype)
     brows = 4 * tx if analytic is None else 1
+    land_rows = 8 * halo if ici_steps else 1
     plane = ny * nz * dtype.itemsize
-    need = (nxp2 + 2 * ext + 6 * tx) * plane + brows * plane
+    need = (nxp2 + 2 * ext + 6 * tx + land_rows) * plane + brows * plane
     with jax.enable_x64(False):
         out, _red = pl.pallas_call(
             kernel,
@@ -821,6 +933,11 @@ def evolve_chunk_resident_sc(
                 pltpu.VMEM((brows, ny, nz), dtype),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM(
+                    (land_rows, ny, nz) if ici_steps else (1, 1, 1), dtype
+                ),
+                pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
             interpret=interpret,

@@ -164,6 +164,28 @@ class ShardedSplitOps:
         self.sc_whole_chunk = sc_whole_chunk
         self.sc_resb_plan = sc_resb_plan
 
+        # In-kernel ICI residency for the pair (multi-shard split ground):
+        # the (re, im) pair stays VMEM-resident for the WHOLE chunk, with
+        # both components' deep-halo strips exchanged by in-kernel remote
+        # DMAs at every R-step window boundary (the real path's ici_res,
+        # ops/pallas_split.evolve_chunk_resident_sc ici mode)
+        import os as _os_i
+
+        _ici_env = _os_i.environ.get("WAFER_SHARDED_ICI", "1")
+        sc_ici = False
+        if (
+            _ici_env in ("1", "force")
+            and sc_res_steps > 1
+            and (mesh_shape[0] > 1 or _ici_env == "force")
+        ):
+            nxh_r = bx + 2 * sc_res_steps * ext
+            # pair block + 8·halo landing strips must fit together
+            sc_ici = (
+                (2 * nxh_r + 8 * sc_res_steps * ext) * ny * nz * itemsize
+                <= ps_mod._pk._RES_BUDGET
+            )
+        self.sc_ici = sc_ici
+
         def norm2_g(pr, pi):
             return _psum(jnp.sum(pr * pr + pi * pi))
 
@@ -312,6 +334,42 @@ class ShardedSplitOps:
                     )
 
                 if n_lower == 0 and not per_step_norm:
+                    if sc_res_steps > 1 and sc_ici:
+                        # whole-chunk ici residency: ONE kernel call; the
+                        # pair's deep halos are exchanged in-kernel every
+                        # R steps (remote DMAs), and the host-side seeding
+                        # ppermute doubles as the cross-chunk slot barrier
+                        pad = sc_res_steps * ext
+                        ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(
+                            jnp.int32
+                        )
+                        edges = jnp.stack(
+                            [
+                                (ax_idx == 0).astype(jnp.int32),
+                                (ax_idx == nxs - 1).astype(jnp.int32),
+                            ]
+                        ).reshape(2, 1)
+                        bxp_i = bxl + 2 * pad
+                        ici_interp = pallas_interpret
+                        if ici_interp is True:
+                            from jax.experimental.pallas import tpu as _pltpu
+
+                            ici_interp = _pltpu.InterpretParams(
+                                dma_execution_mode="eager"
+                            )
+                        p2 = refresh_halo_sc(to_x2(pr, pi, pad), pad)
+                        out2 = ps_mod.evolve_chunk_resident_sc(
+                            p2, order, dt, dn, mass, screen_update,
+                            sc_analytic, interpret=ici_interp,
+                            x_origin=x_org, edges=edges, halo=pad,
+                            ici_steps=sc_res_steps,
+                            ici_axis=AXIS_NAMES[0], ici_nsh=nxs,
+                        )
+                        return (
+                            out2[pad : pad + bxl],
+                            out2[bxp_i + pad : bxp_i + pad + bxl],
+                        )
+
                     if sc_res_steps > 1:
                         # deep-ghost-zone resident windows: one ppermute of
                         # R·ext rows per component per R blind in-kernel
