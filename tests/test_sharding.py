@@ -933,6 +933,44 @@ def test_sharded_split_whole_chunk_resident(per_step_norm):
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), **tol)
 
 
+def test_sharded_ground_blocked_shortcut(monkeypatch):
+    """1×1×1-mesh ground whose ψ exceeds whole-array residency rides the
+    single-chip x-blocked deep-halo resident kernel and matches the
+    sharded XLA path."""
+    import wafer_tpu.ops.pallas_stencil as pk
+
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 64, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 5},
+    )
+    ext = 1
+    rng = np.random.default_rng(58)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    monkeypatch.setattr(pk, "resident_supported", lambda *a_: False)
+    mesh = make_mesh((1, 1, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(geometry.work_area(a, ext)),
+            ops_x.put(geometry.work_area(b, ext)), ops_x.put_store(None),
+        )
+    )
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.resb_plan is not None
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(geometry.work_area(a, ext)),
+            ops_p.put(geometry.work_area(b, ext)), ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
 def test_sharded_split_blocked_shortcut(monkeypatch):
     """1×1×1-mesh split ground whose pair exceeds whole-array residency
     rides the single-chip x-blocked deep-halo resident kernel and matches
@@ -1161,7 +1199,7 @@ def test_sharded_resident_exc_bf16_streams(monkeypatch):
     assert abs(ov) < 1e-3 * np.sqrt(n2), ov
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+@pytest.mark.parametrize("mesh_shape", [(1, 1, 1), (2, 1, 1), (4, 1, 1)])
 @pytest.mark.parametrize("n_lower", [1, 2])
 def test_sharded_ici_excited_matches_xla(mesh_shape, n_lower, monkeypatch):
     """ICI-resident excited chunk (ψ resident across R-step windows,

@@ -248,6 +248,22 @@ class ShardedOps:
                     break
         self.res_steps = res_steps
 
+        # Degenerate 1-shard x axis with ψ past whole-array residency
+        # (512³-class): ride the single-chip x-blocked deep-halo resident
+        # kernel (its unconditional edge zeroing IS the global Dirichlet
+        # here) instead of the K ladder
+        resb_plan = None
+        if (
+            use_pallas
+            and self.pallas_mode == "x"
+            and n_lower == 0
+            and mesh_shape[0] == 1
+            and analytic is not None
+            and not pk.resident_supported(bx, ny, nz, ext, itemsize, True)
+        ):
+            resb_plan = pk.pick_resb(bx, ny, nz, ext, itemsize, screen_update)
+        self.resb_plan = resb_plan
+
         # In-kernel ICI residency (ground): ψ stays VMEM-resident for the
         # WHOLE chunk — at every R-step window boundary the still-exact
         # interior edge strips ride remote DMAs (pltpu.make_async_remote_copy
@@ -316,6 +332,9 @@ class ShardedOps:
         # (src/grid.rs:674-681) at resident-class throughput. R must
         # divide screen_update (no remainder path) and the ψ block +
         # landing strips + stream windows must fit the resident budget.
+        # (engaged on 1-shard axes too: self-loopback remote DMAs measured
+        # 1.014e11 at 256³ S=1 vs the windowed path's ~3.2e10 — residency
+        # across windows pays for the self-copies)
         ici_exc_r = 0
         if (
             _ici_env in ("1", "force")
@@ -323,7 +342,6 @@ class ShardedOps:
             and self.pallas_mode == "x"
             and n_lower > 0
             and analytic is not None
-            and (mesh_shape[0] > 1 or _ici_env == "force")
         ):
             _stream_is = 2 if exc_stream_bf16 else None
             for r in (8, 4, 2):
@@ -615,6 +633,19 @@ class ShardedOps:
                         interpret=pallas_interpret, x_origin=x_org,
                     )
                     return p[ext:-ext]
+                if nxs == 1 and self.resb_plan is not None:
+                    # degenerate unsharded x axis, ψ exceeds whole-array
+                    # residency (512³-class): the single-chip x-blocked
+                    # deep-halo resident kernel applies unchanged
+                    rb = self.resb_plan
+                    pad_b = rb[1] * ext
+                    p = pk.evolve_chunk_resident_blocked(
+                        to_xpad(phi, pad_b), order, dt, dn, mass,
+                        screen_update, analytic, bx=rb[0], r_steps=rb[1],
+                        interpret=pallas_interpret, tx=rb[2],
+                        prefetch=rb[3],
+                    )
+                    return p[pad_b:-pad_b]
                 if res_steps > 1:
                     # VMEM-resident chunks with a deep ghost zone
                     ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
