@@ -971,6 +971,82 @@ def test_sharded_ground_blocked_shortcut(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+def test_sharded_ground_blocked_windows_match_xla(mesh_shape, monkeypatch):
+    """Multi-shard blocks past windowed residency ride blocked exchange
+    windows (one out-of-place R-step blocked pass per R·ext-deep ppermute
+    exchange, edges-gated Dirichlet) == the sharded XLA path. Forced by
+    disabling the windowed-resident slab picker; screen_update 5 → two
+    windows + remainder."""
+    import wafer_tpu.ops.pallas_stencil as pk
+
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 128, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 5},
+    )
+    ext = 1
+    rng = np.random.default_rng(59)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(geometry.work_area(a, ext)),
+            ops_x.put(geometry.work_area(b, ext)), ops_x.put_store(None),
+        )
+    )
+    monkeypatch.setattr(pk, "_pick_tx_res", lambda *a_: None)
+    ops_p = ShardedOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.res_steps == 0 and not ops_p.ici_res
+    assert ops_p.resb_sharded is not None
+    out = np.asarray(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(geometry.work_area(a, ext)),
+            ops_p.put(geometry.work_area(b, ext)), ops_p.put_store(None),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+def test_sharded_split_blocked_windows_match_xla(mesh_shape, monkeypatch):
+    """Multi-shard split blocks past pair residency ride blocked exchange
+    windows == the sharded XLA split path (forced by disabling the
+    windowed slab picker)."""
+    import wafer_tpu.ops.pallas_stencil as pk
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=60, n=128,
+                                                 screen_update=5)
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    monkeypatch.setattr(pk, "_pick_tx_res", lambda *a_: None)
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.sc_res_steps == 0 and not ops_p.sc_ici
+    assert ops_p.sc_resb_sharded is not None
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_sharded_split_blocked_shortcut(monkeypatch):
     """1×1×1-mesh split ground whose pair exceeds whole-array residency
     rides the single-chip x-blocked deep-halo resident kernel and matches

@@ -1026,6 +1026,8 @@ def resident_blocked_sc_supported(nx: int, ny: int, nz: int, ext: int,
 
 def _evolve_kernel_resb_sc(
     psi_hbm,    # (2·NXH, NY, NZ) ANY — deep layout, NXH = NX+2H, re rows first
+    xorg_smem,  # (1, 1) SMEM i32 — shard's global interior x origin
+    edge_smem,  # (2, 1) SMEM i32 — [at_global_lo, at_global_hi]
     out_hbm,    # (2·NXH, NY, NZ) ANY
     psi_a,      # (2·BXP, NY, NZ) VMEM — block pair, re rows [0, BXP)
     psi_b,      # (2·BXP, NY, NZ) VMEM — slot-1 pair (1-row stub when the
@@ -1056,7 +1058,11 @@ def _evolve_kernel_resb_sc(
     h = r_steps * ext
     bxp = bx + 2 * h
     nxh = psi_hbm.shape[0] // 2
-    x_row0 = (i * bx).astype(jnp.float32) + jnp.float32(ext - h)
+    x_row0 = (
+        (i * bx).astype(jnp.float32)
+        + xorg_smem[0, 0].astype(jnp.float32)
+        + jnp.float32(ext - h)
+    )
     last_t = t == r_steps - 1
 
     rows_swept = bxp - 2 * ext
@@ -1135,12 +1141,14 @@ def _evolve_kernel_resb_sc(
             buf[bxp + rs : bxp + rs + txs] = new_i
 
     def dirichlet(buf):
-        @pl.when(i == 0)
+        # edges-gated: sharded callers clear the flag on shard-interior
+        # sides (exchanged neighbour rows, see the real kernel)
+        @pl.when(jnp.logical_and(i == 0, edge_smem[0, 0] == 1))
         def _lo():
             buf[0:h] = jnp.zeros((h, ny, nz), buf.dtype)
             buf[bxp : bxp + h] = jnp.zeros((h, ny, nz), buf.dtype)
 
-        @pl.when(i == nblk - 1)
+        @pl.when(jnp.logical_and(i == nblk - 1, edge_smem[1, 0] == 1))
         def _hi():
             buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), buf.dtype)
             buf[2 * bxp - h : 2 * bxp] = jnp.zeros((h, ny, nz), buf.dtype)
@@ -1280,10 +1288,14 @@ def evolve_steps_resident_blocked_sc(
     interpret: bool = False,
     tx: Optional[int] = None,
     prefetch: bool = False,
+    x_origin=None,
+    edges=None,
 ) -> jnp.ndarray:
     """One out-of-place pass of ``r_steps`` blind deep-halo split sweeps
     over VMEM-sized x-blocks. ``psi2_h`` is the stacked deep layout
-    (:func:`to_xpad_k_sc` with ``k_steps = r_steps``)."""
+    (:func:`to_xpad_k_sc` with ``k_steps = r_steps``). ``x_origin`` and
+    ``edges`` make the pass a sharded exchange window, exactly as the real
+    kernel (ops/pallas_stencil.evolve_steps_resident_blocked)."""
     ext = _EXT[order]
     h = r_steps * ext
     nxh2, ny, nz = psi2_h.shape
@@ -1326,12 +1338,24 @@ def evolve_steps_resident_blocked_sc(
     rows_swept = bxp - 2 * ext
     nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
     slot_rows = 2 * bxp if prefetch else 1
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
+    if edges is None:
+        edges = jnp.ones((2, 1), jnp.int32)
+    else:
+        edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
     need = (2 * bxp + slot_rows + 2 * ext + h + 12 * tx) * plane
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
             grid=((nx // bx) * r_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nxh2, ny, nz), dtype),
             scratch_shapes=[
@@ -1346,7 +1370,7 @@ def evolve_steps_resident_blocked_sc(
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(psi2_h)
+        )(psi2_h, x_origin, edges)
 
 
 @functools.partial(

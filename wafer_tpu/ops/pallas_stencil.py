@@ -2969,6 +2969,8 @@ def resident_blocked_supported(nx: int, ny: int, nz: int, ext: int,
 
 def _evolve_kernel_resb(
     phi_hbm,    # (NX+2H, NY, NZ) ANY — deep x-padded layout, H = R·ext
+    xorg_smem,  # (1, 1) SMEM i32 — shard's global interior x origin
+    edge_smem,  # (2, 1) SMEM i32 — [at_global_lo, at_global_hi]
     out_hbm,    # (NX+2H, NY, NZ) ANY
     psi_a,      # (BX+2H, NY, NZ) VMEM — block buffer (slot 0)
     psi_b,      # (BX+2H, NY, NZ) VMEM — slot-1 buffer (1-row stub when the
@@ -3002,8 +3004,12 @@ def _evolve_kernel_resb(
     h = r_steps * ext
     bxp = bx + 2 * h
     # padded x coordinate of buffer row 0 for this block: interior row 0 of
-    # block i sits at buffer row h ↔ padded coordinate ext + i·bx
-    x_row0 = (i * bx).astype(jnp.float32) + jnp.float32(ext - h)
+    # block i sits at buffer row h ↔ padded coordinate ext + xorg + i·bx
+    x_row0 = (
+        (i * bx).astype(jnp.float32)
+        + xorg_smem[0, 0].astype(jnp.float32)
+        + jnp.float32(ext - h)
+    )
     last_t = t == r_steps - 1
 
     # one blind sweep covers rows [ext, bxp−ext), ascending slabs, in place
@@ -3073,12 +3079,14 @@ def _evolve_kernel_resb(
 
     def dirichlet(buf):
         # global Dirichlet: edge blocks re-zero their halo side each step
-        # (the blind sweep wrote into it)
-        @pl.when(i == 0)
+        # (the blind sweep wrote into it); sharded callers clear the flag
+        # on shard-interior sides, whose halo rows carry real exchanged
+        # neighbour data (exact to the window's blind-sweep depth)
+        @pl.when(jnp.logical_and(i == 0, edge_smem[0, 0] == 1))
         def _lo():
             buf[0:h] = jnp.zeros((h, ny, nz), buf.dtype)
 
-        @pl.when(i == nblk - 1)
+        @pl.when(jnp.logical_and(i == nblk - 1, edge_smem[1, 0] == 1))
         def _hi():
             buf[bxp - h : bxp] = jnp.zeros((h, ny, nz), buf.dtype)
 
@@ -3226,13 +3234,22 @@ def evolve_steps_resident_blocked(
     interpret: bool = False,
     tx: Optional[int] = None,
     prefetch: bool = False,
+    x_origin=None,
+    edges=None,
 ) -> jnp.ndarray:
     """One out-of-place pass of ``r_steps`` blind deep-halo sweeps over
     VMEM-sized x-blocks (see the section comment). ``phi_h`` is the deep
     x-padded layout (NX+2·R·ext, NY, NZ) with zero halo rows; the result is
     bit-identical to ``r_steps`` single sweeps in the same layout.
     ``prefetch`` stages the next block's window during this block's compute
-    (a second block-sized VMEM buffer — the picker decides the fit)."""
+    (a second block-sized VMEM buffer — the picker decides the fit).
+
+    Sharded windows (``x_origin``/``edges``): ``phi_h`` is a SHARD's deep
+    layout whose halo rows carry R·ext exchanged neighbour rows; the pass
+    is one R-step exchange window (out-of-place, so every block reads
+    pre-window data and the deep-ghost-zone argument applies per block AND
+    at the shard seams). The output's halo rows are unwritten — callers
+    refresh them before the next window."""
     ext = _EXT[order]
     h = r_steps * ext
     nxp, ny, nz = phi_h.shape
@@ -3261,6 +3278,14 @@ def evolve_steps_resident_blocked(
     rows_swept = bxp - 2 * ext
     nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
     slot_rows = bxp if prefetch else 1
+    if x_origin is None:
+        x_origin = jnp.zeros((1, 1), jnp.int32)
+    else:
+        x_origin = jnp.asarray(x_origin, jnp.int32).reshape(1, 1)
+    if edges is None:
+        edges = jnp.ones((2, 1), jnp.int32)
+    else:
+        edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
     need = (
         (bxp + slot_rows + ext + h + 6 * tx) * plane + ny * nz * 4
     )
@@ -3268,7 +3293,11 @@ def evolve_steps_resident_blocked(
         return pl.pallas_call(
             kernel,
             grid=((nx // bx) * r_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), dtype),
             scratch_shapes=[
@@ -3283,7 +3312,7 @@ def evolve_steps_resident_blocked(
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(phi_h)
+        )(phi_h, x_origin, edges)
 
 
 @functools.partial(

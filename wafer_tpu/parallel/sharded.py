@@ -264,6 +264,26 @@ class ShardedOps:
             resb_plan = pk.pick_resb(bx, ny, nz, ext, itemsize, screen_update)
         self.resb_plan = resb_plan
 
+        # Multi-shard axes whose block exceeds windowed residency
+        # (512³-class shards on small meshes): exchange an R·ext-deep
+        # ghost zone per window and run the window as ONE out-of-place
+        # blocked pass (edges-gated Dirichlet; every block reads
+        # pre-window data, so the deep-ghost-zone argument holds at the
+        # shard seams too)
+        resb_sharded = None
+        if (
+            use_pallas
+            and self.pallas_mode == "x"
+            and n_lower == 0
+            and mesh_shape[0] > 1
+            and analytic is not None
+            and res_steps == 0
+        ):
+            resb_sharded = pk.pick_resb(
+                bx, ny, nz, ext, itemsize, screen_update
+            )
+        self.resb_sharded = resb_sharded
+
         # In-kernel ICI residency (ground): ψ stays VMEM-resident for the
         # WHOLE chunk — at every R-step window boundary the still-exact
         # interior edge strips ride remote DMAs (pltpu.make_async_remote_copy
@@ -682,6 +702,40 @@ class ShardedOps:
                             False,
                             pallas_interpret,
                             analytic=analytic,
+                            x_origin=x_org,
+                        )
+                        p = out1[ext:-ext]
+                    return p
+                if self.resb_sharded is not None:
+                    # blocked exchange windows: R·ext-deep ghost zone per
+                    # window, window = ONE out-of-place blocked pass
+                    rb = self.resb_sharded
+                    pad = rb[1] * ext
+                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
+                    edges = jnp.stack(
+                        [
+                            (ax_idx == 0).astype(jnp.int32),
+                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
+                        ]
+                    ).reshape(2, 1)
+
+                    def body_rb(_i, p):
+                        p = refresh_halo(p, pad)
+                        return pk.evolve_steps_resident_blocked(
+                            p, order, scale, rb[0], rb[1], analytic,
+                            pallas_interpret, rb[2], rb[3],
+                            x_origin=x_org, edges=edges,
+                        )
+
+                    p = lax.fori_loop(
+                        0, screen_update // rb[1], body_rb, to_xpad(phi, pad)
+                    )
+                    p = p[pad:-pad]
+                    for _ in range(screen_update % rb[1]):
+                        p1 = refresh_halo(to_xpad(p, ext), ext)
+                        out1, _n2, _ov = pk.evolve_step_fused(
+                            p1, None, None, order, scale, 0, False,
+                            pallas_interpret, analytic=analytic,
                             x_origin=x_org,
                         )
                         p = out1[ext:-ext]

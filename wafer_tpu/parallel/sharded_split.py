@@ -164,6 +164,22 @@ class ShardedSplitOps:
         self.sc_whole_chunk = sc_whole_chunk
         self.sc_resb_plan = sc_resb_plan
 
+        # Multi-shard blocks past pair residency (512³-class complex
+        # shards): blocked exchange windows, as the real family
+        # (parallel/sharded.py resb_sharded)
+        sc_resb_sharded = None
+        if (
+            use_pallas
+            and n_lower == 0
+            and mesh_shape[0] > 1
+            and sc_analytic is not None
+            and sc_res_steps == 0
+        ):
+            sc_resb_sharded = ps_mod.pick_resb_sc(
+                bx, ny, nz, ext, itemsize, screen_update
+            )
+        self.sc_resb_sharded = sc_resb_sharded
+
         # In-kernel ICI residency for the pair (multi-shard split ground):
         # the (re, im) pair stays VMEM-resident for the WHOLE chunk, with
         # both components' deep-halo strips exchanged by in-kernel remote
@@ -402,6 +418,46 @@ class ShardedSplitOps:
                         pr_c = p2[pad : pad + bxl]
                         pi_c = p2[bxp_r + pad : bxp_r + pad + bxl]
                         for _ in range(screen_update % sc_res_steps):
+                            p1 = refresh_halo_sc(to_x2(pr_c, pi_c))
+                            out1, _n2, _ov = ps_mod.evolve_step_fused_sc(
+                                p1, b2_loc, None, order, scale, 0, False,
+                                pallas_interpret, analytic=sc_analytic,
+                                x_origin=x_org,
+                            )
+                            pr_c = out1[ext : ext + bxl]
+                            pi_c = out1[bxp + ext : bxp + ext + bxl]
+                        return pr_c, pi_c
+
+                    if sc_resb_sharded is not None:
+                        # blocked exchange windows (pair past residency)
+                        rb = sc_resb_sharded
+                        pad = rb[1] * ext
+                        ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(
+                            jnp.int32
+                        )
+                        edges = jnp.stack(
+                            [
+                                (ax_idx == 0).astype(jnp.int32),
+                                (ax_idx == nxs - 1).astype(jnp.int32),
+                            ]
+                        ).reshape(2, 1)
+                        bxp_r = bxl + 2 * pad
+
+                        def body_rb(_i, p2):
+                            p2 = refresh_halo_sc(p2, pad)
+                            return ps_mod.evolve_steps_resident_blocked_sc(
+                                p2, order, scale, rb[0], rb[1],
+                                sc_analytic, pallas_interpret, rb[2],
+                                rb[3], x_origin=x_org, edges=edges,
+                            )
+
+                        p2 = lax.fori_loop(
+                            0, screen_update // rb[1], body_rb,
+                            to_x2(pr, pi, pad),
+                        )
+                        pr_c = p2[pad : pad + bxl]
+                        pi_c = p2[bxp_r + pad : bxp_r + pad + bxl]
+                        for _ in range(screen_update % rb[1]):
                             p1 = refresh_halo_sc(to_x2(pr_c, pi_c))
                             out1, _n2, _ov = ps_mod.evolve_step_fused_sc(
                                 p1, b2_loc, None, order, scale, 0, False,
