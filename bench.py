@@ -142,21 +142,29 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
         _t, phi = run_chain(phi, 1)  # compile + warm
 
         # median of the repeats: single differenced readings through the
-        # tunnel occasionally report wildly high (a hiccup shrinking t5−t1;
-        # observed 2.7e11 for a ~1.3e11 kernel) or nonphysical values, so
-        # neither max nor a lone sample is trustworthy
+        # tunnel occasionally report wildly high (a hiccup shrinking the
+        # difference; observed 2.7e11 for a ~1.3e11 kernel) or nonphysical
+        # values, so neither max nor a lone sample is trustworthy. The
+        # chain lengths (2 vs 12 → 10 differenced chunks ≈ 0.27 s of
+        # compute at 256³) keep the measurement window an order of
+        # magnitude above the tunnel's ~10 ms jitter; the earlier 1-vs-5
+        # scheme differenced only ~0.1 s and showed a ±8% roll spread.
+        lo_reps, hi_reps = 2, 12
         samples = []
         for _ in range(REPEATS):
-            t1, phi = run_chain(phi, 1)
-            t5, phi = run_chain(phi, 5)
-            if t5 - t1 <= 0.05 * t5:
+            t_lo, phi = run_chain(phi, lo_reps)
+            t_hi, phi = run_chain(phi, hi_reps)
+            if t_hi - t_lo <= 0.05 * t_hi:
                 # nonphysical differencing (observed once: a transient
-                # tunnel hiccup made t5 <= t1) — fall back to the longer
-                # chain's absolute wall, a conservative LOWER bound on the
-                # rate (it still contains the constant dispatch overhead)
-                samples.append((n ** 3) * STEPS * 5 / max(t5, 1e-9))
+                # tunnel hiccup made the long chain no slower) — fall back
+                # to the longer chain's absolute wall, a conservative LOWER
+                # bound on the rate (it still contains the constant
+                # dispatch/fetch overhead)
+                samples.append((n ** 3) * STEPS * hi_reps / max(t_hi, 1e-9))
             else:
-                samples.append((n ** 3) * STEPS * 4 / (t5 - t1))
+                samples.append(
+                    (n ** 3) * STEPS * (hi_reps - lo_reps) / (t_hi - t_lo)
+                )
         samples.sort()
         return samples[len(samples) // 2]
 
