@@ -157,6 +157,33 @@ def test_split_snapshot_lifecycle(tmp_run, monkeypatch):
     assert abs(e - 1.5 * cmath.sqrt(1 + 0.2j)) < 0.05
 
 
+def test_split_sync_update_matches_per_chunk(tmp_run, monkeypatch):
+    """sync_update batching on the split-complex path (VERDICT r2 #7): the
+    device-side convergence scan must reproduce the per-chunk run's step
+    count, final complex energy, and (re, im) pair exactly — an f64 CPU
+    run, where the device quotient arithmetic equals the host check's.
+    wavemax=1 also routes the lower-state stores through the batch env."""
+    from wafer_tpu.ops import split_complex as sc
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    run_dir.check_output_dir("test")
+    cfg1 = _split_cfg(tolerance=1e-7, wavemax=1, init_condition="Gaussian")
+    cfg1.sync_update = 1
+    ref = solver.run(cfg1, seed=9)
+    cfg8 = _split_cfg(tolerance=1e-7, wavemax=1, init_condition="Gaussian")
+    cfg8.sync_update = 8
+    out = solver.run(cfg8, seed=9)
+    for r_ref, r_out in zip(ref, out):
+        assert r_out.steps == r_ref.steps, (
+            r_ref.wnum, r_ref.steps, r_out.steps,
+        )
+        e_ref = r_ref.observables.energy / r_ref.observables.norm2
+        e_out = r_out.observables.energy / r_out.observables.norm2
+        assert abs(e_ref - e_out) < 1e-12, (r_ref.wnum, e_ref, e_out)
+        for a, b in zip(r_ref.phi, r_out.phi):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), r_ref.wnum
+
+
 def test_split_restart_from_disk(tmp_run, monkeypatch):
     """wavenum>0 in split mode: lower states load from disk as (re, im)
     pairs host-side (complex arrays never reach the device) and the excited

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import yaml
 
@@ -282,6 +282,20 @@ class Config:
     # amortise. None/1 = the reference's per-chunk cadence
     # (src/grid.rs:126-220) exactly.
     sync_update: Optional[int] = None
+    # Multigrid (coarse→fine) schedule: a strictly-decreasing list of
+    # integer divisors, e.g. [4, 2] solves size/4 → size/2 → full size,
+    # upsampling each level's converged states (trilinear, the same
+    # resampler as resolution-changing restarts) as the next level's
+    # initial conditions. The physical box is preserved (dn_ℓ = dn·d) and
+    # dt_ℓ = dt·d² keeps the stability margin exactly, so a coarse level
+    # covers imaginary time d²× faster per step — this automates the
+    # reference's documented manual coarse→fine restart speedup
+    # (src/config.rs:156-160) in memory, without file round trips.
+    multigrid: Optional[List[int]] = None
+    # Convergence tolerance for the coarse (non-final) levels; defaults to
+    # ``tolerance``. Looser values hand over sooner — the final level
+    # always converges to ``tolerance``.
+    multigrid_tolerance: Optional[float] = None
     cornell: CornellParams = field(default_factory=CornellParams)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     input_dir: str = "./input"
@@ -359,6 +373,16 @@ class Config:
                     if raw.get("sync_update") is not None
                     else None
                 ),
+                multigrid=(
+                    [int(d) for d in raw["multigrid"]]
+                    if raw.get("multigrid") is not None
+                    else None
+                ),
+                multigrid_tolerance=(
+                    float(raw["multigrid_tolerance"])
+                    if raw.get("multigrid_tolerance") is not None
+                    else None
+                ),
                 debug_nans=bool(raw.get("debug_nans", False)),
                 trace_dir=raw.get("trace_dir"),
                 cornell=CornellParams(
@@ -424,6 +448,50 @@ class Config:
             raise errors.ConfigParseError("mesh axes must be >= 1")
         if self.sync_update is not None and self.sync_update < 1:
             raise errors.ConfigParseError("sync_update must be >= 1")
+        if self.multigrid is not None:
+            if not self.multigrid:
+                raise errors.ConfigParseError(
+                    "multigrid must be a non-empty list of divisors"
+                )
+            s = self.grid.size
+            floor = max(8, 2 * self.central_difference.ext + 2)
+            prev = None
+            for d in self.multigrid:
+                if d < 2:
+                    raise errors.ConfigParseError(
+                        f"multigrid divisors must be >= 2, got {d}"
+                    )
+                if prev is not None and d >= prev:
+                    raise errors.ConfigParseError(
+                        "multigrid divisors must be strictly decreasing "
+                        f"(coarse to fine), got {self.multigrid}"
+                    )
+                if s.x % d or s.y % d or s.z % d:
+                    raise errors.ConfigParseError(
+                        f"multigrid divisor {d} does not divide the grid "
+                        f"size ({s.x}, {s.y}, {s.z})"
+                    )
+                if min(s.x, s.y, s.z) // d < floor:
+                    raise errors.ConfigParseError(
+                        f"multigrid divisor {d} makes the coarse grid "
+                        f"smaller than {floor} points per axis"
+                    )
+                prev = d
+            if self.wavenum > 0:
+                raise errors.ConfigParseError(
+                    "multigrid requires wavenum: 0 (lower states restart "
+                    "from disk at the final resolution only)"
+                )
+            if self.mesh.n_devices > 1:
+                raise errors.ConfigParseError(
+                    "multigrid with a multi-device mesh is not supported yet"
+                )
+        if self.multigrid_tolerance is not None and (
+            self.multigrid_tolerance < self.tolerance
+        ):
+            raise errors.ConfigParseError(
+                "multigrid_tolerance must be >= tolerance"
+            )
 
     # ------------------------------------------------------------------ #
 

@@ -108,18 +108,28 @@ def pick_batch_k(
 
 
 def make_batched_runner(measure_fn, evolve_fn, tolerance, is_complex,
-                        k_chunks: int):
+                        k_chunks: int, split_pair: bool = False):
     """Jitted device-side convergence batch (``sync_update``): runs
     ``k_chunks`` measure → check → evolve iterations in one ``lax.scan``
     with the convergence verdict on-device, emitting every chunk's
-    observables for host replay. Shared by the single-device and sharded
-    drivers (identical cadence contract, src/grid.rs:126-220).
+    observables for host replay. Shared by the single-device, sharded and
+    split-complex drivers (identical cadence contract, src/grid.rs:126-220).
 
     ``measure_fn(phi, env) -> ((e, n2, vinf, r2), phi)`` and
     ``evolve_fn(phi, env) -> phi`` must read every device array through
     ``env`` — the env pytree is a jit *argument*, never a closure: large
     arrays baked into the graph as constants overflow a remote compile
-    service's request limit (HTTP 413 at 256³; see CLAUDE.md)."""
+    service's request limit (HTTP 413 at 256³; see CLAUDE.md).
+
+    ``split_pair``: the split-complex variant (complex dtypes must never
+    reach a device without complex support — see ops/split_complex.py):
+    ``measure_fn`` returns ``((e_re, e_im, n2, vinf, r2), (pr, pi))`` with
+    all-real scalars, ``last_e0`` is the (2,)-vector [Re, Im] of the
+    previous normalised energy, and the on-device convergence test is the
+    complex modulus |ΔE/N| < tolerance computed on the real pair (the host
+    uses C ``hypot`` via ``abs(complex)``, whose rounding can differ from
+    the device's sqrt-of-squares by an ulp at the tolerance edge — same
+    caveat class as running without x64)."""
 
     def _batched(phi0, last_e0, env):
         def body(carry, _):
@@ -127,16 +137,37 @@ def make_batched_runner(measure_fn, evolve_fn, tolerance, is_complex,
 
             def work(args):
                 phi_c, phi_conv, last_e = args
-                (e, n2, vinf, r2), phi_n = measure_fn(phi_c, env)
-                # convergence quotient in f64 when x64 is live (the CLI
-                # guarantees it): bit-identical to the host check
-                if jax.config.jax_enable_x64:
-                    qdt = jnp.complex128 if is_complex else jnp.float64
-                    norm_e = e.astype(qdt) / n2.astype(jnp.float64)
+                if split_pair:
+                    (e_re, e_im, n2, vinf, r2), phi_n = measure_fn(phi_c, env)
+                    # convergence quotient in f64 when x64 is live (the CLI
+                    # guarantees it): the same f64 arithmetic as the host
+                    # check replaying this row
+                    qdt = (
+                        jnp.float64
+                        if jax.config.jax_enable_x64
+                        else e_re.dtype
+                    )
+                    norm_e = (
+                        jnp.stack([e_re, e_im]).astype(qdt)
+                        / n2.astype(qdt)
+                    ).astype(last_e.dtype)
+                    d = norm_e - last_e
+                    done_now = (
+                        jnp.sqrt(d[0] * d[0] + d[1] * d[1]) < tolerance
+                    )
+                    row = (e_re, e_im, n2, vinf, r2)
                 else:
-                    norm_e = e / n2
-                norm_e = norm_e.astype(last_e.dtype)
-                done_now = jnp.abs(norm_e - last_e) < tolerance
+                    (e, n2, vinf, r2), phi_n = measure_fn(phi_c, env)
+                    # convergence quotient in f64 when x64 is live (the CLI
+                    # guarantees it): bit-identical to the host check
+                    if jax.config.jax_enable_x64:
+                        qdt = jnp.complex128 if is_complex else jnp.float64
+                        norm_e = e.astype(qdt) / n2.astype(jnp.float64)
+                    else:
+                        norm_e = e / n2
+                    norm_e = norm_e.astype(last_e.dtype)
+                    done_now = jnp.abs(norm_e - last_e) < tolerance
+                    row = (e, n2, vinf, r2)
                 phi_next = jax.lax.cond(
                     done_now,
                     lambda p: p,
@@ -148,7 +179,7 @@ def make_batched_runner(measure_fn, evolve_fn, tolerance, is_complex,
                 )
                 return (
                     (phi_next, phi_conv2, norm_e, done_now),
-                    (e, n2, vinf, r2, jnp.bool_(True), done_now),
+                    row + (jnp.bool_(True), done_now),
                 )
 
             def idle(args):
@@ -156,12 +187,19 @@ def make_batched_runner(measure_fn, evolve_fn, tolerance, is_complex,
                 rdt = (
                     jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
                 )
-                ze = jnp.zeros((), last_e.dtype)
                 one = jnp.ones((), rdt)
                 zf = jnp.zeros((), rdt)
+                if split_pair:
+                    # split observables carry the ψ dtype (plain f32 sums,
+                    # no hybrid-f64 accumulation on this path)
+                    mdt = jax.tree_util.tree_leaves(phi_c)[0].dtype
+                    zm = jnp.zeros((), mdt)
+                    row = (zm, zm, jnp.ones((), mdt), zm, zm)
+                else:
+                    row = (jnp.zeros((), last_e.dtype), one, zf, zf)
                 return (
                     (phi_c, phi_conv, last_e, jnp.bool_(True)),
-                    (ze, one, zf, zf, jnp.bool_(False), jnp.bool_(True)),
+                    row + (jnp.bool_(False), jnp.bool_(True)),
                 )
 
             return jax.lax.cond(done, idle, work, (phi_c, phi_conv, last_e))
@@ -267,8 +305,14 @@ def solve(
     w_store: List[jnp.ndarray],
     seed: Optional[int] = None,
     progress=None,
+    ic_override=None,
 ) -> SolveResult:
-    """Converge one state (reference ``solve``, src/grid.rs:50-246)."""
+    """Converge one state (reference ``solve``, src/grid.rs:50-246).
+
+    ``ic_override``: explicit initial condition (a padded ψ array, or a
+    (re, im) pair on the split-complex path), bypassing the disk/previous-
+    state/generator preference — used by the multigrid driver to hand a
+    coarse level's upsampled state to the next level."""
     from wafer_tpu.io import writers
     from wafer_tpu.utils import terminal
 
@@ -284,9 +328,13 @@ def solve(
                 wnum,
             )
             return _solve_split(
-                config, log, debug_level, pots, wnum, w_store, seed, progress
+                config, log, debug_level, pots, wnum, w_store, seed, progress,
+                ic_override=ic_override,
             )
-    phi = _select_initial_condition(config, log, wnum, w_store, seed=seed)
+    if ic_override is not None:
+        phi = ic_override
+    else:
+        phi = _select_initial_condition(config, log, wnum, w_store, seed=seed)
 
     order = config.central_difference.value
     ext = config.central_difference.ext
@@ -935,10 +983,12 @@ def _solve_split(
     w_store: List,
     seed: Optional[int],
     progress,
+    ic_override=None,
 ) -> SolveResult:
     """Split-complex solve loop for backends without complex dtypes:
     ψ, V, A, B are carried as (re, im) real-array pairs, with identical
-    cadence and semantics to :func:`solve` (see ops/split_complex.py)."""
+    cadence and semantics to :func:`solve` (see ops/split_complex.py).
+    ``ic_override``: explicit (re, im) initial pair — see :func:`solve`."""
     import dataclasses
 
     from wafer_tpu.io import writers
@@ -949,13 +999,6 @@ def _solve_split(
     ext = config.central_difference.ext
     order = config.central_difference.value
     dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
-
-    if config.sync_update and config.sync_update > 1:
-        log.warning(
-            "sync_update=%d is not implemented on the split-complex path; "
-            "running per-chunk host synchronisation",
-            config.sync_update,
-        )
 
     # split potential + factors (complex arrays never touch the device)
     vr, vi = pmod.generate_split(config)
@@ -969,7 +1012,9 @@ def _solve_split(
     # generator. w_store items are (re, im) pairs in this mode; disk loads
     # are split host-side — complex arrays must never reach the device.
     pr = pi = None
-    if wnum > 0:
+    if ic_override is not None:
+        pr, pi = ic_override
+    elif wnum > 0:
         from wafer_tpu.config import InitialCondition
         from wafer_tpu.io import readers
 
@@ -1156,19 +1201,165 @@ def _solve_split(
     # f32 scale-drift guard (see solve); the drift rate is Re(E) − v_shift
     per_step_norm = False
     _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
+    su = config.output.screen_update
+
+    # Device-side convergence batching (sync_update), same opt-in and
+    # cadence contract as solve() — the split path is exactly where the
+    # per-chunk host round trip hurts most through a remote tunnel (the
+    # reference has no complex propagation at all, src/potential.rs:222,271;
+    # cadence spec: src/grid.rs:126-220).
+    k_sync = config.sync_update or 1
+    if k_sync > 1 and not jax.config.jax_enable_x64:
+        log.warning(
+            "sync_update=%d with jax_enable_x64 off: the on-device "
+            "convergence verdict is f32 and may stop a step earlier/later "
+            "than the per-chunk host check near the tolerance edge",
+            k_sync,
+        )
+    _batched_cache: dict = {}
+
+    def _measure_env_sc(pp, env):
+        return sc.measure_and_prepare_sc(
+            pp[0], pp[1], env["vr"], env["vi"], env["r2"],
+            env["psa"], pots.pot_sub_scalar,
+            env["store_r"], env["store_i"], order, dn, mass, n_lower,
+        )
+
+    def _evolve_env_sc(pp, env):
+        # one screen_update chunk — the same dispatch ladder for the
+        # direct per-chunk path and the batched scan (per_step_norm is
+        # fixed after the first, always-unbatched, chunk)
+        pr_, pi_ = pp
+        if split_backend == "pallas":
+            if resb_sc_plan is not None and not per_step_norm:
+                return ps.from_xpad_k_sc(
+                    ps.evolve_chunk_resident_blocked_sc(
+                        ps.to_xpad_k_sc(pr_, pi_, ext, resb_sc_plan[1]),
+                        order, dt, dn, mass, su, sc_analytic,
+                        bx=resb_sc_plan[0], r_steps=resb_sc_plan[1],
+                        tx=resb_sc_plan[2], prefetch=resb_sc_plan[3],
+                    ),
+                    ext,
+                    resb_sc_plan[1],
+                )
+            if k_fuse_sc > 1 and not per_step_norm:
+                return ps.from_xpad_k_sc(
+                    ps.evolve_chunk_fused_k_sc(
+                        ps.to_xpad_k_sc(pr_, pi_, ext, k_fuse_sc),
+                        env.get("b2k"),
+                        order, dt, dn, mass, su, k_fuse_sc,
+                        analytic=sc_analytic,
+                    ),
+                    ext,
+                    k_fuse_sc,
+                )
+            if use_resident_sc:
+                return ps.from_xpad_sc(
+                    ps.evolve_chunk_resident_sc(
+                        ps.to_xpad_sc(pr_, pi_, ext),
+                        order, dt, dn, mass, su, sc_analytic,
+                        per_step_norm=per_step_norm,
+                        b2=env.get("b2"),
+                    ),
+                    ext,
+                )
+            return ps.from_xpad_sc(
+                ps.evolve_chunk_fused_sc(
+                    ps.to_xpad_sc(pr_, pi_, ext),
+                    env.get("b2"),
+                    env.get("store2"),
+                    order, dt, dn, mass, su, n_lower,
+                    per_step_norm=per_step_norm,
+                    analytic=sc_analytic,
+                ),
+                ext,
+            )
+        return sc.evolve_chunk_sc(
+            pr_, pi_, env["ar"], env["ai"], env["br"], env["bi"],
+            env["store_r"], env["store_i"],
+            order, dt, dn, mass, su, n_lower,
+            per_step_norm=per_step_norm,
+        )
+
+    def _get_batched_sc(k_chunks: int):
+        if k_chunks not in _batched_cache:
+            _batched_cache[k_chunks] = make_batched_runner(
+                _measure_env_sc, _evolve_env_sc, config.tolerance, True,
+                k_chunks, split_pair=True,
+            )
+        return _batched_cache[k_chunks]
+
+    _dispatch_env_sc = {
+        "vr": vr,
+        "vi": vi,
+        "r2": r2_grid,
+        "psa": pots.pot_sub_array,
+        "store_r": store_r,
+        "store_i": store_i,
+        "ar": ar,
+        "ai": ai,
+        "br": br,
+        "bi": bi,
+    }
+    if split_backend == "pallas":
+        _dispatch_env_sc["b2"] = b2
+        _dispatch_env_sc["store2"] = store2
+        if k_fuse_sc > 1:
+            _dispatch_env_sc["b2k"] = b2k
+
+    rows_pending: list = []
+    batch_phi_next = None
+    batch_phi_conv = None
 
     while True:
-        (e_re, e_im, n2, vinf, r2), (pr, pi) = sc.measure_and_prepare_sc(
-            pr, pi, vr, vi, r2_grid,
-            pots.pot_sub_array, pots.pot_sub_scalar,
-            store_r, store_i, order, dn, mass, n_lower,
-        )
-        obs = Observables(
-            energy=complex(float(e_re), float(e_im)),
-            norm2=float(n2),
-            v_infinity=float(vinf),
-            r2=float(r2),
-        )
+        dev_done = None
+        if rows_pending:
+            obs, dev_done = rows_pending.pop(0)
+        else:
+            k_batch = pick_batch_k(
+                step, k_sync, su, config.output.snap_update, config.max_steps
+            )
+            if k_batch > 1:
+                led = (
+                    jnp.float64
+                    if jax.config.jax_enable_x64
+                    else jnp.float32
+                )
+                le = jnp.asarray(
+                    [last_energy.real, last_energy.imag], dtype=led
+                )
+                (pr_f, pi_f), (pr_c, pi_c), out_rows = _get_batched_sc(
+                    k_batch
+                )((pr, pi), le, _dispatch_env_sc)
+                ers, eis, n2s, vinfs, r2s, execs, dones = (
+                    np.asarray(x) for x in out_rows
+                )
+                for j in range(k_batch):
+                    if not bool(execs[j]):
+                        break
+                    rows_pending.append((
+                        Observables(
+                            energy=complex(float(ers[j]), float(eis[j])),
+                            norm2=float(n2s[j]),
+                            v_infinity=float(vinfs[j]),
+                            r2=float(r2s[j]),
+                        ),
+                        bool(dones[j]),
+                    ))
+                batch_phi_next = (pr_f, pi_f)
+                batch_phi_conv = (pr_c, pi_c)
+                continue
+            (e_re, e_im, n2, vinf, r2), (pr, pi) = sc.measure_and_prepare_sc(
+                pr, pi, vr, vi, r2_grid,
+                pots.pot_sub_array, pots.pot_sub_scalar,
+                store_r, store_i, order, dn, mass, n_lower,
+            )
+            obs = Observables(
+                energy=complex(float(e_re), float(e_im)),
+                norm2=float(n2),
+                v_infinity=float(vinf),
+                r2=float(r2),
+            )
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
@@ -1214,7 +1405,17 @@ def _solve_split(
                 )
 
         diff = abs(norm_energy - last_energy)
-        if diff < config.tolerance:
+        # Batched rows use the device's convergence verdict (see solve():
+        # the f64 quotient arithmetic matches this host check when x64 is
+        # live; the modulus may differ by an ulp — make_batched_runner)
+        converged_now = (
+            dev_done if dev_done is not None else diff < config.tolerance
+        )
+        if converged_now:
+            if dev_done is not None:
+                pr, pi = batch_phi_conv  # the measured ψ pair of this row
+                rows_pending.clear()
+                batch_phi_next = batch_phi_conv = None
             if progress is not None:
                 progress.finish()
             print(terminal.print_measurements(tau, diff, obs))
@@ -1255,65 +1456,22 @@ def _solve_split(
         if config.max_steps is not None and step > config.max_steps:
             break
 
-        if split_backend == "pallas":
-            if resb_sc_plan is not None and not per_step_norm:
-                pr, pi = ps.from_xpad_k_sc(
-                    ps.evolve_chunk_resident_blocked_sc(
-                        ps.to_xpad_k_sc(pr, pi, ext, resb_sc_plan[1]),
-                        order, dt, dn, mass, config.output.screen_update,
-                        sc_analytic,
-                        bx=resb_sc_plan[0], r_steps=resb_sc_plan[1],
-                        tx=resb_sc_plan[2], prefetch=resb_sc_plan[3],
-                    ),
-                    ext,
-                    resb_sc_plan[1],
-                )
-            elif k_fuse_sc > 1 and not per_step_norm:
-                pr, pi = ps.from_xpad_k_sc(
-                    ps.evolve_chunk_fused_k_sc(
-                        ps.to_xpad_k_sc(pr, pi, ext, k_fuse_sc),
-                        b2k,
-                        order, dt, dn, mass, config.output.screen_update,
-                        k_fuse_sc,
-                        analytic=sc_analytic,
-                    ),
-                    ext,
-                    k_fuse_sc,
-                )
-            elif use_resident_sc:
-                # (re, im) VMEM-resident for the whole chunk — see
-                # ops/pallas_split.evolve_chunk_resident_sc
-                pr, pi = ps.from_xpad_sc(
-                    ps.evolve_chunk_resident_sc(
-                        ps.to_xpad_sc(pr, pi, ext),
-                        order, dt, dn, mass, config.output.screen_update,
-                        sc_analytic,
-                        per_step_norm=per_step_norm,
-                        b2=b2,
-                    ),
-                    ext,
-                )
-            else:
-                pr, pi = ps.from_xpad_sc(
-                    ps.evolve_chunk_fused_sc(
-                        ps.to_xpad_sc(pr, pi, ext),
-                        b2,
-                        store2,
-                        order, dt, dn, mass, config.output.screen_update,
-                        n_lower,
-                        per_step_norm=per_step_norm,
-                        analytic=sc_analytic,
-                    ),
-                    ext,
-                )
-        else:
-            pr, pi = sc.evolve_chunk_sc(
-                pr, pi, ar, ai, br, bi, store_r, store_i,
-                order, dt, dn, mass, config.output.screen_update, n_lower,
-                per_step_norm=per_step_norm,
-            )
+        if rows_pending:
+            # more device-batch rows pending: advance the cadence only
+            diff_old = float(diff)
+            step += su
+            continue
+        if batch_phi_next is not None:
+            # last row of a device batch: adopt the already-evolved ψ pair
+            pr, pi = batch_phi_next
+            batch_phi_next = batch_phi_conv = None
+            diff_old = float(diff)
+            step += su
+            continue
+
+        pr, pi = _evolve_env_sc((pr, pi), _dispatch_env_sc)
         diff_old = float(diff)
-        step += config.output.screen_update
+        step += su
 
     if config.output.save_wavefns:
         try:
@@ -1345,13 +1503,130 @@ def run(
     """Solve all requested states (reference ``run``, src/grid.rs:31-47).
 
     When the config declares a multi-device mesh, dispatches to the sharded
-    driver (parallel/solver_sharded.py)."""
+    driver (parallel/solver_sharded.py). A ``multigrid`` schedule runs the
+    coarse→fine level ladder (see :func:`_run_multigrid`)."""
     log = log or logging.getLogger("wafer")
     if config.mesh.n_devices > 1:
         from wafer_tpu.parallel.solver_sharded import run_sharded
 
         return run_sharded(config, log, seed=seed, progress_factory=progress_factory)
+    if config.multigrid:
+        return _run_multigrid(config, log, debug_level, seed, progress_factory)
+    return _run_single(config, log, debug_level, seed, progress_factory)
 
+
+def _upsample_state(phi, cfg_to: Config):
+    """Trilinearly resample a converged padded state (or split (re, im)
+    pair) onto ``cfg_to``'s grid, re-framed with the zero Dirichlet shell
+    and re-symmetrised — the in-memory counterpart of the reference's
+    resolution-changing restart (src/input.rs:149-176,667-716;
+    IC composition src/config.rs:577-627)."""
+    from wafer_tpu.io.trilerp import trilerp_resize
+
+    ext = cfg_to.central_difference.ext
+
+    def up(w, dtype):
+        wa = np.asarray(geometry.work_area(jnp.asarray(w), ext))
+        out = trilerp_resize(wa, cfg_to.work_size())
+        arr = jnp.asarray(np.pad(out, ext), dtype=dtype)
+        return initial.symmetrise_wavefunction(cfg_to, arr)
+
+    if isinstance(phi, tuple):
+        return (up(phi[0], cfg_to.real_dtype), up(phi[1], cfg_to.real_dtype))
+    return up(phi, cfg_to.dtype)
+
+
+def _run_multigrid(
+    config: Config,
+    log,
+    debug_level: int,
+    seed: Optional[int],
+    progress_factory,
+) -> List[SolveResult]:
+    """Coarse→fine multigrid driver: solve every state on each level of
+    the divisor ladder, upsampling the converged states as the next
+    level's initial conditions. The physical box is preserved (dn_ℓ =
+    dn·d) and dt_ℓ = dt·d² keeps the stability margin exactly, so a
+    coarse level advances imaginary time d²× faster per step — this
+    automates the reference's documented manual coarse→fine restart
+    workflow (src/config.rs:156-160) without file round trips.
+    Intermediate levels write no wavefunction/potential/snapshot files;
+    the final level runs the unmodified config."""
+    import dataclasses
+
+    from wafer_tpu.config import Grid, Index3
+
+    divisors = list(config.multigrid) + [1]
+    ic_overrides = None
+    results: List[SolveResult] = []
+    s = config.grid.size
+    for li, d in enumerate(divisors):
+        final = d == 1
+        lvl_grid = Grid(
+            size=Index3(s.x // d, s.y // d, s.z // d),
+            dn=config.grid.dn * d,
+            dt=config.grid.dt * d * d,
+        )
+        lvl_out = (
+            config.output
+            if final
+            else dataclasses.replace(
+                config.output,
+                save_wavefns=False,
+                save_potential=False,
+                snap_update=None,
+            )
+        )
+        lvl_cfg = dataclasses.replace(
+            config,
+            grid=lvl_grid,
+            output=lvl_out,
+            multigrid=None,
+            multigrid_tolerance=None,
+            tolerance=(
+                config.tolerance
+                if final
+                else (config.multigrid_tolerance or config.tolerance)
+            ),
+        )
+        log.info(
+            "Multigrid level %d/%d: %d x %d x %d (dn=%g, dt=%g, tol=%g)",
+            li + 1, len(divisors),
+            lvl_grid.size.x, lvl_grid.size.y, lvl_grid.size.z,
+            lvl_grid.dn, lvl_grid.dt, lvl_cfg.tolerance,
+        )
+        results = _run_single(
+            lvl_cfg, log, debug_level, seed, progress_factory,
+            ic_overrides=ic_overrides,
+        )
+        if not final:
+            d_next = divisors[li + 1]
+            nxt_cfg = dataclasses.replace(
+                config,
+                grid=Grid(
+                    size=Index3(s.x // d_next, s.y // d_next, s.z // d_next),
+                    dn=config.grid.dn * d_next,
+                    dt=config.grid.dt * d_next * d_next,
+                ),
+            )
+            ic_overrides = {
+                r.wnum: _upsample_state(r.phi, nxt_cfg) for r in results
+            }
+    return results
+
+
+def _run_single(
+    config: Config,
+    log,
+    debug_level: int = 3,
+    seed: Optional[int] = None,
+    progress_factory=None,
+    ic_overrides=None,
+) -> List[SolveResult]:
+    """One-resolution driver (the reference ``run`` body): load potentials,
+    preload lower states when restarting, then solve each state in order.
+    ``ic_overrides``: optional per-state explicit initial conditions
+    (multigrid hand-over)."""
     load_cfg = config
     split_mode = False
     if config.potential.is_complex:
@@ -1403,6 +1678,12 @@ def run(
     for wnum in range(config.wavenum, config.wavemax + 1):
         progress = progress_factory(wnum) if progress_factory is not None else None
         results.append(
-            solve(config, log, debug_level, pots, wnum, w_store, seed=seed, progress=progress)
+            solve(
+                config, log, debug_level, pots, wnum, w_store, seed=seed,
+                progress=progress,
+                ic_override=(
+                    ic_overrides.get(wnum) if ic_overrides is not None else None
+                ),
+            )
         )
     return results
