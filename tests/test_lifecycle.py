@@ -181,6 +181,49 @@ def test_cli_end_to_end(tmp_run, capsys):
     assert os.path.exists(d + "/observables_0.yaml")
 
 
+def test_cli_mesh_multigrid_dispatch(tmp_run, capsys):
+    """The CLI must route through solver.run so a multigrid schedule
+    engages even with a multi-device mesh (regression: the CLI used to
+    shortcut straight to run_sharded, silently skipping the ladder)."""
+    import yaml
+
+    raw = {
+        "project_name": "cli mg",
+        "grid": {"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        "tolerance": 1e-5,
+        "central_difference": "ThreePoint",
+        "wavenum": 0,
+        "wavemax": 0,
+        "output": {
+            "screen_update": 100,
+            "file_type": "Json",
+            "save_wavefns": False,
+            "save_potential": False,
+        },
+        "potential": "Harmonic",
+        "mass": 1.0,
+        "init_condition": "Gaussian",
+        "sig": 1.0,
+        "init_symmetry": "NotConstrained",
+        "max_steps": 100000,
+        "multigrid": [2],
+        "mesh": {"x": 2, "y": 1, "z": 1},
+    }
+    with open("test.yaml", "w") as fh:
+        yaml.safe_dump(raw, fh)
+
+    from wafer_tpu import cli
+
+    rc = cli.main(["-c", "test.yaml", "-d"])
+    assert rc == 0
+    assert "Ground state energy" in capsys.readouterr().out
+    d = run_dir.get_project_dir("cli mg")
+    log_text = open(d + "/simulation.log").read()
+    assert "Multigrid level 1/2" in log_text
+    assert "sharded over mesh" in log_text
+    assert "multigrid hand-over" in log_text
+
+
 def test_cli_bad_config(tmp_run, capsys):
     with open("bad.yaml", "w") as fh:
         fh.write("project_name: x\n")  # missing everything else

@@ -107,6 +107,51 @@ def test_multigrid_split_complex(tmp_run, monkeypatch):
     assert abs(e - 1.5 * cmath.sqrt(1 + 0.2j)) < 0.05, e
 
 
+def test_multigrid_sharded_final_level(tmp_run):
+    """Multigrid + multi-device mesh: coarse levels solve single-device,
+    the final level runs the sharded driver seeded with the upsampled
+    state — same fine-grid fixed point as the unsharded multigrid run,
+    reached in fewer fine-level steps than a direct sharded run."""
+    run_dir.check_output_dir("test")
+    common = dict(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        wavemax=1,
+    )
+    plain_mg = solver.run(_mg_cfg(multigrid=[2], **common))
+    direct_sh = solver.run(_mg_cfg(mesh={"x": 2, "y": 1, "z": 1}, **common))
+    sharded_mg = solver.run(
+        _mg_cfg(multigrid=[2], mesh={"x": 2, "y": 1, "z": 1}, **common)
+    )
+    for r_p, r_d, r_s in zip(plain_mg, direct_sh, sharded_mg):
+        e_p = r_p.observables.energy / r_p.observables.norm2
+        e_s = r_s.observables.energy / r_s.observables.norm2
+        assert abs(e_p - e_s) < 5e-6, (r_p.wnum, e_p, e_s)
+        # the coarse seed must save fine-level (= sharded) steps
+        assert r_s.steps < r_d.steps, (r_p.wnum, r_s.steps, r_d.steps)
+
+
+def test_multigrid_sharded_split_complex(tmp_run, monkeypatch):
+    """Multigrid hand-over into the sharded split-complex driver: the
+    upsampled (re, im) pair seeds the final sharded level."""
+    from wafer_tpu.ops import split_complex as sc
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    run_dir.check_output_dir("test")
+    cfg = _mg_cfg(
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        init_condition="Constant",
+        multigrid=[2],
+        mesh={"x": 2, "y": 1, "z": 1},
+    )
+    res = solver.run(cfg)[0]
+    e = res.observables.energy / res.observables.norm2
+    assert abs(e - 1.5 * cmath.sqrt(1 + 0.2j)) < 0.05, e
+
+
 def test_upsample_state_shape_and_boundary():
     """_upsample_state re-frames with the zero Dirichlet shell and applies
     the target config's symmetry constraint on the fine grid."""

@@ -107,14 +107,11 @@ def main(argv=None) -> int:
     from wafer_tpu import solver
 
     try:
-        if config.mesh.n_devices > 1:
-            from wafer_tpu.parallel.solver_sharded import run_sharded
-
-            runner = lambda: run_sharded(config, log, progress_factory=progress_factory)  # noqa: E731
-        else:
-            runner = lambda: solver.run(  # noqa: E731
-                config, log, debug_level, progress_factory=progress_factory
-            )
+        # solver.run owns the dispatch (multigrid ladder, sharded driver,
+        # split-complex) — the CLI must not shortcut it
+        runner = lambda: solver.run(  # noqa: E731
+            config, log, debug_level, progress_factory=progress_factory
+        )
         if config.trace_dir:
             with jax.profiler.trace(config.trace_dir):
                 runner()

@@ -482,10 +482,9 @@ class Config:
                     "multigrid requires wavenum: 0 (lower states restart "
                     "from disk at the final resolution only)"
                 )
-            if self.mesh.n_devices > 1:
-                raise errors.ConfigParseError(
-                    "multigrid with a multi-device mesh is not supported yet"
-                )
+            # multigrid + multi-device mesh is supported: coarse levels
+            # solve on a single device (they are >= 8x smaller), only the
+            # final full-resolution level runs sharded (solver._run_multigrid)
         if self.multigrid_tolerance is not None and (
             self.multigrid_tolerance < self.tolerance
         ):

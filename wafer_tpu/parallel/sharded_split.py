@@ -621,10 +621,14 @@ class ShardedSplitOps:
 
 
 def run_sharded_split(
-    config: Config, log=None, seed=None, mesh=None, progress_factory=None
+    config: Config, log=None, seed=None, mesh=None, progress_factory=None,
+    ic_overrides=None,
 ) -> List:
     """Sharded driver for complex potentials on complex-free backends:
-    the split counterpart of parallel/solver_sharded.run_sharded."""
+    the split counterpart of parallel/solver_sharded.run_sharded.
+
+    ``ic_overrides``: optional ``{wnum: (padded re, padded im)}`` explicit
+    initial pairs (the multigrid coarse→fine hand-over, solver.py)."""
     from wafer_tpu.models import potentials as pmod
     from wafer_tpu.solver import SolveResult
 
@@ -670,6 +674,9 @@ def run_sharded_split(
                 interior(vr), interior(vi),
                 interior(ar), interior(ai), interior(br), interior(bi),
                 r2_grid, v_shift, seed, progress,
+                ic_override=(
+                    ic_overrides.get(wnum) if ic_overrides is not None else None
+                ),
             )
         )
     return results
@@ -737,7 +744,7 @@ def _select_ic_split(config, log, wnum, w_store, seed):
 
 def _solve_state_split(
     config, log, mesh, wnum, w_store, vr, vi, ar, ai, br, bi, r2_grid,
-    v_shift, seed, progress,
+    v_shift, seed, progress, ic_override=None,
 ):
     from wafer_tpu.io import writers
     from wafer_tpu.models import initial
@@ -746,7 +753,20 @@ def _solve_state_split(
 
     n_lower = wnum
     ops = ShardedSplitOps(config, mesh, n_lower, v_shift=v_shift)
-    pr0, pi0 = _select_ic_split(config, log, wnum, w_store, seed)
+    if ic_override is not None:
+        log.info(
+            "Using explicit in-memory initial (re, im) pair for state %d "
+            "(multigrid hand-over)", wnum,
+        )
+        ext_ = config.central_difference.ext
+        pr0 = geometry.work_area(
+            jnp.asarray(ic_override[0], dtype=config.real_dtype), ext_
+        )
+        pi0 = geometry.work_area(
+            jnp.asarray(ic_override[1], dtype=config.real_dtype), ext_
+        )
+    else:
+        pr0, pi0 = _select_ic_split(config, log, wnum, w_store, seed)
     pr, pi = ops.put(pr0), ops.put(pi0)
     vr_d, vi_d = ops.put(vr), ops.put(vi)
     ar_d, ai_d = ops.put(ar), ops.put(ai)

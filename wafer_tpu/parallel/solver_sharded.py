@@ -34,8 +34,12 @@ def run_sharded(
     seed: Optional[int] = None,
     mesh=None,
     progress_factory=None,
+    ic_overrides=None,
 ) -> List[SolveResult]:
-    """Solve all requested states on a device mesh."""
+    """Solve all requested states on a device mesh.
+
+    ``ic_overrides``: optional ``{wnum: padded psi}`` explicit initial
+    conditions (the multigrid coarse→fine hand-over, solver.py)."""
     log = log or logging.getLogger("wafer")
     from wafer_tpu.io import writers
     from wafer_tpu.utils import terminal
@@ -51,7 +55,8 @@ def run_sharded(
                 "split-complex path"
             )
             return run_sharded_split(
-                config, log, seed=seed, mesh=mesh, progress_factory=progress_factory
+                config, log, seed=seed, mesh=mesh,
+                progress_factory=progress_factory, ic_overrides=ic_overrides,
             )
 
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
@@ -80,14 +85,23 @@ def run_sharded(
             _solve_state(
                 config, log, mesh, wnum, w_store,
                 v_int, a_int, b_int, r2_grid, pots, seed, progress,
+                ic_override=(
+                    ic_overrides.get(wnum) if ic_overrides is not None else None
+                ),
             )
         )
     return results
 
 
-def _select_ic(config, log, wnum, w_store, seed):
+def _select_ic(config, log, wnum, w_store, seed, ic_override=None):
     from wafer_tpu.io import readers
 
+    if ic_override is not None:
+        log.info(
+            "Using explicit in-memory initial condition for state %d "
+            "(multigrid hand-over)", wnum,
+        )
+        return _interior(config, jnp.asarray(ic_override, dtype=config.dtype))
     if wnum > 0:
         try:
             wfn = readers.wavefunction(
@@ -107,7 +121,8 @@ def _select_ic(config, log, wnum, w_store, seed):
 
 
 def _solve_state(
-    config, log, mesh, wnum, w_store, v_int, a_int, b_int, r2_grid, pots, seed, progress
+    config, log, mesh, wnum, w_store, v_int, a_int, b_int, r2_grid, pots,
+    seed, progress, ic_override=None,
 ):
     from wafer_tpu.io import writers
     from wafer_tpu.utils import terminal
@@ -121,7 +136,7 @@ def _solve_state(
         pot_sub_scalar=pots.pot_sub_scalar,
         v_shift=pots.v_shift,
     )
-    phi = ops.put(_select_ic(config, log, wnum, w_store, seed))
+    phi = ops.put(_select_ic(config, log, wnum, w_store, seed, ic_override))
     v_d = ops.put(v_int)
     a_d = ops.put(a_int)
     b_d = ops.put(b_int)

@@ -1504,14 +1504,16 @@ def run(
 
     When the config declares a multi-device mesh, dispatches to the sharded
     driver (parallel/solver_sharded.py). A ``multigrid`` schedule runs the
-    coarse→fine level ladder (see :func:`_run_multigrid`)."""
+    coarse→fine level ladder (see :func:`_run_multigrid`); with a mesh the
+    coarse levels still solve single-device and only the final level runs
+    sharded."""
     log = log or logging.getLogger("wafer")
+    if config.multigrid:
+        return _run_multigrid(config, log, debug_level, seed, progress_factory)
     if config.mesh.n_devices > 1:
         from wafer_tpu.parallel.solver_sharded import run_sharded
 
         return run_sharded(config, log, seed=seed, progress_factory=progress_factory)
-    if config.multigrid:
-        return _run_multigrid(config, log, debug_level, seed, progress_factory)
     return _run_single(config, log, debug_level, seed, progress_factory)
 
 
@@ -1551,10 +1553,14 @@ def _run_multigrid(
     automates the reference's documented manual coarse→fine restart
     workflow (src/config.rs:156-160) without file round trips.
     Intermediate levels write no wavefunction/potential/snapshot files;
-    the final level runs the unmodified config."""
+    the final level runs the unmodified config. With a multi-device mesh
+    the coarse levels solve on a single device (every level past the
+    first divisor is >= 8x smaller than the target grid) and only the
+    final full-resolution level runs the sharded driver, seeded with the
+    upsampled states."""
     import dataclasses
 
-    from wafer_tpu.config import Grid, Index3
+    from wafer_tpu.config import Grid, Index3, MeshConfig
 
     divisors = list(config.multigrid) + [1]
     ic_overrides = None
@@ -1583,6 +1589,9 @@ def _run_multigrid(
             output=lvl_out,
             multigrid=None,
             multigrid_tolerance=None,
+            # coarse levels always solve single-device; the mesh (if any)
+            # engages at the final full resolution only
+            mesh=(config.mesh if final else MeshConfig(1, 1, 1)),
             tolerance=(
                 config.tolerance
                 if final
@@ -1595,10 +1604,18 @@ def _run_multigrid(
             lvl_grid.size.x, lvl_grid.size.y, lvl_grid.size.z,
             lvl_grid.dn, lvl_grid.dt, lvl_cfg.tolerance,
         )
-        results = _run_single(
-            lvl_cfg, log, debug_level, seed, progress_factory,
-            ic_overrides=ic_overrides,
-        )
+        if final and lvl_cfg.mesh.n_devices > 1:
+            from wafer_tpu.parallel.solver_sharded import run_sharded
+
+            results = run_sharded(
+                lvl_cfg, log, seed=seed, progress_factory=progress_factory,
+                ic_overrides=ic_overrides,
+            )
+        else:
+            results = _run_single(
+                lvl_cfg, log, debug_level, seed, progress_factory,
+                ic_overrides=ic_overrides,
+            )
         if not final:
             d_next = divisors[li + 1]
             nxt_cfg = dataclasses.replace(
