@@ -152,6 +152,40 @@ def test_multigrid_sharded_split_complex(tmp_run, monkeypatch):
     assert abs(e - 1.5 * cmath.sqrt(1 + 0.2j)) < 0.05, e
 
 
+def test_multigrid_from_file_potential(tmp_run):
+    """Multigrid with a FromFile potential: coarse levels load the same
+    file and trilerp-resample it to the level grid (readers._fill_data,
+    reference resampler src/input.rs:149-176), so the ladder composes
+    with every potential source."""
+    import jax.numpy as jnp
+
+    from wafer_tpu.io import formats
+    from wafer_tpu.models import potentials as pmod
+
+    run_dir.check_output_dir("test")
+    cfg = _mg_cfg(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+    )
+    # write the full-resolution harmonic V as the input file
+    v = np.asarray(pmod.generate(cfg))
+    ext = cfg.central_difference.ext
+    with open("input/potential.json", "w") as fh:
+        fh.write(formats.array_to_json(v[ext:-ext, ext:-ext, ext:-ext]))
+    cfg_ff = _mg_cfg(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        potential="FromFile",
+        multigrid=[2],
+    )
+    res = solver.run(cfg_ff)[0]
+    e = res.observables.energy / res.observables.norm2
+    # same fixed point as the analytic harmonic run at this resolution
+    direct = solver.run(cfg)[0]
+    e_ref = direct.observables.energy / direct.observables.norm2
+    assert abs(e - e_ref) < 5e-5, (e, e_ref)
+
+
 def test_upsample_state_shape_and_boundary():
     """_upsample_state re-frames with the zero Dirichlet shell and applies
     the target config's symmetry constraint on the fine grid."""
