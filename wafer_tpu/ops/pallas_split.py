@@ -576,7 +576,8 @@ def _evolve_kernel_res_sc(
     land,      # (8·halo, NY, NZ) VMEM — ICI landing strips: 2 parity slots
     # × (re lo, re hi, im lo, im hi); (1,1,1) dummy when ici_r == 0
     sem_snd,   # DMA (4,) — ICI sends (re→right, re→left, im→right, im→left)
-    sem_rcv,   # DMA (4,) — ICI recvs (re lo, re hi, im lo, im hi)
+    sem_rcv,   # DMA (8,) — ICI recvs, indexed parity·4 + strip
+    # (strip: re lo, re hi, im lo, im hi)
     *,
     order: str,
     scale: float,
@@ -632,32 +633,38 @@ def _evolve_kernel_res_sc(
                 my + jnp.int32(ici_nsh - 1), jnp.int32(ici_nsh)
             )
             base = slot * jnp.int32(4 * halo)
+            sbase = slot * jnp.int32(4)
             # (src rows, landing offset within slot, target, sem idx):
             # hi edges feed the right neighbour's LO landings, lo edges
-            # the left neighbour's HI landings
+            # the left neighbour's HI landings. Recv semaphores are
+            # indexed (parity, strip) — the same stale-signal argument as
+            # the real kernel's exchange (pallas_stencil._evolve_kernel_res
+            # ici mode): a shared counting wait could be satisfied by the
+            # neighbour's next window's signal while this window's strip
+            # is in flight.
             dmas = [
                 pltpu.make_async_remote_copy(
                     psi_buf.at[pl.ds(nxe_k - 2 * halo, halo)],
                     land.at[pl.ds(base, halo)],
-                    sem_snd.at[0], sem_rcv.at[0],
+                    sem_snd.at[0], sem_rcv.at[sbase],
                     device_id={ici_axis: right},
                 ),
                 pltpu.make_async_remote_copy(
                     psi_buf.at[pl.ds(halo, halo)],
                     land.at[pl.ds(base + jnp.int32(halo), halo)],
-                    sem_snd.at[1], sem_rcv.at[1],
+                    sem_snd.at[1], sem_rcv.at[sbase + jnp.int32(1)],
                     device_id={ici_axis: left},
                 ),
                 pltpu.make_async_remote_copy(
                     psi_buf.at[pl.ds(2 * nxe_k - 2 * halo, halo)],
                     land.at[pl.ds(base + jnp.int32(2 * halo), halo)],
-                    sem_snd.at[2], sem_rcv.at[2],
+                    sem_snd.at[2], sem_rcv.at[sbase + jnp.int32(2)],
                     device_id={ici_axis: right},
                 ),
                 pltpu.make_async_remote_copy(
                     psi_buf.at[pl.ds(nxe_k + halo, halo)],
                     land.at[pl.ds(base + jnp.int32(3 * halo), halo)],
-                    sem_snd.at[3], sem_rcv.at[3],
+                    sem_snd.at[3], sem_rcv.at[sbase + jnp.int32(3)],
                     device_id={ici_axis: left},
                 ),
             ]
@@ -938,7 +945,7 @@ def evolve_chunk_resident_sc(
                     (land_rows, ny, nz) if ici_steps else (1, 1, 1), dtype
                 ),
                 pltpu.SemaphoreType.DMA((4,)),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((8,)),  # recv: parity·4 + strip
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),

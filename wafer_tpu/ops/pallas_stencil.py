@@ -2167,13 +2167,13 @@ def _evolve_kernel_res(
     land,       # (4·halo, NY, NZ) VMEM — ICI landing strips (2 parity
     # slots × 2 sides); (1,1,1) dummy when ici_r == 0
     sem_snd,    # DMA (2,) — ICI send (one per direction)
-    sem_rcv,    # DMA (2,) — ICI recv (slot 0: lo side, 1: hi side)
+    sem_rcv,    # DMA (4,) — ICI recv, indexed parity·2 + side (0: lo, 1: hi)
     scal_snd,   # (1, 128) VMEM f32 — staged per-step reduction partials
     # (lanes 0..S) for the scalar all-to-all (sharded excited/psn ici mode)
     scal_land,  # (2·nsh, 128) VMEM f32 — parity-slotted landing rows, one
     # per peer (row = slot·nsh + sender)
     sem_sc_snd,  # DMA (1,)
-    sem_sc_rcv,  # DMA (1,)
+    sem_sc_rcv,  # DMA (2·nsh,) — indexed parity·nsh + sender
     *,
     order: str,
     scale: float,
@@ -2259,8 +2259,16 @@ def _evolve_kernel_res(
         # needs my window-w send, which follows my window-(w−1) landing
         # read — a slot is never overwritten before it is consumed (two
         # parity slots suffice; validated bit-exact under the interpret
-        # race detector). Across chunk calls the host-side initial
-        # deep-halo ppermute is the barrier.
+        # race detector). Recv semaphores are indexed (parity, side): a
+        # counting wait on one shared semaphore could be satisfied by a
+        # neighbour's NEXT window's signal while this window's strip was
+        # still in flight (signals from separate DMAs are unordered), and
+        # the landing read would see the stale other-parity slot; with a
+        # per-(parity, side) semaphore, the only signal that can exist at
+        # window w's wait is window w's (the neighbour cannot reach window
+        # w+2 — the next same-parity send — before my w+1 send). Across
+        # chunk calls the host-side initial deep-halo ppermute is the
+        # barrier.
         nxp_k = psi_buf.shape[0]
 
         @pl.when(
@@ -2279,14 +2287,14 @@ def _evolve_kernel_res(
                 psi_buf.at[pl.ds(nxp_k - 2 * halo, halo)],
                 land.at[pl.ds(base, halo)],
                 sem_snd.at[0],
-                sem_rcv.at[0],
+                sem_rcv.at[slot * jnp.int32(2)],
                 device_id={ici_axis: right},
             )
             d_l = pltpu.make_async_remote_copy(
                 psi_buf.at[pl.ds(halo, halo)],
                 land.at[pl.ds(base + jnp.int32(halo), halo)],
                 sem_snd.at[1],
-                sem_rcv.at[1],
+                sem_rcv.at[slot * jnp.int32(2) + jnp.int32(1)],
                 device_id={ici_axis: left},
             )
             d_r.start()
@@ -2321,25 +2329,41 @@ def _evolve_kernel_res(
     # stages its step-t partials into a 128-lane vector and remote-DMAs it
     # to every mesh peer's parity-slotted landing row (all-to-all of
     # (1+S)·4 bytes, self included for uniform semaphore counts); step t+1
-    # begins by waiting the nsh incoming rows of parity t%2 and reducing
-    # them. Slot safety is the same two-parity chain as the ψ strips: a
-    # peer's t+2 send (overwriting parity t%2) happens after its t+2-start
-    # waits, which need my t+1 sends, which follow my t+1-start read of
-    # parity t%2. Across chunk calls the driver's measure psum (or the
-    # seeding ppermute) is the barrier.
+    # begins by waiting each sender's incoming row of parity t%2 and
+    # reducing them. Slot safety is the same two-parity chain as the ψ
+    # strips: a peer's t+2 send (overwriting parity t%2) happens after its
+    # t+2-start waits, which need my t+1 sends, which follow my t+1-start
+    # read of parity t%2. The recv semaphores are indexed (parity, sender)
+    # — one shared counting semaphore could reach its count with a fast
+    # peer's step-(t+1) signal substituting for a slow peer's step-t one
+    # (signals from separate DMAs are unordered), and the reduction would
+    # read the slow peer's stale same-parity row from step t−2; with a
+    # per-(parity, sender) semaphore the only signal that can exist at
+    # step t's wait is that sender's step-t send (the two-parity chain
+    # forbids it reaching step t+2). Across chunk calls the driver's
+    # measure psum (or the seeding ppermute) is the barrier.
     ici_scal = ici_r > 0 and ici_nsh > 1 and (with_norm or n_lower > 0)
     if ici_scal:
         my_sc = jax.lax.axis_index(ici_axis).astype(jnp.int32)
 
-        def _scal_send(k, slot_):
-            tgt = jax.lax.rem(my_sc + jnp.int32(k), jnp.int32(ici_nsh))
+        def _scal_copy(sender, tgt, slot_):
+            """Descriptor for ``sender``'s staged row landing in the
+            (parity, sender)-slotted row + recv semaphore on ``tgt``.
+            Sends pass ``sender = my_sc``; waits pass the peer being
+            waited on (``tgt``/``device_id`` is then irrelevant — the wait
+            touches only the local semaphore)."""
+            idx = slot_ * jnp.int32(ici_nsh) + sender
             return pltpu.make_async_remote_copy(
                 scal_snd.at[pl.ds(0, 1)],
-                scal_land.at[pl.ds(slot_ * jnp.int32(ici_nsh) + my_sc, 1)],
+                scal_land.at[pl.ds(idx, 1)],
                 sem_sc_snd.at[0],
-                sem_sc_rcv.at[0],
+                sem_sc_rcv.at[idx],
                 device_id={ici_axis: tgt},
             )
+
+        def _scal_send(k, slot_):
+            tgt = jax.lax.rem(my_sc + jnp.int32(k), jnp.int32(ici_nsh))
+            return _scal_copy(my_sc, tgt, slot_)
 
         def _scal_global(slot_):
             """Sum the nsh landed partial rows of the given parity: a
@@ -2380,7 +2404,7 @@ def _evolve_kernel_res(
             @pl.when(i > 0)
             def _wait_prev_scal():
                 for _k in range(ici_nsh):
-                    _scal_send(0, prev).wait_recv()
+                    _scal_copy(jnp.int32(_k), my_sc, prev).wait_recv()
 
             g_prev = _scal_global(prev)
             prev_n2 = g_prev[0]
@@ -2537,7 +2561,7 @@ def _evolve_kernel_res(
             # the final step's global sums are consumed below (red_out /
             # the with_norm rescale), not by a next program
             for _k in range(ici_nsh):
-                _scal_send(0, slot).wait_recv()
+                _scal_copy(jnp.int32(_k), my_sc, slot).wait_recv()
 
     if halo > ext:
         # deep-halo Dirichlet: global-edge shards re-zero their halo side
@@ -2824,11 +2848,12 @@ def evolve_chunk_resident(
                     (land_rows, ny, nz) if ici_steps else (1, 1, 1), dtype
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((4,)),  # recv: parity·2 + side
                 pltpu.VMEM((1, 128), jnp.float32),
                 pltpu.VMEM((max(2 * ici_nsh, 2), 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((1,)),
-                pltpu.SemaphoreType.DMA((1,)),
+                # scalar recv: parity·nsh + sender
+                pltpu.SemaphoreType.DMA((max(2 * ici_nsh, 1),)),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),

@@ -640,7 +640,7 @@ class ShardedOps:
                 if (
                     nxs == 1
                     and analytic is not None
-                    and pk.resident_supported(bx, ny, nz, ext, 4, True)
+                    and pk.resident_supported(bx, ny, nz, ext, itemsize, True)
                 ):
                     # degenerate unsharded x axis (1×1×1 mesh): there is
                     # nothing to exchange, so the whole chunk runs as ONE
