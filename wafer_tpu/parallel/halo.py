@@ -18,6 +18,30 @@ from jax import lax
 from wafer_tpu.parallel.mesh import AXIS_NAMES
 
 
+def edge_flags(axis_name: str, axis_size: int) -> jnp.ndarray:
+    """(2, 1) i32 [at_global_lo, at_global_hi] flags for this shard —
+    the kernels' global-Dirichlet masking input (traced inside
+    shard_map; see ops/pallas_stencil._evolve_kernel_res ``edge_smem``)."""
+    ax_idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    return jnp.stack(
+        [
+            (ax_idx == 0).astype(jnp.int32),
+            (ax_idx == axis_size - 1).astype(jnp.int32),
+        ]
+    ).reshape(2, 1)
+
+
+def ici_interpret(pallas_interpret):
+    """Interpret flag for kernels with in-kernel remote DMAs: old-style
+    boolean interpret cannot model them, so tests ride the TPU interpret
+    mode (eager DMA execution + race detection)."""
+    if pallas_interpret is True:
+        from jax.experimental.pallas import tpu as _pltpu
+
+        return _pltpu.InterpretParams(dma_execution_mode="eager")
+    return pallas_interpret
+
+
 def _pad_axis(block: jnp.ndarray, ext: int, axis: int, axis_name: str, axis_size: int):
     """Pad one axis with neighbour faces (or zeros at the global boundary)."""
     if axis_size == 1:

@@ -23,7 +23,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from wafer_tpu import geometry
 from wafer_tpu.config import Config
-from wafer_tpu.parallel.halo import exchange_halos
+from wafer_tpu.parallel.halo import edge_flags, exchange_halos, ici_interpret
 from wafer_tpu.parallel.mesh import AXIS_NAMES
 
 
@@ -604,20 +604,8 @@ class ShardedOps:
                     # kernel's remote DMAs refresh the ghost zone at every
                     # R-step boundary. Old-style interpret (bool) cannot
                     # model remote DMAs — tests ride the TPU interpret mode.
-                    ici_interp = pallas_interpret
-                    if ici_interp is True:
-                        from jax.experimental.pallas import tpu as _pltpu
-
-                        ici_interp = _pltpu.InterpretParams(
-                            dma_execution_mode="eager"
-                        )
-                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
-                    edges = jnp.stack(
-                        [
-                            (ax_idx == 0).astype(jnp.int32),
-                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
-                        ]
-                    ).reshape(2, 1)
+                    ici_interp = ici_interpret(pallas_interpret)
+                    edges = edge_flags(axis_names[0], mesh_shape[0])
                     pad = res_steps * ext
                     n_win = screen_update // res_steps
                     p = refresh_halo(to_xpad(phi, pad), pad)
@@ -668,13 +656,7 @@ class ShardedOps:
                     return p[pad_b:-pad_b]
                 if res_steps > 1:
                     # VMEM-resident chunks with a deep ghost zone
-                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
-                    edges = jnp.stack(
-                        [
-                            (ax_idx == 0).astype(jnp.int32),
-                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
-                        ]
-                    ).reshape(2, 1)
+                    edges = edge_flags(axis_names[0], mesh_shape[0])
                     pad = res_steps * ext
 
                     def body_r(_i, p):
@@ -711,13 +693,7 @@ class ShardedOps:
                     # window, window = ONE out-of-place blocked pass
                     rb = self.resb_sharded
                     pad = rb[1] * ext
-                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
-                    edges = jnp.stack(
-                        [
-                            (ax_idx == 0).astype(jnp.int32),
-                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
-                        ]
-                    ).reshape(2, 1)
+                    edges = edge_flags(axis_names[0], mesh_shape[0])
 
                     def body_rb(_i, p):
                         p = refresh_halo(p, pad)
@@ -746,13 +722,7 @@ class ShardedOps:
                     # edges (interior halos hold real neighbour data). B's
                     # (K−1)·ext neighbour rows are exchanged once per chunk
                     # (B is static within a state).
-                    ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
-                    edges = jnp.stack(
-                        [
-                            (ax_idx == 0).astype(jnp.int32),
-                            (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
-                        ]
-                    ).reshape(2, 1)
+                    edges = edge_flags(axis_names[0], mesh_shape[0])
                     pad = k_fuse * ext
                     if analytic is not None:
                         b_kpad = jnp.zeros((1, 1, 1), dtype=phi.dtype)
@@ -852,20 +822,8 @@ class ShardedOps:
                 # scalars per step, and red returns GLOBAL sums (no psum).
                 r_ici = self.ici_exc_r
                 pad = r_ici * ext
-                ici_interp = pallas_interpret
-                if ici_interp is True:
-                    from jax.experimental.pallas import tpu as _pltpu
-
-                    ici_interp = _pltpu.InterpretParams(
-                        dma_execution_mode="eager"
-                    )
-                ax_idx = jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
-                edges = jnp.stack(
-                    [
-                        (ax_idx == 0).astype(jnp.int32),
-                        (ax_idx == mesh_shape[0] - 1).astype(jnp.int32),
-                    ]
-                ).reshape(2, 1)
+                ici_interp = ici_interpret(pallas_interpret)
+                edges = edge_flags(axis_names[0], mesh_shape[0])
                 # deep-padded stores; their swept images are valid on all
                 # streamed rows [ext, nxp−ext) because the sweep reads only
                 # the outer ext rows blind (real neighbour data to depth

@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from wafer_tpu import errors, geometry
 from wafer_tpu.config import Config
 from wafer_tpu.ops.observables import Observables
-from wafer_tpu.parallel.halo import exchange_halos
+from wafer_tpu.parallel.halo import edge_flags, exchange_halos, ici_interpret
 from wafer_tpu.parallel.mesh import AXIS_NAMES, make_mesh
 
 
@@ -356,23 +356,9 @@ class ShardedSplitOps:
                         # R steps (remote DMAs), and the host-side seeding
                         # ppermute doubles as the cross-chunk slot barrier
                         pad = sc_res_steps * ext
-                        ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(
-                            jnp.int32
-                        )
-                        edges = jnp.stack(
-                            [
-                                (ax_idx == 0).astype(jnp.int32),
-                                (ax_idx == nxs - 1).astype(jnp.int32),
-                            ]
-                        ).reshape(2, 1)
+                        edges = edge_flags(AXIS_NAMES[0], nxs)
                         bxp_i = bxl + 2 * pad
-                        ici_interp = pallas_interpret
-                        if ici_interp is True:
-                            from jax.experimental.pallas import tpu as _pltpu
-
-                            ici_interp = _pltpu.InterpretParams(
-                                dma_execution_mode="eager"
-                            )
+                        ici_interp = ici_interpret(pallas_interpret)
                         p2 = refresh_halo_sc(to_x2(pr, pi, pad), pad)
                         out2 = ps_mod.evolve_chunk_resident_sc(
                             p2, order, dt, dn, mass, screen_update,
@@ -392,15 +378,7 @@ class ShardedSplitOps:
                         # sweeps (ops/pallas_split._evolve_kernel_res_sc
                         # halo mode); remainder steps ride the 1-step body
                         pad = sc_res_steps * ext
-                        ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(
-                            jnp.int32
-                        )
-                        edges = jnp.stack(
-                            [
-                                (ax_idx == 0).astype(jnp.int32),
-                                (ax_idx == nxs - 1).astype(jnp.int32),
-                            ]
-                        ).reshape(2, 1)
+                        edges = edge_flags(AXIS_NAMES[0], nxs)
                         bxp_r = bxl + 2 * pad
 
                         def body_r(_i, p2):
@@ -432,15 +410,7 @@ class ShardedSplitOps:
                         # blocked exchange windows (pair past residency)
                         rb = sc_resb_sharded
                         pad = rb[1] * ext
-                        ax_idx = jax.lax.axis_index(AXIS_NAMES[0]).astype(
-                            jnp.int32
-                        )
-                        edges = jnp.stack(
-                            [
-                                (ax_idx == 0).astype(jnp.int32),
-                                (ax_idx == nxs - 1).astype(jnp.int32),
-                            ]
-                        ).reshape(2, 1)
+                        edges = edge_flags(AXIS_NAMES[0], nxs)
                         bxp_r = bxl + 2 * pad
 
                         def body_rb(_i, p2):
