@@ -1215,6 +1215,24 @@ def test_resident_blocked_matches_fused_chunk(order, bx, r):
     )
 
 
+def test_resident_blocked_prefetch_matches_serial():
+    """The opt-in two-buffer ping-pong schedule (WAFER_RESB_PREFETCH=1 —
+    measured at/below the serial schedule on v5e, kept for future
+    hardware) must stay trajectory-identical to the serial default."""
+    order, bx, r = "ThreePoint", 8, 2
+    ext, an, phi = _resb_setup(order)
+    dn, dt, mass = an[1], an[2], an[3]
+    base = pk.evolve_chunk_resident_blocked(
+        pk.to_xpad_k(phi, ext, r), order, dt, dn, mass, 2 * r, an,
+        bx=bx, r_steps=r, interpret=True,
+    )
+    pp = pk.evolve_chunk_resident_blocked(
+        pk.to_xpad_k(phi, ext, r), order, dt, dn, mass, 2 * r, an,
+        bx=bx, r_steps=r, interpret=True, prefetch=True,
+    )
+    np.testing.assert_array_equal(np.asarray(pp), np.asarray(base))
+
+
 def test_resident_blocked_remainder_steps():
     """n_steps not divisible by R: the remainder runs as in-chunk 1-step
     sweeps — exact reference cadence (src/grid.rs:544-687)."""
