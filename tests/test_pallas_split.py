@@ -268,6 +268,40 @@ def test_split_resident_blocked_matches_fused(monkeypatch):
         )
 
 
+def test_split_resident_blocked_prefetch_matches_serial():
+    """The split kernel's opt-in ping-pong prefetch schedule stays
+    trajectory-identical to the serial default (real-kernel twin:
+    tests/test_pallas_stencil.py)."""
+    cfg = base_config(
+        precision="f32",
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.1, "dt": 0.002},
+    )
+    ext, order, r = 1, "ThreePoint", 2
+    g = cfg.grid
+    rng = np.random.default_rng(48)
+    pr = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    pi = geometry.zero_boundary(
+        jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
+    )
+    an = (
+        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
+        cfg.sig, 0.0, cfg.absorb,
+    )
+    base = ps.evolve_chunk_resident_blocked_sc(
+        ps.to_xpad_k_sc(pr, pi, ext, r), order, g.dt, g.dn, cfg.mass,
+        2 * r, an, bx=8, r_steps=r, interpret=True, tx=4,
+    )
+    pp = ps.evolve_chunk_resident_blocked_sc(
+        ps.to_xpad_k_sc(pr, pi, ext, r), order, g.dt, g.dn, cfg.mass,
+        2 * r, an, bx=8, r_steps=r, interpret=True, tx=4, prefetch=True,
+    )
+    np.testing.assert_array_equal(np.asarray(pp), np.asarray(base))
+
+
 def test_pick_resb_sc_plans():
     """256³ complex (the pair misses whole-array VMEM residency) gets a
     multi-block deep-halo plan within the resident budget."""
