@@ -169,8 +169,31 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
         return samples[len(samples) // 2]
 
 
+def _devices_with_retry():
+    """The axon tunnel occasionally reports UNAVAILABLE for minutes at a
+    time (observed: a multi-hour grant outage mid-round). jax caches a
+    failed backend init for the process lifetime, so retry by re-exec'ing
+    this script with a bumped attempt counter instead of looping
+    in-process."""
+    try:
+        return jax.devices()
+    except RuntimeError as exc:
+        attempt = int(os.environ.get("WAFER_BENCH_ATTEMPT", "0"))
+        max_attempts = int(os.environ.get("WAFER_BENCH_INIT_RETRIES", "8"))
+        if attempt >= max_attempts:
+            raise
+        print(
+            f"# backend init failed (attempt {attempt + 1}/{max_attempts}): "
+            f"{exc}; retrying in 60 s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+        os.environ["WAFER_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main() -> None:
-    accel = jax.devices()[0]
+    accel = _devices_with_retry()[0]
     use_pallas = accel.platform != "cpu"
     value = _bench_on(accel, N, use_pallas)
 
