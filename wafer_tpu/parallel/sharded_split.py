@@ -603,6 +603,10 @@ def run_sharded_split(
     from wafer_tpu.solver import SolveResult
 
     log = log or logging.getLogger("wafer")
+    if seed is None:
+        # honour config.seed like solver.solve (None reaches os.urandom
+        # in the Gaussian IC — the config key must not be silently ignored)
+        seed = config.seed
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
     ext = config.central_difference.ext
 

@@ -41,6 +41,11 @@ def run_sharded(
     ``ic_overrides``: optional ``{wnum: padded psi}`` explicit initial
     conditions (the multigrid coarse→fine hand-over, solver.py)."""
     log = log or logging.getLogger("wafer")
+    if seed is None:
+        # honour the config's reproducibility seed exactly like
+        # solver.solve does (a None seed makes the Gaussian IC draw from
+        # os.urandom — config.seed must not be silently ignored here)
+        seed = config.seed
     from wafer_tpu.io import writers
     from wafer_tpu.utils import terminal
 
