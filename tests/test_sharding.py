@@ -162,6 +162,56 @@ def test_sharded_solver_end_to_end(tmp_run):
     assert abs(e0 - 1.5) < 0.02, e0
 
 
+def test_sharded_driver_honours_backend_key(tmp_run):
+    """The backend key must not be silently ignored on the sharded paths
+    (regression — same ignored-key class as seed/sync_update): xla forces
+    the shifted-slice sweep and still converges; pallas raises the typed
+    error on a CPU backend, matching solver._resolve_backend."""
+    from wafer_tpu import errors
+    from wafer_tpu.parallel.solver_sharded import run_sharded
+
+    common = dict(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        potential="Harmonic",
+        init_condition="Constant",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        mesh={"x": 2, "y": 1, "z": 1},
+    )
+    run_dir.check_output_dir("test")
+    results = run_sharded(base_config(backend="xla", **common))
+    e0 = results[0].observables.energy / results[0].observables.norm2
+    assert abs(e0 - 1.5) < 0.02, e0
+    with pytest.raises(errors.ConfigParseError):
+        run_sharded(base_config(backend="pallas", **common))
+
+
+def test_sharded_split_driver_honours_backend_key(tmp_run, monkeypatch):
+    """Split-sharded twin of the backend-key regression test."""
+    from wafer_tpu import errors
+    from wafer_tpu.ops import split_complex as sc
+    from wafer_tpu.parallel.sharded_split import run_sharded_split
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    common = dict(
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        init_condition="Constant",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        mesh={"x": 2, "y": 1, "z": 1},
+    )
+    run_dir.check_output_dir("test")
+    results = run_sharded_split(base_config(backend="xla", **common))
+    e0 = results[0].observables.energy / results[0].observables.norm2
+    assert abs(e0 - (1.5 * (1 + 0.2j) ** 0.5)) < 0.05, e0
+    with pytest.raises(errors.ConfigParseError):
+        run_sharded_split(base_config(backend="pallas", **common))
+
+
 def test_sharded_pallas_matches_sharded_xla():
     """Fused-kernel shards (x-only mesh) == XLA shards, interpret mode."""
     cfg = base_config(

@@ -726,7 +726,25 @@ def _solve_state_split(
     from wafer_tpu.utils import terminal
 
     n_lower = wnum
-    ops = ShardedSplitOps(config, mesh, n_lower, v_shift=v_shift)
+    # honour the backend key like solver._resolve_backend (see the real
+    # driver, parallel/solver_sharded.py)
+    use_pallas = None
+    if config.backend == "xla":
+        use_pallas = False
+    elif config.backend == "pallas":
+        if jax.default_backend() in ("cpu",):
+            raise errors.ConfigParseError(
+                "backend: pallas requires an accelerator device"
+            )
+        use_pallas = True
+    try:
+        ops = ShardedSplitOps(
+            config, mesh, n_lower, v_shift=v_shift, use_pallas=use_pallas
+        )
+    except ValueError as exc:
+        raise errors.ConfigParseError(
+            f"backend: pallas is unsupported for this sharded split run: {exc}"
+        ) from exc
     if ic_override is not None:
         log.info(
             "Using explicit in-memory initial (re, im) pair for state %d "

@@ -11,6 +11,7 @@ import logging
 import math
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -133,14 +134,32 @@ def _solve_state(
     from wafer_tpu.utils import terminal
 
     n_lower = wnum
-    ops = ShardedOps(
-        config,
-        mesh,
-        n_lower,
-        has_pot_sub_array=pots.pot_sub_array is not None,
-        pot_sub_scalar=pots.pot_sub_scalar,
-        v_shift=pots.v_shift,
-    )
+    # honour the backend key like solver._resolve_backend: "xla" forces the
+    # shifted-slice sweep, "pallas" demands the kernel ladder (typed error
+    # when the shape/dtype gates refuse), "auto" lets ShardedOps decide
+    use_pallas = None
+    if config.backend == "xla":
+        use_pallas = False
+    elif config.backend == "pallas":
+        if jax.default_backend() in ("cpu",):
+            raise errors.ConfigParseError(
+                "backend: pallas requires an accelerator device"
+            )
+        use_pallas = True
+    try:
+        ops = ShardedOps(
+            config,
+            mesh,
+            n_lower,
+            has_pot_sub_array=pots.pot_sub_array is not None,
+            pot_sub_scalar=pots.pot_sub_scalar,
+            v_shift=pots.v_shift,
+            use_pallas=use_pallas,
+        )
+    except ValueError as exc:
+        raise errors.ConfigParseError(
+            f"backend: pallas is unsupported for this sharded run: {exc}"
+        ) from exc
     phi = ops.put(_select_ic(config, log, wnum, w_store, seed, ic_override))
     v_d = ops.put(v_int)
     a_d = ops.put(a_int)
