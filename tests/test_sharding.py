@@ -1497,6 +1497,46 @@ def test_sharded_sync_update_matches_per_chunk(tmp_run):
         )
 
 
+def test_sharded_split_sync_update_matches_per_chunk(tmp_run, monkeypatch):
+    """sync_update batching on the sharded split-complex driver (the last
+    of the four drivers to gain it): step counts, complex energies, and
+    the final (re, im) pair match the per-chunk cadence on an f64 CPU
+    mesh run."""
+    from wafer_tpu.ops import split_complex as sc
+    from wafer_tpu.parallel.sharded_split import run_sharded_split
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    common = dict(
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-7,
+        init_condition="Gaussian",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+        wavemax=1,
+        mesh={"x": 2, "y": 1, "z": 1},
+    )
+    run_dir.check_output_dir("test")
+    cfg1 = base_config(**common)
+    cfg1.sync_update = 1
+    ref = run_sharded_split(cfg1, seed=9)
+    cfg8 = base_config(**common)
+    cfg8.sync_update = 8
+    out = run_sharded_split(cfg8, seed=9)
+    for r_ref, r_out in zip(ref, out):
+        assert r_out.steps == r_ref.steps, (r_ref.wnum, r_ref.steps, r_out.steps)
+        e_ref = r_ref.observables.energy / r_ref.observables.norm2
+        e_out = r_out.observables.energy / r_out.observables.norm2
+        assert abs(e_ref - e_out) < 1e-12, (r_ref.wnum, e_ref, e_out)
+        for a, b in zip(r_ref.phi, r_out.phi):
+            # scan-fused vs eager chunk arithmetic differs at the f64 ulp
+            # level under shard_map; the trajectories are the same
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-14
+            )
+
+
 def test_sharded_sync_update_f32_precision(tmp_run):
     """Regression (code review r3): the batched scan's idle branch must
     type-match the sharded measure's outputs at precision: f32 under x64

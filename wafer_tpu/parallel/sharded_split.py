@@ -781,16 +781,104 @@ def _solve_state_split(
     obs = None
     per_step_norm = False
 
+    # Device-side convergence batching (sync_update), the same opt-in
+    # cadence contract as the other three drivers (solver.solve,
+    # solver._solve_split, solver_sharded — spec src/grid.rs:126-220).
+    # Round trips cost most on multi-chip meshes. Every device array
+    # threads through the env argument, never a jit closure (HTTP 413
+    # through remote compile services, CLAUDE.md).
+    from wafer_tpu.solver import make_batched_runner, pick_batch_k
+
+    k_sync = config.sync_update or 1
+    su = config.output.screen_update
+    if k_sync > 1 and not jax.config.jax_enable_x64:
+        log.warning(
+            "sync_update=%d with jax_enable_x64 off: the on-device "
+            "convergence verdict is f32 and may differ from the host check "
+            "by an ulp at the tolerance edge",
+            k_sync,
+        )
+    _batched_cache: dict = {}
+    _batch_env = {
+        "vr": vr_d, "vi": vi_d, "r2": r2_d, "sub": sub_d,
+        "sr": sr_d, "si": si_d,
+        "ar": ar_d, "ai": ai_d, "br": br_d, "bi": bi_d,
+    }
+
+    def _measure_env(p2, env):
+        pr_, pi_ = p2
+        return ops.measure(
+            pr_, pi_, env["vr"], env["vi"], env["r2"], env["sub"],
+            env["sr"], env["si"],
+        )
+
+    def _get_batched(k_chunks: int, psn: bool):
+        key = (k_chunks, psn)
+        if key not in _batched_cache:
+            chunk_fn = ops.evolve_chunk_psn if psn else ops.evolve_chunk
+
+            def _evolve_env(p2, env, _fn=chunk_fn):
+                pr_, pi_ = p2
+                return _fn(
+                    pr_, pi_, env["ar"], env["ai"], env["br"], env["bi"],
+                    env["sr"], env["si"],
+                )
+
+            _batched_cache[key] = make_batched_runner(
+                _measure_env, _evolve_env, config.tolerance, True,
+                k_chunks, split_pair=True,
+            )
+        return _batched_cache[key]
+
+    rows_pending: list = []
+    batch_phi_next = None
+    batch_phi_conv = None
+
     while True:
-        (e_re, e_im, n2, vinf, r2), (pr, pi) = ops.measure(
-            pr, pi, vr_d, vi_d, r2_d, sub_d, sr_d, si_d
-        )
-        obs = Observables(
-            energy=complex(float(e_re), float(e_im)),
-            norm2=float(n2),
-            v_infinity=float(vinf),
-            r2=float(r2),
-        )
+        dev_done = None
+        if rows_pending:
+            obs, dev_done = rows_pending.pop(0)
+        else:
+            k_batch = pick_batch_k(
+                step, k_sync, su, config.output.snap_update, config.max_steps
+            )
+            if k_batch > 1:
+                led = (
+                    jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+                )
+                le = jnp.asarray(
+                    [last_energy.real, last_energy.imag], dtype=led
+                )
+                (pr_f, pi_f), (pr_c, pi_c), out_rows = _get_batched(
+                    k_batch, per_step_norm
+                )((pr, pi), le, _batch_env)
+                ers, eis, n2s, vinfs, r2s_, execs, dones = (
+                    np.asarray(x) for x in out_rows
+                )
+                for j in range(k_batch):
+                    if not bool(execs[j]):
+                        break
+                    rows_pending.append((
+                        Observables(
+                            energy=complex(float(ers[j]), float(eis[j])),
+                            norm2=float(n2s[j]),
+                            v_infinity=float(vinfs[j]),
+                            r2=float(r2s_[j]),
+                        ),
+                        bool(dones[j]),
+                    ))
+                batch_phi_next = (pr_f, pi_f)
+                batch_phi_conv = (pr_c, pi_c)
+                continue
+            (e_re, e_im, n2, vinf, r2), (pr, pi) = ops.measure(
+                pr, pi, vr_d, vi_d, r2_d, sub_d, sr_d, si_d
+            )
+            obs = Observables(
+                energy=complex(float(e_re), float(e_im)),
+                norm2=float(n2),
+                v_infinity=float(vinf),
+                r2=float(r2),
+            )
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
@@ -846,7 +934,16 @@ def _solve_state_split(
                 log.warning("Could not output partial wavefunction: %s", exc)
 
         diff = abs(norm_energy - last_energy)
-        if diff < config.tolerance:
+        # batched rows carry the device's convergence verdict (complex
+        # modulus on the real pair — make_batched_runner split_pair mode)
+        converged_now = (
+            dev_done if dev_done is not None else diff < config.tolerance
+        )
+        if converged_now:
+            if dev_done is not None:
+                pr, pi = batch_phi_conv  # the measured ψ pair of this row
+                rows_pending.clear()
+                batch_phi_next = batch_phi_conv = None
             if progress is not None:
                 progress.finish()
             print(terminal.print_measurements(tau, diff, obs))
@@ -877,6 +974,19 @@ def _solve_state_split(
 
         if config.max_steps is not None and step > config.max_steps:
             break
+
+        if rows_pending:
+            # more device-batch rows pending: advance the cadence only
+            diff_old = float(diff)
+            step += su
+            continue
+        if batch_phi_next is not None:
+            # last row of a device batch: adopt the already-evolved ψ pair
+            pr, pi = batch_phi_next
+            batch_phi_next = batch_phi_conv = None
+            diff_old = float(diff)
+            step += su
+            continue
 
         chunk_fn = ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
         pr, pi = chunk_fn(pr, pi, ar_d, ai_d, br_d, bi_d, sr_d, si_d)
