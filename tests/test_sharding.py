@@ -84,7 +84,8 @@ def test_sharded_evolve_matches_single_device(mesh_shape, order):
         phi_int, ops.put(geometry.work_area(a, ext)), ops.put(geometry.work_area(b, ext)),
         ops.put_store(None),
     )
-    np.testing.assert_allclose(np.asarray(out), ref_int, rtol=1e-13, atol=1e-15)
+    # ops.get undoes the layout permutation (sorted-by-shard-count perm)
+    np.testing.assert_allclose(np.asarray(ops.get(out)), ref_int, rtol=1e-13, atol=1e-15)
 
 
 def test_sharded_measure_matches_single_device():
@@ -139,7 +140,7 @@ def test_sharded_excited_state_orthogonality():
         ops.put(geometry.work_area(b, 1)),
         store,
     )
-    overlap = float(np.sum(lower * np.asarray(out)))
+    overlap = float(np.sum(lower * np.asarray(ops.get(out))))
     assert abs(overlap) < 1e-10
 
 
@@ -307,7 +308,7 @@ def test_sharded_per_step_norm_matches_single_device(mesh_shape):
         ops.put(geometry.work_area(b, ext)),
         ops.put_store(None),
     )
-    np.testing.assert_allclose(np.asarray(out), ref_int, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(ops.get(out)), ref_int, rtol=1e-12, atol=1e-14)
 
 
 def test_sharded_pallas_analytic_cornell_with_shift():
@@ -1167,6 +1168,52 @@ def test_sharded_yzp_kernel_matches_sharded_xla(mesh_shape):
         )
     )
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_yzp_permuted_no_zpad_matches_xla():
+    """2-axis meshes ride the zp=0 yzp variant behind an eligibility-ranked
+    layout permutation: a (2,4,1) mesh on a 16x32x256 grid transposes to a
+    (4,2,1) local mesh (most-sharded axis leading, the unsharded axis last,
+    where the kernel keeps the global z Dirichlet in-register with no
+    128-lane pads)."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 32, "z": 256}, "dn": 0.2, "dt": 0.01},
+        output={"screen_update": 3},
+    )
+    ext = 1
+    rng = np.random.default_rng(63)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((2, 4, 1))
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(ops_x.get(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    ))
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.perm == (1, 0, 2)
+    assert ops_p.yzp_zp == 0
+    assert ops_p.analytic is not None
+    out = np.asarray(ops_p.get(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    ))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+    # the fully-sharded (4,2,1) mesh on the same grid keeps zp=0 too
+    ops_q = ShardedOps(cfg, make_mesh((4, 2, 1)), 0, use_pallas=True,
+                       pallas_interpret=True)
+    assert ops_q.pallas_mode == "yzp" and ops_q.yzp_zp == 0
 
 
 def test_sharded_yzp_excited_and_streamed_b(monkeypatch):

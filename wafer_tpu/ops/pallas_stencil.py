@@ -1023,9 +1023,14 @@ def _pick_tx_yzp(bx: int, byp: int, bzp: int, by: int, bz: int, ext: int,
 
 
 def step_fused_yzp_supported(bx: int, by: int, bz: int, ext: int,
-                             itemsize: int, n_lower: int) -> bool:
+                             itemsize: int, n_lower: int,
+                             zp: int = _YZP_ZPAD) -> bool:
+    """``zp`` is the z alignment pad: ``_YZP_ZPAD`` (128 lanes) when the z
+    axis is sharded, 0 when it is global (the kernel then applies the z
+    Dirichlet with in-register zero shifts — no 128-lane pads, which at
+    128-lane blocks triple the VPU work)."""
     byp = by + 2 * _YZP_YPAD
-    bzp = bz + 2 * _YZP_ZPAD
+    bzp = bz + 2 * zp
     return (
         by % 8 == 0
         and bz % 128 == 0
@@ -1065,6 +1070,7 @@ def _evolve_kernel_yzp(
     n_lower: int,
     with_norm: bool,
     analytic=None,
+    zp: int = _YZP_ZPAD,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -1073,9 +1079,9 @@ def _evolve_kernel_yzp(
     next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
     win_rows = tx + 2 * ext
     byp = by + 2 * _YZP_YPAD
-    bzp = bz + 2 * _YZP_ZPAD
+    bzp = bz + 2 * zp
     nxp_rows = phi_hbm.shape[0]
-    yp, zp = _YZP_YPAD, _YZP_ZPAD
+    yp = _YZP_YPAD
 
     def in_copy(window, to_slot):
         return pltpu.make_async_copy(
@@ -1156,15 +1162,22 @@ def _evolve_kernel_yzp(
     acc = -center_c * c
     for off, cf in zip(offsets, coeffs):
         acc = acc + cf * (center(ext + off) + center(ext - off))
-        # y/z taps read the exchanged pad rows via aligned rolls
+        # y/z taps read the exchanged pad rows via aligned rolls; with
+        # zp == 0 (global z axis) the z Dirichlet rides in-register zero
+        # shifts instead — no 128-lane pads
         acc = acc + cf * (
             pltpu.roll(cr, byp - off, 1)[:, yp : yp + by, zp : zp + bz]
             + pltpu.roll(cr, off, 1)[:, yp : yp + by, zp : zp + bz]
         )
-        acc = acc + cf * (
-            pltpu.roll(cr, bzp - off, 2)[:, yp : yp + by, zp : zp + bz]
-            + pltpu.roll(cr, off, 2)[:, yp : yp + by, zp : zp + bz]
-        )
+        if zp > 0:
+            acc = acc + cf * (
+                pltpu.roll(cr, bzp - off, 2)[:, yp : yp + by, zp : zp + bz]
+                + pltpu.roll(cr, off, 2)[:, yp : yp + by, zp : zp + bz]
+            )
+        else:
+            acc = acc + cf * (
+                _shift_z(cr, off) + _shift_z(cr, -off)
+            )[:, yp : yp + by, :]
 
     if analytic is None:
         b_copy.wait()
@@ -1221,7 +1234,8 @@ def _evolve_kernel_yzp(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "order", "scale", "n_lower", "with_norm", "interpret", "analytic"
+        "order", "scale", "n_lower", "with_norm", "interpret", "analytic",
+        "zp",
     ),
 )
 def evolve_step_fused_yzp(
@@ -1236,6 +1250,7 @@ def evolve_step_fused_yzp(
     coef: Optional[jnp.ndarray] = None,
     analytic=None,
     origin=None,
+    zp: int = _YZP_ZPAD,
 ):
     """One fused sweep on a y/z-padded local block (multi-axis meshes).
 
@@ -1258,7 +1273,7 @@ def evolve_step_fused_yzp(
     bxp, byp, bzp = phi_pad3.shape
     bx = bxp - 2 * ext
     by = byp - 2 * _YZP_YPAD
-    bz = bzp - 2 * _YZP_ZPAD
+    bz = bzp - 2 * zp
     dtype = phi_pad3.dtype
     tx = _pick_tx_yzp(bx, byp, bzp, by, bz, ext, dtype.itemsize, n_lower,
                       analytic is not None)
@@ -1293,6 +1308,7 @@ def evolve_step_fused_yzp(
         n_lower=n_lower,
         with_norm=with_norm,
         analytic=analytic,
+        zp=zp,
     )
     win_rows = tx + 2 * ext
     b_slab_shape = (1, 8, 128) if analytic is not None else (tx, by, bz)
@@ -2024,12 +2040,19 @@ def b_to_xpad_k(b_int: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
 # (src/grid.rs:544-687) for the ground state (no per-step reductions,
 # src/grid.rs:674-681 applies to excited states only).
 
-def _res_hoist_yz(kind, analytic, ny, nz, ext):
+def _res_hoist_yz(kind, analytic, ny, nz, ext, y0=None, z0=None):
     """Plane-constant hoist for the resident kernels' in-kernel B: the
-    value stored once in yz_buf and reused by every slab of every step."""
+    value stored once in yz_buf and reused by every slab of every step.
+    ``y0``/``z0`` override the padded coordinates of plane element (0, 0)
+    (default ``ext`` — the single-device whole-plane layout); the
+    y/z-padded resident kernel passes its shard's pad origins (traced)."""
     _kind, dn, dt_, _mass, _ngx, _ngy, _ngz = analytic[:7]
     vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
-    yz = _analytic_yz(analytic, ny, nz, ext, ext)
+    yz = _analytic_yz(
+        analytic, ny, nz,
+        ext if y0 is None else y0,
+        ext if z0 is None else z0,
+    )
     if kind == "Harmonic":
         # b = 1/(P + q_x): P = 1 − dt/2·vshift + dt·dn²/4·(dy²+dz²)
         return (1.0 - 0.5 * dt_ * vshift) + (0.25 * dt_ * dn * dn) * yz

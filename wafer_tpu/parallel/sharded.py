@@ -13,6 +13,7 @@ update rule as src/grid.rs:544-687 and reductions as src/grid.rs:303-445).
 
 from __future__ import annotations
 
+import itertools
 from typing import Optional
 
 import jax
@@ -64,26 +65,6 @@ class ShardedOps:
         self.has_pot_sub_array = has_pot_sub_array
         natural_shape = tuple(int(mesh.shape[a]) for a in AXIS_NAMES)
 
-        # Transposed layout for single-axis y/z meshes: store local blocks
-        # with the *sharded* axis leading, so the whole fused-kernel ladder
-        # (which exchanges/windows along the leading axis and applies the
-        # y/z Dirichlet in-register) applies unchanged — the stencil and the
-        # analytic radial/separable potentials are permutation-invariant
-        # once the grid extents are permuted with the coordinates. One
-        # transpose at host↔mesh boundaries (put/get), zero per-step cost.
-        sharded_axes = [i for i, s in enumerate(natural_shape) if s > 1]
-        if sharded_axes in ([1], [2]):
-            ax0 = sharded_axes[0]
-            perm = (ax0,) + tuple(i for i in range(3) if i != ax0)
-        else:
-            perm = (0, 1, 2)
-        self.perm = perm
-        self.inv_perm = tuple(int(i) for i in np.argsort(perm))
-        axis_names = tuple(AXIS_NAMES[i] for i in perm)
-        self.axis_names = axis_names
-        # local view: mesh extent per local-array axis
-        self.mesh_shape = tuple(natural_shape[i] for i in perm)
-
         order = config.central_difference.value
         ext = config.central_difference.ext
         dn, dt, mass = config.grid.dn, config.grid.dt, config.mass
@@ -91,50 +72,83 @@ class ShardedOps:
         denom = k * dn * dn * mass
         scale = dt / denom
         screen_update = config.output.screen_update
-        mesh_shape = self.mesh_shape
 
         from wafer_tpu.ops import pallas_stencil as pk
         from wafer_tpu.ops.stencil import stencil_taps
         from wafer_tpu.parallel.halo import _pad_axis
 
-        # Fused-kernel shards: valid when only the leading (local) axis is
-        # sharded (exchanged halo rows are exactly the neighbour rows the
-        # kernel expects; the other two axes keep the global Dirichlet
-        # handled in-kernel) and the per-shard block is tile-aligned and
-        # fits VMEM.
         dims = config.work_size()
+        itemsize = jnp.dtype(config.real_dtype).itemsize
+
+        # Transposed layout: local blocks are stored with the grid axes
+        # permuted so the best kernel mode applies — the stencil and the
+        # analytic radial/separable potentials are permutation-invariant
+        # once the grid extents are permuted with the coordinates, and the
+        # only cost is one transpose at the host↔mesh boundaries
+        # (put/get). Candidate permutations are ranked by the kernel they
+        # enable:
+        #   3  "x"   — only the leading axis sharded: the whole single-axis
+        #              fused-kernel ladder (windows/residency/ICI)
+        #   2  "yzp", zp=0 — multi-axis with the UNsharded axis last: the
+        #              y/z-padded kernel keeps the global z Dirichlet
+        #              in-register (no 128-lane z pads, which at 128-lane
+        #              blocks triple the VPU work)
+        #   1  "yzp" — fully-sharded meshes: aligned pads on both y and z
+        #   0  —       XLA shifted-slice fallback
+        # The shard-count-sorted perm is tried first (ties → natural order,
+        # so x-only and symmetric meshes keep identity and single-axis y/z
+        # meshes keep their round-2 transposed layout), then identity, then
+        # the remaining permutations.
+        def _classify(p):
+            ms = tuple(natural_shape[i] for i in p)
+            nx_, ny_, nz_ = (dims[i] for i in p)
+            bx_, by_, bz_ = nx_ // ms[0], ny_ // ms[1], nz_ // ms[2]
+            if (
+                config.potential.is_complex
+                or config.real_dtype != jnp.float32
+                or nx_ % ms[0]
+                or ny_ % ms[1]
+                or nz_ % ms[2]
+                or bx_ < ext
+            ):
+                return 0, None, 0
+            if (
+                ms[1] == 1
+                and ms[2] == 1
+                and ny_ % 8 == 0
+                and nz_ % 128 == 0
+                and pk.step_fused_supported(bx_, ny_, nz_, ext, itemsize,
+                                            n_lower)
+            ):
+                return 3, "x", 0
+            if (ms[1] > 1 or ms[2] > 1) and by_ >= ext and bz_ >= ext:
+                zp_ = 0 if ms[2] == 1 else pk._YZP_ZPAD
+                if pk.step_fused_yzp_supported(bx_, by_, bz_, ext, itemsize,
+                                               n_lower, zp_):
+                    return (2 if zp_ == 0 else 1), "yzp", zp_
+            return 0, None, 0
+
+        _sorted_perm = tuple(sorted(range(3), key=lambda i: -natural_shape[i]))
+        _cands = [_sorted_perm, (0, 1, 2)]
+        _cands += [
+            p for p in itertools.permutations(range(3)) if p not in _cands
+        ]
+        _best = max(range(len(_cands)), key=lambda j: _classify(_cands[j])[0])
+        _rank, pallas_mode, yzp_zp = _classify(_cands[_best])
+        perm = _cands[_best] if _rank > 0 else _sorted_perm
+        self.perm = perm
+        self.inv_perm = tuple(int(i) for i in np.argsort(perm))
+        axis_names = tuple(AXIS_NAMES[i] for i in perm)
+        self.axis_names = axis_names
+        # local view: mesh extent per local-array axis
+        self.mesh_shape = tuple(natural_shape[i] for i in perm)
+        mesh_shape = self.mesh_shape
+        self.yzp_zp = yzp_zp
+
         nx, ny, nz = (dims[i] for i in perm)
         bx = nx // mesh_shape[0]
         by = ny // mesh_shape[1]
         bz = nz // mesh_shape[2]
-        itemsize = jnp.dtype(config.real_dtype).itemsize
-        _common_ok = (
-            not config.potential.is_complex
-            and config.real_dtype == jnp.float32
-            and nx % mesh_shape[0] == 0
-            and ny % mesh_shape[1] == 0
-            and nz % mesh_shape[2] == 0
-            and bx >= ext
-        )
-        pallas_ok = (
-            _common_ok
-            and mesh_shape[1] == 1
-            and mesh_shape[2] == 1
-            and ny % 8 == 0
-            and nz % 128 == 0
-            and pk.step_fused_supported(bx, ny, nz, ext, itemsize, n_lower)
-        )
-        # multi-axis meshes ((2,2,2), (4,2,1)…): the y/z-padded kernel
-        # consumes exchanged y/z halos (pk._evolve_kernel_yzp)
-        yzp_ok = (
-            _common_ok
-            and not pallas_ok
-            and (mesh_shape[1] > 1 or mesh_shape[2] > 1)
-            and by >= ext
-            and bz >= ext
-            and pk.step_fused_yzp_supported(bx, by, bz, ext, itemsize, n_lower)
-        )
-        pallas_mode = "x" if pallas_ok else ("yzp" if yzp_ok else None)
         if use_pallas is None:
             use_pallas = (
                 pallas_mode is not None
@@ -171,7 +185,7 @@ class ShardedOps:
         elif self.pallas_mode == "yzp":
             _analytic_fits = (
                 pk._pick_tx_yzp(
-                    bx, by + 2 * pk._YZP_YPAD, bz + 2 * pk._YZP_ZPAD, by, bz,
+                    bx, by + 2 * pk._YZP_YPAD, bz + 2 * yzp_zp, by, bz,
                     ext, itemsize, n_lower, True,
                 )
                 is not None
@@ -398,10 +412,12 @@ class ShardedOps:
             block carries alignment pads (8 sublanes / 128 lanes) whose
             innermost ext rows are refreshed from neighbours (ppermute;
             zeros at global edges) every step — see
-            ops/pallas_stencil._evolve_kernel_yzp. Corners never exchange:
-            the stencil is an axis-aligned star."""
+            ops/pallas_stencil._evolve_kernel_yzp. With ``yzp_zp == 0``
+            (z axis unsharded) z carries no pads at all: the kernel's
+            in-register zero shifts ARE the global z Dirichlet. Corners
+            never exchange: the stencil is an axis-aligned star."""
             e = ext
-            yp, zp = pk._YZP_YPAD, pk._YZP_ZPAD
+            yp, zp = pk._YZP_YPAD, yzp_zp
             bx_l, by_l, bz_l = phi.shape
             dtype = phi.dtype
             pads = ((e, e), (yp, yp), (zp, zp))
@@ -445,7 +461,8 @@ class ShardedOps:
                 )
 
             def refresh3(pp):
-                for axis in range(3):
+                # zp == 0: z is global and unpadded — nothing to refresh
+                for axis in range(3 if zp > 0 else 2):
                     pp = refresh_axis(pp, axis)
                 return pp
 
@@ -469,6 +486,7 @@ class ShardedOps:
                     out, _n2, _ov = pk.evolve_step_fused_yzp(
                         pp, b_p3, None, order, scale, 0, False,
                         pallas_interpret, analytic=analytic, origin=origin,
+                        zp=zp,
                     )
                     return out
 
@@ -482,7 +500,7 @@ class ShardedOps:
                     pp = refresh3(pp)
                     out, n2_loc, _ov = pk.evolve_step_fused_yzp(
                         pp, b_p3, None, order, scale, 0, True,
-                        pallas_interpret, coef, analytic, origin,
+                        pallas_interpret, coef, analytic, origin, zp,
                     )
                     inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
                     return out, inv.reshape(1, 1)
@@ -505,7 +523,7 @@ class ShardedOps:
                 pp = refresh3(pp)
                 out, n2_loc, ov_loc = pk.evolve_step_fused_yzp(
                     pp, b_p3, store_p3, order, scale, n_lower, True,
-                    pallas_interpret, coef, analytic, origin,
+                    pallas_interpret, coef, analytic, origin, zp,
                 )
                 inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
                 ov = _psum(ov_loc)
