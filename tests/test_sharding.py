@@ -1216,6 +1216,55 @@ def test_sharded_yzp_permuted_no_zpad_matches_xla():
     assert ops_q.pallas_mode == "yzp" and ops_q.yzp_zp == 0
 
 
+@pytest.mark.parametrize(
+    "mesh_shape,size,order,screen_update,want_r",
+    [
+        ((4, 2, 1), {"x": 16, "y": 32, "z": 256}, "ThreePoint", 8, 2),
+        ((2, 2, 2), {"x": 16, "y": 16, "z": 256}, "ThreePoint", 16, 2),
+        ((2, 2, 1), {"x": 32, "y": 32, "z": 256}, "SevenPoint", 4, 2),
+    ],
+)
+def test_sharded_yzp_resident_windows_match_xla(
+    mesh_shape, size, order, screen_update, want_r
+):
+    """Multi-axis resident windows (R blind in-kernel sweeps per HBM pass,
+    R·ext-deep halos on every axis exchanged once per window) == the
+    sharded XLA sweep, across window boundaries and at global corners."""
+    cfg = base_config(
+        precision="f32",
+        central_difference=order,
+        grid={"size": size, "dn": 0.2, "dt": 0.002},
+        output={"screen_update": screen_update},
+    )
+    ext = cfg.central_difference.ext
+    rng = np.random.default_rng(64)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(ops_x.get(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    ))
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.res_yzp is not None and ops_p.res_yzp[0] == want_r
+    assert ops_p.analytic is not None
+    out = np.asarray(ops_p.get(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    ))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
+
+
 def test_sharded_yzp_excited_and_streamed_b(monkeypatch):
     """yzp kernel: excited state (psum'd coefficient recursion with
     exchanged stored-state pads) and the streamed-B variant."""

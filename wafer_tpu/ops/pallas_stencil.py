@@ -3414,6 +3414,281 @@ def evolve_chunk_resident_blocked(
 
 
 # --------------------------------------------------------------------------- #
+# y/z-padded resident window kernel: multi-axis meshes, R steps per HBM pass
+# --------------------------------------------------------------------------- #
+#
+# The 1-step y/z-padded kernel streams ψ from HBM every step. This variant
+# holds the whole deep-padded local block in VMEM for R blind in-place
+# sweeps per call: every axis carries an R·ext-deep exchanged halo (the
+# host refreshes them once per window, full-cross-section strips sequenced
+# x→y→z so edge/corner regions — which R steps of a star stencil DO read,
+# unlike one step — compose from already-refreshed lower-axis halos), and
+# the sweep runs blind over the full padded planes. Pad data goes stale /
+# roll-wrap-garbage inward by ext per step; with pads ≥ R·ext the interior
+# after R steps is exact (the deep-ghost-zone argument of
+# _evolve_kernel_res, applied per axis). Global-edge Dirichlet: x-halo rows
+# are re-zeroed per step under edge flags; y/z pad columns are masked with
+# a plane mask built once from the flags (all-ones on interior shards).
+# Ground state, analytic-B only — per-step-reduction paths (psn/excited)
+# stay on the 1-step kernel. Decomposition seam:
+# /root/reference/src/config.rs:222-239, src/grid.rs:505-534.
+
+
+def _pick_tx_res_yzp(nx: int, ext: int, nxp: int, plane: int):
+    """Largest slab height whose resident block + ~6 slab-sized sweep
+    temporaries stay under the Mosaic scoped-VMEM cap (plane-size aware:
+    a 512³-class padded plane is ~0.6 MiB and Mosaic accounts roughly one
+    extra slab of vector temporaries per tx — measured: a 70 MiB block at
+    tx=64 compiled to a 106 MiB scoped allocation)."""
+    for tx in (64, 32, 16, 8, 4, 2):
+        if tx <= nx and tx > ext and (nx % tx == 0 or nx % tx > ext):
+            if (nxp + ext + 2 + 6 * tx) * plane <= _RESB_NEED_CAP:
+                return tx
+    return None
+
+
+def pick_res_yzp(bx: int, by: int, bz: int, ext: int, itemsize: int,
+                 screen_update: int, zp: int):
+    """Window plan (R, yp) for the y/z-padded resident kernel, or None.
+
+    R must divide screen_update (windows have no remainder path), every
+    sharded extent must cover the R·ext-deep exchanged strip, and the
+    deep-padded block + lag/plane scratch must fit the resident budget.
+    ``zp`` is the z pad (128 when z is sharded, 0 when global — matching
+    the 1-step yzp layout)."""
+    if itemsize != 4:
+        return None
+    for r in (8, 4, 2):
+        if screen_update % r:
+            continue
+        h = r * ext
+        if bx < h or by < h or (zp > 0 and (bz < h or h > zp)):
+            continue
+        # blind-sweep recompute cap per deep axis: past ~1.5× amplification
+        # the VPU recompute erases the windowing win
+        if 4 * (r - 1) * ext > min(bx, by):
+            continue
+        yp = 8 * ((h + 7) // 8)
+        nxp = bx + 2 * h
+        byp = by + 2 * yp
+        bzp = bz + 2 * zp
+        plane = byp * bzp * itemsize
+        # R=2 on big blocks loses to the 1-step stream: the window pays a
+        # full-buffer serial HBM round trip per 2 steps (measured at the
+        # (4,2,1)@512³ shard: 4.17e10 vs 4.42e10 1-step) — keep R=2 for
+        # VMEM-class small blocks only
+        if r == 2 and nxp * plane > 16 * 1024 * 1024:
+            continue
+        if _pick_tx_res_yzp(nxp - 2 * ext, ext, nxp, plane) is None:
+            continue
+        if (nxp + ext + 2) * plane <= _RES_BUDGET:
+            return r, yp
+    return None
+
+
+def _evolve_kernel_res_yzp(
+    phi_hbm,    # (NXP, BYP, BZP) ANY — deep-padded local block
+    org_smem,   # (3, 1) SMEM i32 — global interior (x, y, z) origin
+    edge_smem,  # (6, 1) SMEM i32 — [xlo, xhi, ylo, yhi, zlo, zhi]
+    out_hbm,    # (NXP, BYP, BZP) ANY
+    psi_buf,    # (NXP, BYP, BZP) VMEM — resident across all steps
+    lag,        # (ext, BYP, BZP) VMEM — pre-write planes of the prev slab
+    yz_buf,     # (BYP, BZP) VMEM — hoisted plane constant (padded coords)
+    mask_buf,   # (BYP, BZP) VMEM — y/z global-edge Dirichlet mask
+    sem_in,
+    sem_out,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    analytic,
+    halo: int,  # R·ext — x pad depth
+    yp: int,
+    zp: int,
+    by: int,
+    bz: int,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    nxp, byp, bzp = psi_buf.shape
+    kind = analytic[0]
+    x_row0 = org_smem[0, 0].astype(jnp.float32) + jnp.float32(ext - halo)
+
+    nx_sweep = nxp - 2 * ext
+    slabs = [(ext + s * tx, tx) for s in range(nx_sweep // tx)]
+    if nx_sweep % tx:
+        slabs.append((ext + (nx_sweep // tx) * tx, nx_sweep % tx))
+
+    @pl.when(i == 0)
+    def _load():
+        cp = pltpu.make_async_copy(phi_hbm, psi_buf, sem_in)
+        cp.start()
+        cp.wait()
+        # hoisted plane constant on the PADDED plane: pad columns map to
+        # the neighbour's real global coordinates (out-of-domain values at
+        # global edges are masked below)
+        y0 = org_smem[1, 0].astype(jnp.float32) + jnp.float32(ext - yp)
+        z0 = org_smem[2, 0].astype(jnp.float32) + jnp.float32(ext - zp)
+        yz_buf[...] = _res_hoist_yz(kind, analytic, byp, bzp, ext, y0, z0)
+        # y/z global-edge Dirichlet mask — all-ones on interior shards;
+        # with zp == 0 the in-register z shifts are the z Dirichlet
+        yi = jax.lax.broadcasted_iota(jnp.int32, (byp, bzp), 0)
+        m = jnp.ones((byp, bzp), psi_buf.dtype)
+        m = jnp.where(
+            jnp.logical_and(edge_smem[2, 0] == 1, yi < yp), 0.0, m
+        )
+        m = jnp.where(
+            jnp.logical_and(edge_smem[3, 0] == 1, yi >= yp + by), 0.0, m
+        )
+        if zp > 0:
+            zi = jax.lax.broadcasted_iota(jnp.int32, (byp, bzp), 1)
+            m = jnp.where(
+                jnp.logical_and(edge_smem[4, 0] == 1, zi < zp), 0.0, m
+            )
+            m = jnp.where(
+                jnp.logical_and(edge_smem[5, 0] == 1, zi >= zp + bz), 0.0, m
+            )
+        mask_buf[...] = m
+
+    # one blind sweep, ascending slabs, in place — rows [0, ext) are the
+    # lag seed (stale halo data, or per-step-zeroed Dirichlet at edges)
+    lag[...] = psi_buf[0:ext]
+    for rs, txs in slabs:
+        c = psi_buf[rs : rs + txs]
+        acc = (-float(center_c)) * c
+        for off, cf in zip(offsets, coeffs):
+            cf = float(cf)
+            xm = jnp.concatenate(
+                [lag[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
+            )
+            xp_ = psi_buf[rs + off : rs + txs + off]
+            acc += cf * (xm + xp_)
+            # full-padded-plane rolls: wrap garbage enters at the pad edge
+            # and creeps inward ext/step — covered by pads ≥ R·ext
+            acc += cf * (pltpu.roll(c, byp - off, 1) + pltpu.roll(c, off, 1))
+            if zp > 0:
+                acc += cf * (
+                    pltpu.roll(c, bzp - off, 2) + pltpu.roll(c, off, 2)
+                )
+            else:
+                acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
+        b = _res_b_slab(
+            kind, analytic, yz_buf[...], x_row0 + jnp.float32(rs), txs,
+            byp, bzp, ext,
+        )
+        new = (b * (2.0 * c + scale * acc) - c) * mask_buf[...][None]
+        lag[...] = psi_buf[rs + txs - ext : rs + txs]
+        psi_buf[rs : rs + txs] = new
+
+    # deep-halo x Dirichlet: global-edge shards re-zero their halo rows
+    # after every step (the blind sweep wrote into them)
+    @pl.when(edge_smem[0, 0] == 1)
+    def _dirichlet_xlo():
+        psi_buf[0:halo] = jnp.zeros((halo, byp, bzp), psi_buf.dtype)
+
+    @pl.when(edge_smem[1, 0] == 1)
+    def _dirichlet_xhi():
+        psi_buf[nxp - halo : nxp] = jnp.zeros((halo, byp, bzp), psi_buf.dtype)
+
+    @pl.when(i == n_steps - 1)
+    def _store():
+        cp = pltpu.make_async_copy(psi_buf, out_hbm, sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "scale", "n_steps", "analytic", "interpret", "halo", "yp",
+        "zp",
+    ),
+)
+def evolve_window_res_yzp(
+    phi_pad3: jnp.ndarray,
+    order: str,
+    scale: float,
+    n_steps: int,
+    analytic,
+    origin,
+    edges,
+    halo: int,
+    yp: int,
+    zp: int,
+    interpret: bool = False,
+):
+    """``n_steps`` blind resident sweeps on a deep-padded local block.
+
+    Args:
+      phi_pad3: (BX+2·halo, BY+2·yp, BZ+2·zp) local block; the innermost
+        ``halo`` = n_steps·ext rows/columns of every pad hold neighbour
+        data exchanged at the window start (zeros at global edges).
+      origin: (3, 1) i32 global interior (x, y, z) origin of this shard.
+      edges: (6, 1) i32 [xlo, xhi, ylo, yhi, zlo, zhi] global-edge flags.
+
+    Returns the full padded block after n_steps; the interior is exact
+    (deep-ghost-zone argument), pads are stale and must be re-exchanged
+    before the next window."""
+    ext = _EXT[order]
+    nxp, byp, bzp = phi_pad3.shape
+    by = byp - 2 * yp
+    bz = bzp - 2 * zp
+    dtype = phi_pad3.dtype
+    plane = byp * bzp * dtype.itemsize
+    tx = _pick_tx_res_yzp(nxp - 2 * ext, ext, nxp, plane)
+    if tx is None:
+        raise ValueError(
+            f"resident y/z-padded window does not fit a slab plan for "
+            f"nxp={nxp}"
+        )
+    kernel = functools.partial(
+        _evolve_kernel_res_yzp,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        analytic=analytic,
+        halo=halo,
+        yp=yp,
+        zp=zp,
+        by=by,
+        bz=bz,
+    )
+    # ψ + lag + yz/mask planes + ~6 slab temporaries; passed straight as
+    # the Mosaic scoped-VMEM limit (the 32/64 MiB _compiler_params tiers
+    # are below a resident block) — the picker guarantees this fits the
+    # 126 MiB cap
+    need = (nxp + ext + 2 + 6 * tx) * plane
+    origin = jnp.asarray(origin, jnp.int32).reshape(3, 1)
+    edges = jnp.asarray(edges, jnp.int32).reshape(6, 1)
+    with jax.enable_x64(False):
+        (out,) = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_shape=[jax.ShapeDtypeStruct((nxp, byp, bzp), dtype)],
+            scratch_shapes=[
+                pltpu.VMEM((nxp, byp, bzp), dtype),
+                pltpu.VMEM((ext, byp, bzp), dtype),
+                pltpu.VMEM((byp, bzp), dtype),
+                pltpu.VMEM((byp, bzp), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        )(phi_pad3, origin, edges)
+    return out
+
+
+# --------------------------------------------------------------------------- #
 # chunk driver: the pallas counterpart of ops.stencil.evolve_chunk
 # --------------------------------------------------------------------------- #
 

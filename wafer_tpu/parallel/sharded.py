@@ -395,6 +395,24 @@ class ShardedOps:
                 break
         self.ici_exc_r = ici_exc_r
 
+        # Multi-axis meshes: y/z-padded resident windows (ground state,
+        # analytic-B). R blind in-kernel sweeps per ψ HBM pass over a block
+        # carrying R·ext-deep halos on EVERY axis, exchanged once per
+        # window — see ops/pallas_stencil._evolve_kernel_res_yzp. Replaces
+        # R per-step HBM streams + R per-axis ppermute rounds with one of
+        # each.
+        res_yzp = None
+        if (
+            use_pallas
+            and self.pallas_mode == "yzp"
+            and n_lower == 0
+            and analytic is not None
+        ):
+            res_yzp = pk.pick_res_yzp(
+                bx, by, bz, ext, itemsize, screen_update, yzp_zp
+            )
+        self.res_yzp = res_yzp
+
         def orthogonalise(phi, store):
             for s in range(n_lower):
                 lower = store[s]
@@ -480,6 +498,73 @@ class ShardedOps:
             )
 
             if n_lower == 0 and not per_step_norm:
+                if res_yzp is not None:
+                    # resident windows: R blind in-kernel sweeps per ψ HBM
+                    # pass; R·ext-deep halos on every axis exchanged once
+                    # per window as full-cross-section strips sequenced
+                    # x→y→z, so the edge/corner regions R star-stencil
+                    # steps read compose from already-refreshed lower-axis
+                    # halos (a y strip spans the just-filled x halos, a z
+                    # strip both)
+                    r_w, yp_w = res_yzp
+                    h = r_w * ext
+                    pad_off_w = (h, yp_w, zp)
+                    edges = jnp.concatenate(
+                        [
+                            edge_flags(axis_names[d], mesh_shape[d])
+                            for d in range(3)
+                        ]
+                    )
+
+                    def refresh_deep(pp):
+                        for axis in range(3 if zp > 0 else 2):
+                            pad = pad_off_w[axis]
+                            blen = blens[axis]
+                            lo = lax.slice_in_dim(pp, pad, pad + h, axis=axis)
+                            if mesh_shape[axis] == 1:
+                                zer = jnp.zeros_like(lo)
+                                pp = lax.dynamic_update_slice_in_dim(
+                                    pp, zer, pad - h, axis
+                                )
+                                pp = lax.dynamic_update_slice_in_dim(
+                                    pp, zer, pad + blen, axis
+                                )
+                                continue
+                            hi = lax.slice_in_dim(
+                                pp, pad + blen - h, pad + blen, axis=axis
+                            )
+                            from_left = lax.ppermute(
+                                hi, axis_names[axis],
+                                [(j, j + 1)
+                                 for j in range(mesh_shape[axis] - 1)],
+                            )
+                            from_right = lax.ppermute(
+                                lo, axis_names[axis],
+                                [(j + 1, j)
+                                 for j in range(mesh_shape[axis] - 1)],
+                            )
+                            pp = lax.dynamic_update_slice_in_dim(
+                                pp, from_left, pad - h, axis
+                            )
+                            pp = lax.dynamic_update_slice_in_dim(
+                                pp, from_right, pad + blen, axis
+                            )
+                        return pp
+
+                    def body_w(_i, pp):
+                        pp = refresh_deep(pp)
+                        return pk.evolve_window_res_yzp(
+                            pp, order, scale, r_w, analytic, origin, edges,
+                            h, yp_w, zp, pallas_interpret,
+                        )
+
+                    pads_w = ((h, h), (yp_w, yp_w), (zp, zp))
+                    pp = lax.fori_loop(
+                        0, screen_update // r_w, body_w, jnp.pad(phi, pads_w)
+                    )
+                    return pp[
+                        h : h + bx_l, yp_w : yp_w + by_l, zp : zp + bz_l
+                    ]
 
                 def body(_i, pp):
                     pp = refresh3(pp)
