@@ -1265,6 +1265,50 @@ def test_sharded_yzp_resident_windows_match_xla(
     np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
 
 
+def test_sharded_yzp_windowed_psn_matches_per_step():
+    """The windowed drift guard (renormalise once per R-step resident
+    window) differs from the per-step-normalised chunk only by rescaling
+    (docs/PARITY.md divergence 7): both outputs are unit-norm fields in
+    the same direction."""
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 16, "y": 16, "z": 256}, "dn": 0.2, "dt": 0.002},
+        output={"screen_update": 4},
+    )
+    ext = 1
+    rng = np.random.default_rng(65)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    phi_int /= np.sqrt(np.sum(phi_int.astype(np.float64) ** 2)).astype(
+        np.float32
+    )
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((2, 2, 2))
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.psn_window_steps == 2
+    assert ops_p.evolve_chunk_psn_win is not None
+    ref = np.asarray(ops_p.get(
+        ops_p.evolve_chunk_psn(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    ))
+    out = np.asarray(ops_p.get(
+        ops_p.evolve_chunk_psn_win(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    ))
+    # both unit-norm
+    assert abs(float(np.sum(out.astype(np.float64) ** 2)) - 1.0) < 1e-5
+    assert abs(float(np.sum(ref.astype(np.float64) ** 2)) - 1.0) < 1e-5
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
+
+
 def test_sharded_yzp_excited_and_streamed_b(monkeypatch):
     """yzp kernel: excited state (psum'd coefficient recursion with
     exchanged stored-state pads) and the streamed-B variant."""

@@ -3491,6 +3491,7 @@ def _evolve_kernel_res_yzp(
     org_smem,   # (3, 1) SMEM i32 — global interior (x, y, z) origin
     edge_smem,  # (6, 1) SMEM i32 — [xlo, xhi, ylo, yhi, zlo, zhi]
     out_hbm,    # (NXP, BYP, BZP) ANY
+    norm_out,   # (1, 1) SMEM — final step's LOCAL interior ‖ψ‖² (with_norm)
     psi_buf,    # (NXP, BYP, BZP) VMEM — resident across all steps
     lag,        # (ext, BYP, BZP) VMEM — pre-write planes of the prev slab
     yz_buf,     # (BYP, BZP) VMEM — hoisted plane constant (padded coords)
@@ -3508,6 +3509,7 @@ def _evolve_kernel_res_yzp(
     zp: int,
     by: int,
     bz: int,
+    with_norm: bool = False,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -3579,6 +3581,22 @@ def _evolve_kernel_res_yzp(
             byp, bzp, ext,
         )
         new = (b * (2.0 * c + scale * acc) - c) * mask_buf[...][None]
+        if with_norm:
+            # final step's LOCAL interior norm² (windowed drift guard: the
+            # host psums across shards and rescales once per window — a
+            # pure rescaling of the per-step-renormalised trajectory,
+            # docs/PARITY.md divergence 7)
+            v_lo = max(rs, halo) - rs
+            v_hi = min(rs + txs, nxp - halo) - rs
+            first = rs == slabs[0][0]
+
+            @pl.when(i == n_steps - 1)
+            def _acc_norm(_vl=v_lo, _vh=v_hi, _first=first, _new=new):
+                if _first:
+                    norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+                if _vh > _vl:
+                    nm = _new[_vl:_vh, yp : yp + by, zp : zp + bz]
+                    norm_out[0, 0] += jnp.sum(nm * nm)
         lag[...] = psi_buf[rs + txs - ext : rs + txs]
         psi_buf[rs : rs + txs] = new
 
@@ -3594,6 +3612,8 @@ def _evolve_kernel_res_yzp(
 
     @pl.when(i == n_steps - 1)
     def _store():
+        if not with_norm:
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
         cp = pltpu.make_async_copy(psi_buf, out_hbm, sem_out)
         cp.start()
         cp.wait()
@@ -3603,7 +3623,7 @@ def _evolve_kernel_res_yzp(
     jax.jit,
     static_argnames=(
         "order", "scale", "n_steps", "analytic", "interpret", "halo", "yp",
-        "zp",
+        "zp", "with_norm",
     ),
 )
 def evolve_window_res_yzp(
@@ -3618,6 +3638,7 @@ def evolve_window_res_yzp(
     yp: int,
     zp: int,
     interpret: bool = False,
+    with_norm: bool = False,
 ):
     """``n_steps`` blind resident sweeps on a deep-padded local block.
 
@@ -3628,9 +3649,11 @@ def evolve_window_res_yzp(
       origin: (3, 1) i32 global interior (x, y, z) origin of this shard.
       edges: (6, 1) i32 [xlo, xhi, ylo, yhi, zlo, zhi] global-edge flags.
 
-    Returns the full padded block after n_steps; the interior is exact
-    (deep-ghost-zone argument), pads are stale and must be re-exchanged
-    before the next window."""
+    Returns the full padded block after n_steps (with ``with_norm``, a
+    (block, local_norm2) pair — the final step's interior ‖ψ‖² partial for
+    the windowed drift guard); the interior is exact (deep-ghost-zone
+    argument), pads are stale and must be re-exchanged before the next
+    window."""
     ext = _EXT[order]
     nxp, byp, bzp = phi_pad3.shape
     by = byp - 2 * yp
@@ -3655,6 +3678,7 @@ def evolve_window_res_yzp(
         zp=zp,
         by=by,
         bz=bz,
+        with_norm=with_norm,
     )
     # ψ + lag + yz/mask planes + ~6 slab temporaries; passed straight as
     # the Mosaic scoped-VMEM limit (the 32/64 MiB _compiler_params tiers
@@ -3664,7 +3688,7 @@ def evolve_window_res_yzp(
     origin = jnp.asarray(origin, jnp.int32).reshape(3, 1)
     edges = jnp.asarray(edges, jnp.int32).reshape(6, 1)
     with jax.enable_x64(False):
-        (out,) = pl.pallas_call(
+        out, n2 = pl.pallas_call(
             kernel,
             grid=(n_steps,),
             in_specs=[
@@ -3672,8 +3696,14 @@ def evolve_window_res_yzp(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_shape=[jax.ShapeDtypeStruct((nxp, byp, bzp), dtype)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nxp, byp, bzp), dtype),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((nxp, byp, bzp), dtype),
                 pltpu.VMEM((ext, byp, bzp), dtype),
@@ -3685,6 +3715,8 @@ def evolve_window_res_yzp(
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
         )(phi_pad3, origin, edges)
+    if with_norm:
+        return out, n2[0, 0]
     return out
 
 

@@ -420,10 +420,16 @@ class ShardedOps:
                 phi = phi - lower * overlap
             return phi
 
-        def _make_evolve_chunk_local(per_step_norm: bool):
+        def _make_evolve_chunk_local(per_step_norm: bool,
+                                     psn_windowed: bool = False):
           # per_step_norm: renormalise the ground state every step too —
           # required in f32 when the potential's offset drifts ψ's scale out
           # of range within one chunk (see ops/stencil.evolve_chunk).
+          # psn_windowed: on the yzp-resident path, renormalise once per
+          # R-step window instead (a pure rescaling of the per-step-
+          # renormalised trajectory — docs/PARITY.md divergence 7); only
+          # engaged by the solver when the measured drift per window is
+          # safely inside f32 range.
 
           def evolve_chunk_yzp(phi, b, store):
             """Multi-axis-mesh chunk via the y/z-padded kernel: the local
@@ -497,59 +503,61 @@ class ShardedOps:
                 else None
             )
 
+            if res_yzp is not None and n_lower == 0:
+                # resident-window machinery: R blind in-kernel sweeps per ψ
+                # HBM pass; R·ext-deep halos on every axis exchanged once
+                # per window as full-cross-section strips sequenced x→y→z,
+                # so the edge/corner regions R star-stencil steps read
+                # compose from already-refreshed lower-axis halos (a y
+                # strip spans the just-filled x halos, a z strip both)
+                r_w, yp_w = res_yzp
+                h = r_w * ext
+                pad_off_w = (h, yp_w, zp)
+                pads_w = ((h, h), (yp_w, yp_w), (zp, zp))
+                edges = jnp.concatenate(
+                    [
+                        edge_flags(axis_names[d], mesh_shape[d])
+                        for d in range(3)
+                    ]
+                )
+
+                def refresh_deep(pp):
+                    for axis in range(3 if zp > 0 else 2):
+                        pad = pad_off_w[axis]
+                        blen = blens[axis]
+                        lo = lax.slice_in_dim(pp, pad, pad + h, axis=axis)
+                        if mesh_shape[axis] == 1:
+                            zer = jnp.zeros_like(lo)
+                            pp = lax.dynamic_update_slice_in_dim(
+                                pp, zer, pad - h, axis
+                            )
+                            pp = lax.dynamic_update_slice_in_dim(
+                                pp, zer, pad + blen, axis
+                            )
+                            continue
+                        hi = lax.slice_in_dim(
+                            pp, pad + blen - h, pad + blen, axis=axis
+                        )
+                        from_left = lax.ppermute(
+                            hi, axis_names[axis],
+                            [(j, j + 1)
+                             for j in range(mesh_shape[axis] - 1)],
+                        )
+                        from_right = lax.ppermute(
+                            lo, axis_names[axis],
+                            [(j + 1, j)
+                             for j in range(mesh_shape[axis] - 1)],
+                        )
+                        pp = lax.dynamic_update_slice_in_dim(
+                            pp, from_left, pad - h, axis
+                        )
+                        pp = lax.dynamic_update_slice_in_dim(
+                            pp, from_right, pad + blen, axis
+                        )
+                    return pp
+
             if n_lower == 0 and not per_step_norm:
                 if res_yzp is not None:
-                    # resident windows: R blind in-kernel sweeps per ψ HBM
-                    # pass; R·ext-deep halos on every axis exchanged once
-                    # per window as full-cross-section strips sequenced
-                    # x→y→z, so the edge/corner regions R star-stencil
-                    # steps read compose from already-refreshed lower-axis
-                    # halos (a y strip spans the just-filled x halos, a z
-                    # strip both)
-                    r_w, yp_w = res_yzp
-                    h = r_w * ext
-                    pad_off_w = (h, yp_w, zp)
-                    edges = jnp.concatenate(
-                        [
-                            edge_flags(axis_names[d], mesh_shape[d])
-                            for d in range(3)
-                        ]
-                    )
-
-                    def refresh_deep(pp):
-                        for axis in range(3 if zp > 0 else 2):
-                            pad = pad_off_w[axis]
-                            blen = blens[axis]
-                            lo = lax.slice_in_dim(pp, pad, pad + h, axis=axis)
-                            if mesh_shape[axis] == 1:
-                                zer = jnp.zeros_like(lo)
-                                pp = lax.dynamic_update_slice_in_dim(
-                                    pp, zer, pad - h, axis
-                                )
-                                pp = lax.dynamic_update_slice_in_dim(
-                                    pp, zer, pad + blen, axis
-                                )
-                                continue
-                            hi = lax.slice_in_dim(
-                                pp, pad + blen - h, pad + blen, axis=axis
-                            )
-                            from_left = lax.ppermute(
-                                hi, axis_names[axis],
-                                [(j, j + 1)
-                                 for j in range(mesh_shape[axis] - 1)],
-                            )
-                            from_right = lax.ppermute(
-                                lo, axis_names[axis],
-                                [(j + 1, j)
-                                 for j in range(mesh_shape[axis] - 1)],
-                            )
-                            pp = lax.dynamic_update_slice_in_dim(
-                                pp, from_left, pad - h, axis
-                            )
-                            pp = lax.dynamic_update_slice_in_dim(
-                                pp, from_right, pad + blen, axis
-                            )
-                        return pp
 
                     def body_w(_i, pp):
                         pp = refresh_deep(pp)
@@ -558,7 +566,6 @@ class ShardedOps:
                             h, yp_w, zp, pallas_interpret,
                         )
 
-                    pads_w = ((h, h), (yp_w, yp_w), (zp, zp))
                     pp = lax.fori_loop(
                         0, screen_update // r_w, body_w, jnp.pad(phi, pads_w)
                     )
@@ -577,6 +584,31 @@ class ShardedOps:
 
                 pp = lax.fori_loop(0, screen_update, body, to_pad3(phi))
                 return pp[e : e + bx_l, yp : yp + by_l, zp : zp + bz_l]
+
+            if n_lower == 0 and psn_windowed:
+                assert res_yzp is not None
+
+                def body_nw(_i, carry):
+                    pp, n2 = carry
+                    inv = (
+                        1.0 / jnp.sqrt(jnp.maximum(n2, 1e-37))
+                    ).astype(dtype)
+                    pp = refresh_deep(pp * inv)
+                    pp, n2_loc = pk.evolve_window_res_yzp(
+                        pp, order, scale, r_w, analytic, origin, edges,
+                        h, yp_w, zp, pallas_interpret, with_norm=True,
+                    )
+                    return pp, _psum(n2_loc)
+
+                pp, n2 = lax.fori_loop(
+                    0, screen_update // r_w, body_nw,
+                    (jnp.pad(phi, pads_w), jnp.ones((), dtype)),
+                )
+                inv = (1.0 / jnp.sqrt(jnp.maximum(n2, 1e-37))).astype(dtype)
+                return (
+                    pp[h : h + bx_l, yp_w : yp_w + by_l, zp : zp + bz_l]
+                    * inv
+                )
 
             if n_lower == 0:
 
@@ -1116,6 +1148,29 @@ class ShardedOps:
             )
             if n_lower == 0
             else self.evolve_chunk
+        )
+        # windowed drift guard on the yzp-resident path: renormalise once
+        # per R-step window (pure rescaling — docs/PARITY.md divergence 7).
+        # The solver picks this over evolve_chunk_psn only when the
+        # measured drift per window is safely inside f32 range (see
+        # solver_sharded; self.psn_window_steps is the R it must bound).
+        self.psn_window_steps = (
+            res_yzp[0]
+            if (n_lower == 0 and res_yzp is not None)
+            else 0
+        )
+        self.evolve_chunk_psn_win = (
+            jax.jit(
+                jax.shard_map(
+                    _make_evolve_chunk_local(True, psn_windowed=True),
+                    mesh=mesh,
+                    in_specs=(grid, grid, grid, store_spec),
+                    out_specs=grid,
+                    check_vma=False,
+                )
+            )
+            if self.psn_window_steps
+            else None
         )
         self.measure = jax.jit(
             jax.shard_map(

@@ -177,6 +177,7 @@ def _solve_state(
     diff_old = float("inf")
     obs = None
     per_step_norm = False
+    psn_windowed = False
 
     # Device-side convergence batching (sync_update — the same opt-in
     # cadence contract as solver.solve: per-chunk observables, snapshot
@@ -207,9 +208,15 @@ def _solve_state(
         return ops.measure(phi, env["v"], env["r2"], env["sub"], env["store"])
 
     def _get_batched(k_chunks: int, psn: bool):
-        key = (k_chunks, psn)
+        key = (k_chunks, psn, psn and psn_windowed)
         if key not in _batched_cache:
-            chunk_fn = ops.evolve_chunk_psn if psn else ops.evolve_chunk
+            if psn:
+                chunk_fn = (
+                    ops.evolve_chunk_psn_win if psn_windowed
+                    else ops.evolve_chunk_psn
+                )
+            else:
+                chunk_fn = ops.evolve_chunk
 
             def _evolve_env(phi, env, _fn=chunk_fn):
                 return _fn(phi, env["a"], env["b"], env["store"])
@@ -298,10 +305,21 @@ def _solve_state(
             )
             if _drift > _efold_limit:
                 per_step_norm = True
+                # yzp-resident meshes: renormalise per R-step window
+                # instead when the drift per window is safely inside f32
+                # range (pure rescaling — PARITY divergence 7); else the
+                # 1-step psn kernel
+                _rw = getattr(ops, "psn_window_steps", 0)
+                if (
+                    _rw
+                    and _drift * _rw / config.output.screen_update < 25.0
+                ):
+                    psn_windowed = True
                 log.info(
-                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
-                    "renormalising the ground state every step",
+                    "Large potential offset (≈%.0f norm² e-folds per chunk):"
+                    " renormalising the ground state every %s",
                     _drift,
+                    f"{_rw}-step window" if psn_windowed else "step",
                 )
         tau = step * config.grid.dt
 
@@ -377,7 +395,13 @@ def _solve_state(
             step += su
             continue
 
-        chunk_fn = ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
+        if per_step_norm:
+            chunk_fn = (
+                ops.evolve_chunk_psn_win if psn_windowed
+                else ops.evolve_chunk_psn
+            )
+        else:
+            chunk_fn = ops.evolve_chunk
         phi = chunk_fn(phi, a_d, b_d, store_d)
         diff_old = float(diff)
         step += config.output.screen_update
