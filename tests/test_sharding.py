@@ -842,6 +842,51 @@ def test_sharded_split_pallas_matches_xla(n_lower):
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), **tol)
 
 
+def test_sharded_split_transposed_y_mesh_matches_xla():
+    """A single-axis y mesh rides the split-kernel ladder behind the
+    layout permutation (round-2 split pallas required a NATURAL x-only
+    mesh — (1,4,1) complex runs fell back to XLA). Ground + one excited
+    state."""
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=54)
+    rng = np.random.default_rng(55)
+    lr = rng.normal(size=cfg.work_size()).astype(np.float32)
+    li = rng.normal(size=cfg.work_size()).astype(np.float32)
+    nn = np.sqrt(np.sum(lr.astype(np.float64) ** 2 + li.astype(np.float64) ** 2))
+    lr, li = (lr / nn).astype(np.float32), (li / nn).astype(np.float32)
+    sr = jnp.stack([jnp.asarray(lr)])
+    si = jnp.stack([jnp.asarray(li)])
+
+    mesh = make_mesh((1, 4, 1))
+    for n_lower, store in ((0, (None, None)), (1, (sr, si))):
+        ops_x = ShardedSplitOps(cfg, mesh, n_lower, use_pallas=False)
+        rr, ri = ops_x.evolve_chunk(
+            ops_x.put(pr), ops_x.put(pi),
+            ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+            ops_x.put_store(store[0]), ops_x.put_store(store[1]),
+        )
+        ops_p = ShardedSplitOps(
+            cfg, mesh, n_lower, use_pallas=True, pallas_interpret=True
+        )
+        assert ops_p.use_pallas and ops_p.perm == (1, 0, 2)
+        assert ops_p.sc_analytic is not None
+        or_, oi_ = ops_p.evolve_chunk(
+            ops_p.put(pr), ops_p.put(pi),
+            ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+            ops_p.put_store(store[0]), ops_p.put_store(store[1]),
+        )
+        tol = dict(rtol=2e-5, atol=2e-6) if n_lower == 0 else dict(
+            rtol=5e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ops_p.get(or_)), np.asarray(ops_x.get(rr)), **tol
+        )
+        np.testing.assert_allclose(
+            np.asarray(ops_p.get(oi_)), np.asarray(ops_x.get(ri)), **tol
+        )
+
+
 def test_sharded_split_pallas_streamed_b(monkeypatch):
     """Sharded split kernel with streamed (Br, Bi) blocks (no analytic
     formula) == sharded XLA split path."""

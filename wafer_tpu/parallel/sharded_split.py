@@ -49,8 +49,7 @@ class ShardedSplitOps:
         self.config = config
         self.mesh = mesh
         self.n_lower = n_lower
-        self.mesh_shape = tuple(int(mesh.shape[a]) for a in AXIS_NAMES)
-        mesh_shape = self.mesh_shape
+        natural_shape = tuple(int(mesh.shape[a]) for a in AXIS_NAMES)
 
         order = config.central_difference.value
         ext = config.central_difference.ext
@@ -62,31 +61,65 @@ class ShardedSplitOps:
 
         from wafer_tpu.ops.stencil import stencil_taps
 
-        # Fused split-kernel shards (x-only meshes, like ShardedOps): the
-        # exchanged x-halo rows of both components are exactly what the
+        # Fused split-kernel shards (single-axis meshes, like ShardedOps):
+        # the exchanged x-halo rows of both components are exactly what the
         # kernel's windows expect; y/z keep the in-kernel global Dirichlet.
         from wafer_tpu.ops import pallas_split as ps_mod
         from wafer_tpu.parallel.halo import _pad_axis
 
         dims = config.work_size()
-        nx, ny, nz = dims
-        bx = nx // mesh_shape[0]
         itemsize = jnp.dtype(config.real_dtype).itemsize
-        pallas_ok = (
-            mesh_shape[1] == 1
-            and mesh_shape[2] == 1
-            and config.real_dtype == jnp.float32
-            and ny % 8 == 0
-            and nz % 128 == 0
-            and bx >= ext
-            and ps_mod.step_fused_sc_supported(bx, ny, nz, ext, itemsize, n_lower)
+
+        # Eligibility-ranked layout permutation, as in ShardedOps: a
+        # single-axis y/z mesh transposes its sharded axis to x so the
+        # whole split-kernel ladder applies unchanged (round-2 split ran
+        # pallas only on NATURAL x-only meshes — a (1,8,1) complex run
+        # fell all the way back to XLA).
+        def _classify(p):
+            ms = tuple(natural_shape[i] for i in p)
+            nx_, ny_, nz_ = (dims[i] for i in p)
+            bx_ = nx_ // ms[0]
+            if (
+                ms[1] != 1
+                or ms[2] != 1
+                or config.real_dtype != jnp.float32
+                or nx_ % ms[0]
+                or ny_ % 8
+                or nz_ % 128
+                or bx_ < ext
+                or not ps_mod.step_fused_sc_supported(
+                    bx_, ny_, nz_, ext, itemsize, n_lower
+                )
+            ):
+                return 0
+            return 1
+
+        import itertools as _it
+
+        _sorted_perm = tuple(
+            sorted(range(3), key=lambda i: -natural_shape[i])
         )
+        _cands = [_sorted_perm, (0, 1, 2)]
+        _cands += [
+            p for p in _it.permutations(range(3)) if p not in _cands
+        ]
+        _best = max(range(len(_cands)), key=lambda j: _classify(_cands[j]))
+        pallas_ok = _classify(_cands[_best]) > 0
+        perm = _cands[_best] if pallas_ok else _sorted_perm
+        self.perm = perm
+        self.inv_perm = tuple(int(i) for i in np.argsort(perm))
+        axis_names = tuple(AXIS_NAMES[i] for i in perm)
+        self.axis_names = axis_names
+        self.mesh_shape = tuple(natural_shape[i] for i in perm)
+        mesh_shape = self.mesh_shape
+        nx, ny, nz = (dims[i] for i in perm)
+        bx = nx // mesh_shape[0]
         if use_pallas is None:
             use_pallas = pallas_ok and jax.default_backend() not in ("cpu",)
         elif use_pallas and not pallas_ok:
             raise ValueError(
-                "sharded split pallas sweep requires an x-only mesh, f32, "
-                "tile-aligned y/z and a VMEM-sized block"
+                "sharded split pallas sweep requires a single-axis mesh, "
+                "f32, tile-aligned y/z and a VMEM-sized block"
             )
         self.use_pallas = use_pallas
 
@@ -111,9 +144,9 @@ class ShardedSplitOps:
                 g.dn,
                 g.dt,
                 config.mass,
-                g.size.x,
-                g.size.y,
-                g.size.z,
+                g.size.as_tuple()[perm[0]],
+                g.size.as_tuple()[perm[1]],
+                g.size.as_tuple()[perm[2]],
                 config.sig,
                 v_shift,
                 config.absorb,
@@ -215,8 +248,12 @@ class ShardedSplitOps:
 
         def _make_evolve_chunk_local(per_step_norm: bool):
             def step_local(pr, pi, ar, ai, br, bi, sr, si):
-                tr = stencil_taps(exchange_halos(pr, ext, mesh_shape), order)
-                ti = stencil_taps(exchange_halos(pi, ext, mesh_shape), order)
+                tr = stencil_taps(
+                    exchange_halos(pr, ext, mesh_shape, axis_names), order
+                )
+                ti = stencil_taps(
+                    exchange_halos(pi, ext, mesh_shape, axis_names), order
+                )
                 new_r = ar * pr - ai * pi + s_ * (br * tr - bi * ti)
                 new_i = ar * pi + ai * pr + s_ * (br * ti + bi * tr)
                 pr, pi = new_r, new_i
@@ -247,7 +284,7 @@ class ShardedSplitOps:
                 bxl = pr.shape[0]
                 bxp = bxl + 2 * ext
                 x_org = (
-                    jax.lax.axis_index(AXIS_NAMES[0]).astype(jnp.int32)
+                    jax.lax.axis_index(axis_names[0]).astype(jnp.int32)
                     * jnp.int32(bx)
                 ).reshape(1, 1)
 
@@ -274,11 +311,11 @@ class ShardedSplitOps:
                             out, base + pad, base + 2 * pad, axis=0
                         )
                         from_left = lax.ppermute(
-                            hi_face, AXIS_NAMES[0],
+                            hi_face, axis_names[0],
                             [(j, j + 1) for j in range(nxs - 1)],
                         )
                         from_right = lax.ppermute(
-                            lo_face, AXIS_NAMES[0],
+                            lo_face, axis_names[0],
                             [(j + 1, j) for j in range(nxs - 1)],
                         )
                         out = lax.dynamic_update_slice_in_dim(
@@ -299,8 +336,8 @@ class ShardedSplitOps:
                         [
                             jnp.concatenate(
                                 [
-                                    _pad_axis(sr[s], ext, 0, AXIS_NAMES[0], nxs),
-                                    _pad_axis(si[s], ext, 0, AXIS_NAMES[0], nxs),
+                                    _pad_axis(sr[s], ext, 0, axis_names[0], nxs),
+                                    _pad_axis(si[s], ext, 0, axis_names[0], nxs),
                                 ],
                                 axis=0,
                             )
@@ -356,7 +393,7 @@ class ShardedSplitOps:
                         # R steps (remote DMAs), and the host-side seeding
                         # ppermute doubles as the cross-chunk slot barrier
                         pad = sc_res_steps * ext
-                        edges = edge_flags(AXIS_NAMES[0], nxs)
+                        edges = edge_flags(axis_names[0], nxs)
                         bxp_i = bxl + 2 * pad
                         ici_interp = ici_interpret(pallas_interpret)
                         p2 = refresh_halo_sc(to_x2(pr, pi, pad), pad)
@@ -365,7 +402,7 @@ class ShardedSplitOps:
                             sc_analytic, interpret=ici_interp,
                             x_origin=x_org, edges=edges, halo=pad,
                             ici_steps=sc_res_steps,
-                            ici_axis=AXIS_NAMES[0], ici_nsh=nxs,
+                            ici_axis=axis_names[0], ici_nsh=nxs,
                         )
                         return (
                             out2[pad : pad + bxl],
@@ -378,7 +415,7 @@ class ShardedSplitOps:
                         # sweeps (ops/pallas_split._evolve_kernel_res_sc
                         # halo mode); remainder steps ride the 1-step body
                         pad = sc_res_steps * ext
-                        edges = edge_flags(AXIS_NAMES[0], nxs)
+                        edges = edge_flags(axis_names[0], nxs)
                         bxp_r = bxl + 2 * pad
 
                         def body_r(_i, p2):
@@ -410,7 +447,7 @@ class ShardedSplitOps:
                         # blocked exchange windows (pair past residency)
                         rb = sc_resb_sharded
                         pad = rb[1] * ext
-                        edges = edge_flags(AXIS_NAMES[0], nxs)
+                        edges = edge_flags(axis_names[0], nxs)
                         bxp_r = bxl + 2 * pad
 
                         def body_rb(_i, p2):
@@ -507,8 +544,12 @@ class ShardedSplitOps:
         from wafer_tpu.ops.observables import hybrid_sum as _sum_h
 
         def measure_local(pr, pi, vr, vi, r2_grid, pot_sub, sr, si):
-            tr = stencil_taps(exchange_halos(pr, ext, mesh_shape), order)
-            ti = stencil_taps(exchange_halos(pi, ext, mesh_shape), order)
+            tr = stencil_taps(
+                exchange_halos(pr, ext, mesh_shape, axis_names), order
+            )
+            ti = stencil_taps(
+                exchange_halos(pi, ext, mesh_shape, axis_names), order
+            )
             abs2 = pr * pr + pi * pi
             e_re = _psum(_sum_h(vr * abs2 - (pr * tr + pi * ti) / denom))
             e_im = _psum(_sum_h(vi * abs2 - (pr * ti - pi * tr) / denom))
@@ -525,8 +566,8 @@ class ShardedSplitOps:
             pr, pi = orthogonalise(pr, pi, sr, si)
             return (e_re, e_im, norm2, v_inf, r2), (pr, pi)
 
-        grid = P(*AXIS_NAMES)
-        store_spec = P(None, *AXIS_NAMES) if n_lower > 0 else P()
+        grid = P(*axis_names)
+        store_spec = P(None, *axis_names) if n_lower > 0 else P()
         sub_spec = grid if has_pot_sub_array else P()
         scalar = P()
         pair_specs = (grid, grid, grid, grid, grid, grid, store_spec, store_spec)
@@ -569,9 +610,19 @@ class ShardedSplitOps:
     # ------------------------------------------------------------------ #
 
     def put(self, arr):
+        """Place a global interior array onto the mesh, block-partitioned
+        (transposed so the sharded axis leads — see the layout perm)."""
         return jax.device_put(
-            jnp.asarray(arr), NamedSharding(self.mesh, P(*AXIS_NAMES))
+            jnp.transpose(jnp.asarray(arr), self.perm),
+            NamedSharding(self.mesh, P(*self.axis_names)),
         )
+
+    def get(self, arr) -> jnp.ndarray:
+        """Gather a mesh array back to the natural (x, y, z) host layout
+        (inverse of :meth:`put`)."""
+        from wafer_tpu.utils.host import device_get
+
+        return jnp.transpose(jnp.asarray(device_get(arr)), self.inv_perm)
 
     def put_store(self, store):
         if self.n_lower == 0:
@@ -580,7 +631,10 @@ class ShardedSplitOps:
                 NamedSharding(self.mesh, P()),
             )
         return jax.device_put(
-            jnp.asarray(store), NamedSharding(self.mesh, P(None, *AXIS_NAMES))
+            jnp.transpose(
+                jnp.asarray(store), (0,) + tuple(i + 1 for i in self.perm)
+            ),
+            NamedSharding(self.mesh, P(None, *self.axis_names)),
         )
 
     def dummy_pot_sub(self):
@@ -910,10 +964,8 @@ def _solve_state_split(
         # rescale is file-only (PARITY divergence 8); complex exists only in
         # the written file
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
-            from wafer_tpu.utils.host import device_get
-
-            sym_r = geometry.frame_with_halo(jnp.asarray(device_get(pr)), ext)
-            sym_i = geometry.frame_with_halo(jnp.asarray(device_get(pi)), ext)
+            sym_r = geometry.frame_with_halo(jnp.asarray(ops.get(pr)), ext)
+            sym_i = geometry.frame_with_halo(jnp.asarray(ops.get(pi)), ext)
             sym_r = initial.symmetrise_wavefunction(config, sym_r)
             sym_i = initial.symmetrise_wavefunction(config, sym_i)
             pr = ops.put(geometry.work_area(sym_r, ext))
@@ -994,11 +1046,9 @@ def _solve_state_split(
         step += config.output.screen_update
 
     if config.output.save_wavefns:
-        from wafer_tpu.utils.host import device_get
-
         try:
             writers.wavefunction(
-                np.asarray(device_get(pr)) + 1j * np.asarray(device_get(pi)),
+                np.asarray(ops.get(pr)) + 1j * np.asarray(ops.get(pi)),
                 wnum, converged, config.project_name, config.output.file_type,
                 output_root=config.output_root,
             )
@@ -1008,9 +1058,7 @@ def _solve_state_split(
     if not converged:
         raise errors.MaxStepError()
     log.info("Calculation Converged")
-    from wafer_tpu.utils.host import device_get
-
-    pair = (jnp.asarray(device_get(pr)), jnp.asarray(device_get(pi)))
+    pair = (jnp.asarray(ops.get(pr)), jnp.asarray(ops.get(pi)))
     w_store.append(pair)
     return SolveResult(
         wnum=wnum, converged=True, observables=obs, steps=step, phi=(pr, pi)
