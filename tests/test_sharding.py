@@ -1826,3 +1826,240 @@ def test_sharded_windowed_excited_bf16_streams():
     ov = float(np.sum(lower.astype(np.float64) * out.astype(np.float64)))
     n2 = float(np.sum(out.astype(np.float64) ** 2))
     assert abs(ov) < 1e-3 * np.sqrt(n2), ov
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 2)])
+def test_sharded_split_yzp_matches_xla(mesh_shape):
+    """Multi-axis meshes on the SPLIT kernel ladder: the y/z-padded split
+    kernel (pallas_split._evolve_kernel_sc_yzp) with ppermute'd pair halos
+    == the sharded XLA split sweep, interpret mode — analytic complex B,
+    ground state. Round-2/3 multi-axis complex runs fell back to XLA."""
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(
+        seed=57, n=8, screen_update=3
+    )
+    import dataclasses
+
+    from wafer_tpu.config import Index3
+
+    cfg = dataclasses.replace(
+        cfg,
+        grid=dataclasses.replace(
+            cfg.grid, size=Index3(x=8, y=16, z=256)
+        ),
+    )
+    rng = np.random.default_rng(57)
+    pr = rng.normal(size=cfg.work_size()).astype(np.float32)
+    pi = rng.normal(size=cfg.work_size()).astype(np.float32)
+    vr, vi = pmod.generate_split(cfg)
+    ar, ai, br, bi = pmod.build_ab_split(
+        vr.astype(jnp.float32), vi.astype(jnp.float32), cfg.grid.dt
+    )
+    ext = 1
+    w = geometry.work_area
+    ar, ai, br, bi = w(ar, ext), w(ai, ext), w(br, ext), w(bi, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.sc_analytic is not None
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p.get(or_)), np.asarray(ops_x.get(rr)),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p.get(oi_)), np.asarray(ops_x.get(ri)),
+        rtol=2e-5, atol=2e-6,
+    )
+
+
+def test_sharded_split_yzp_permuted_no_zpad_matches_xla():
+    """2-axis complex meshes ride the zp=0 split yzp variant behind the
+    eligibility-ranked layout permutation: a (2,4,1) mesh on a 16x32x256
+    grid transposes to (4,2,1) locally, keeping the global z Dirichlet
+    in-register (no 128-lane pads)."""
+    import dataclasses
+
+    from wafer_tpu.config import Index3
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, *_ = _split_setup(seed=58)
+    cfg = dataclasses.replace(
+        cfg,
+        grid=dataclasses.replace(
+            cfg.grid, size=Index3(x=16, y=32, z=256)
+        ),
+    )
+    rng = np.random.default_rng(58)
+    pr = rng.normal(size=cfg.work_size()).astype(np.float32)
+    pi = rng.normal(size=cfg.work_size()).astype(np.float32)
+    vr, vi = pmod.generate_split(cfg)
+    ar, ai, br, bi = pmod.build_ab_split(
+        vr.astype(jnp.float32), vi.astype(jnp.float32), cfg.grid.dt
+    )
+    ext = 1
+    w = geometry.work_area
+    ar, ai, br, bi = w(ar, ext), w(ai, ext), w(br, ext), w(bi, ext)
+
+    mesh = make_mesh((2, 4, 1))
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.perm == (1, 0, 2)
+    assert ops_p.yzp_zp == 0
+    assert ops_p.sc_analytic is not None
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p.get(or_)), np.asarray(ops_x.get(rr)),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p.get(oi_)), np.asarray(ops_x.get(ri)),
+        rtol=2e-5, atol=2e-6,
+    )
+
+
+def test_sharded_split_yzp_excited_psn_and_streamed_b(monkeypatch):
+    """Split yzp kernel on a (2,2,2) mesh: excited state (psum'd complex
+    coefficient recursion with exchanged stored-pair pads), the per-step-
+    norm ground variant, and the streamed-(Br,Bi) variant."""
+    import dataclasses
+
+    from wafer_tpu.config import Index3
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, *_ = _split_setup(seed=59, screen_update=2)
+    cfg = dataclasses.replace(
+        cfg,
+        grid=dataclasses.replace(
+            cfg.grid, size=Index3(x=8, y=16, z=256)
+        ),
+    )
+    rng = np.random.default_rng(59)
+    pr = rng.normal(size=cfg.work_size()).astype(np.float32)
+    pi = rng.normal(size=cfg.work_size()).astype(np.float32)
+    lr = rng.normal(size=cfg.work_size()).astype(np.float32)
+    li = rng.normal(size=cfg.work_size()).astype(np.float32)
+    nn = np.sqrt(
+        np.sum(lr.astype(np.float64) ** 2 + li.astype(np.float64) ** 2)
+    )
+    lr, li = (lr / nn).astype(np.float32), (li / nn).astype(np.float32)
+    sr, si = jnp.stack([jnp.asarray(lr)]), jnp.stack([jnp.asarray(li)])
+    vr, vi = pmod.generate_split(cfg)
+    ar, ai, br, bi = pmod.build_ab_split(
+        vr.astype(jnp.float32), vi.astype(jnp.float32), cfg.grid.dt
+    )
+    ext = 1
+    w = geometry.work_area
+    ar, ai, br, bi = w(ar, ext), w(ai, ext), w(br, ext), w(bi, ext)
+    mesh = make_mesh((2, 2, 2))
+
+    # excited
+    ops_x = ShardedSplitOps(cfg, mesh, 1, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(sr), ops_x.put_store(si),
+    )
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 1, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_p.pallas_mode == "yzp"
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(sr), ops_p.put_store(si),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p.get(or_)), np.asarray(ops_x.get(rr)),
+        rtol=5e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p.get(oi_)), np.asarray(ops_x.get(ri)),
+        rtol=5e-4, atol=2e-5,
+    )
+
+    # per-step-norm ground
+    ops_x0 = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x0.evolve_chunk_psn(
+        ops_x0.put(pr), ops_x0.put(pi),
+        ops_x0.put(ar), ops_x0.put(ai), ops_x0.put(br), ops_x0.put(bi),
+        ops_x0.put_store(None), ops_x0.put_store(None),
+    )
+    ops_p0 = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    or_, oi_ = ops_p0.evolve_chunk_psn(
+        ops_p0.put(pr), ops_p0.put(pi),
+        ops_p0.put(ar), ops_p0.put(ai), ops_p0.put(br), ops_p0.put(bi),
+        ops_p0.put_store(None), ops_p0.put_store(None),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p0.get(or_)), np.asarray(ops_x0.get(rr)),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_p0.get(oi_)), np.asarray(ops_x0.get(ri)),
+        rtol=2e-5, atol=2e-6,
+    )
+
+    # streamed (Br, Bi): hide the analytic fit
+    import wafer_tpu.ops.pallas_split as ps_mod
+
+    orig = ps_mod._pick_tx_sc_yzp
+
+    def no_analytic(bx, byp, bzp, by, bz, ext_, itemsize, n_lower,
+                    analytic_b=False):
+        if analytic_b:
+            return None
+        return orig(bx, byp, bzp, by, bz, ext_, itemsize, n_lower,
+                    analytic_b)
+
+    monkeypatch.setattr(ps_mod, "_pick_tx_sc_yzp", no_analytic)
+    ops_s = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert ops_s.pallas_mode == "yzp" and ops_s.sc_analytic is None
+    rr, ri = ops_x0.evolve_chunk(
+        ops_x0.put(pr), ops_x0.put(pi),
+        ops_x0.put(ar), ops_x0.put(ai), ops_x0.put(br), ops_x0.put(bi),
+        ops_x0.put_store(None), ops_x0.put_store(None),
+    )
+    or_, oi_ = ops_s.evolve_chunk(
+        ops_s.put(pr), ops_s.put(pi),
+        ops_s.put(ar), ops_s.put(ai), ops_s.put(br), ops_s.put(bi),
+        ops_s.put_store(None), ops_s.put_store(None),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_s.get(or_)), np.asarray(ops_x0.get(rr)),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_s.get(oi_)), np.asarray(ops_x0.get(ri)),
+        rtol=2e-5, atol=2e-6,
+    )

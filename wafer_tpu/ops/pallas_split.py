@@ -1824,3 +1824,439 @@ def evolve_chunk_fused_k_sc(
         else:
             psi2_k = p1
     return psi2_k
+
+
+# --------------------------------------------------------------------------- #
+# Multi-axis-mesh split kernel: y/z-padded local blocks (the split-complex
+# counterpart of pallas_stencil._evolve_kernel_yzp). The (re, im) pair rides
+# the x-concatenated layout of _evolve_kernel_sc; y/z alignment pads carry
+# exchanged neighbour rows (or zeros at global edges), refreshed by the
+# sharded caller each step. With zp == 0 (z axis unsharded) the kernel keeps
+# the global z Dirichlet in-register — no 128-lane pads. The reference has
+# no counterpart (complex potentials are real stubs, src/potential.rs:222,271
+# and no distribution layer, src/grid.rs:551).
+# --------------------------------------------------------------------------- #
+
+
+def _pick_tx_sc_yzp(bx: int, byp: int, bzp: int, by: int, bz: int, ext: int,
+                    itemsize: int, n_lower: int, analytic_b: bool = False):
+    plane = byp * bzp * itemsize
+    iplane = by * bz * itemsize
+    for tx in (32, 16, 8, 4, 2, 1):
+        if bx % tx:
+            continue
+        need = (
+            2 * 2 * (tx + 2 * ext) * plane      # re+im windows, double-buffered
+            + 2 * tx * iplane                    # result (re+im, single-buffered)
+            + (0 if analytic_b else 2 * tx * iplane)  # Br+Bi chunk
+            + n_lower * 2 * (tx + 2 * ext) * plane    # lower re+im windows
+        )
+        if need <= _SC_VMEM_BUDGET:
+            return tx
+    return None
+
+
+def step_fused_sc_yzp_supported(bx: int, by: int, bz: int, ext: int,
+                                itemsize: int, n_lower: int,
+                                zp: int = _pk._YZP_ZPAD) -> bool:
+    byp = by + 2 * _pk._YZP_YPAD
+    bzp = bz + 2 * zp
+    return (
+        by % 8 == 0
+        and bz % 128 == 0
+        and bx >= ext
+        and _pick_tx_sc_yzp(bx, byp, bzp, by, bz, ext, itemsize, n_lower)
+        is not None
+    )
+
+
+def _evolve_kernel_sc_yzp(
+    psi_hbm,    # (2·BXP, BYP, BZP) ANY — re rows [0, BXP), im rows [BXP, …)
+    b_hbm,      # (2·BX, BYP, BZP) ANY — (Br, Bi); pads unread (stub if analytic)
+    store_hbm,  # (S·2·BXP, BYP, BZP) ANY
+    coef_smem,  # (1+2S, 1) SMEM: [inv, cr_0, ci_0, …]
+    org_smem,   # (3, 1) SMEM i32 — shard's global interior (x, y, z) origin
+    out_hbm,    # (2·BXP, BYP, BZP) ANY — interiors + zeroed x-halos written;
+    # y/z pads left unwritten (the caller refreshes the ext rows read)
+    norm_out,   # (1, 1) SMEM
+    over_out,   # (2S, 1) SMEM
+    slab,       # (2, 2·(TX+2e), BYP, BZP) VMEM — re window rows first
+    b_slab,     # (2·TX, BY, BZ) VMEM
+    result,     # (2·TX, BY, BZ) VMEM — single-buffered
+    lower_slab,  # (S·2·(TX+2e), BYP, BZP) VMEM
+    zeros_xhalo,  # (ext, BYP, BZP) VMEM
+    sem_in,     # DMA (2,)
+    sem_b,
+    sem_lower,  # DMA (S,)
+    sem_out,
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    by: int,
+    bz: int,
+    n_lower: int,
+    with_norm: bool,
+    analytic=None,
+    zp: int = _pk._YZP_ZPAD,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    next_slot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    win = tx + 2 * ext
+    yp = _pk._YZP_YPAD
+    byp = by + 2 * yp
+    bzp = bz + 2 * zp
+    bxp = psi_hbm.shape[0] // 2
+    bx = bxp - 2 * ext
+
+    def in_copies(window, to_slot):
+        return [
+            pltpu.make_async_copy(
+                psi_hbm.at[pl.ds(window * tx, win)],
+                slab.at[to_slot, pl.ds(0, win)],
+                sem_in.at[to_slot],
+            ),
+            pltpu.make_async_copy(
+                psi_hbm.at[pl.ds(jnp.int32(bxp) + window * tx, win)],
+                slab.at[to_slot, pl.ds(win, win)],
+                sem_in.at[to_slot],
+            ),
+        ]
+
+    @pl.when(i == 0)
+    def _first_window():
+        for c_ in in_copies(jnp.int32(0), jnp.int32(0)):
+            c_.start()
+
+    @pl.when(i + 1 < nprog)
+    def _prefetch():
+        for c_ in in_copies(i + 1, next_slot):
+            c_.start()
+
+    if analytic is None:
+        b_copies = [
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(i * tx, tx), pl.ds(yp, by), pl.ds(zp, bz)],
+                b_slab.at[pl.ds(0, tx)],
+                sem_b,
+            ),
+            pltpu.make_async_copy(
+                b_hbm.at[
+                    pl.ds(jnp.int32(bx) + i * tx, tx), pl.ds(yp, by),
+                    pl.ds(zp, bz),
+                ],
+                b_slab.at[pl.ds(tx, tx)],
+                sem_b,
+            ),
+        ]
+        for bc in b_copies:
+            bc.start()
+
+    lower_copies = []
+    for s_idx in range(2 * n_lower):  # re/im blocks of each stored state
+        lc = pltpu.make_async_copy(
+            store_hbm.at[pl.ds(jnp.int32(s_idx * bxp) + i * tx, win)],
+            lower_slab.at[pl.ds(jnp.int32(s_idx * win), win)],
+            sem_lower.at[jnp.int32(s_idx // 2)],
+        )
+        lc.start()
+        lower_copies.append(lc)
+
+    # x-halo rows of the output (re lo/hi, im lo/hi): zeroed unconditionally —
+    # the sharded caller refreshes them from neighbours each step; at global
+    # edges the zeros ARE the Dirichlet condition
+    @pl.when(i == 0)
+    def _zero_xlo():
+        zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+        for row0 in (0, bxp):
+            hc = pltpu.make_async_copy(
+                zeros_xhalo, out_hbm.at[pl.ds(row0, ext)], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+    @pl.when(i == nprog - 1)
+    def _zero_xhi():
+        zeros_xhalo[...] = jnp.zeros_like(zeros_xhalo)
+        for row0 in (bxp - ext, 2 * bxp - ext):
+            hc = pltpu.make_async_copy(
+                zeros_xhalo, out_hbm.at[pl.ds(row0, ext)], sem_halo
+            )
+            hc.start()
+            hc.wait()
+
+    for c_ in in_copies(i, slot):
+        c_.wait()
+
+    if n_lower > 0 or with_norm:
+        for lc in lower_copies:
+            lc.wait()
+        inv = coef_smem[0, 0]
+        win_r = slab[slot, 0:win] * inv
+        win_i = slab[slot, win : 2 * win] * inv
+        for s_idx in range(n_lower):
+            crc = coef_smem[1 + 2 * s_idx, 0]
+            cic = coef_smem[2 + 2 * s_idx, 0]
+            lr = lower_slab[(2 * s_idx) * win : (2 * s_idx + 1) * win]
+            li = lower_slab[(2 * s_idx + 1) * win : (2 * s_idx + 2) * win]
+            win_r = win_r - (crc * lr - cic * li)
+            win_i = win_i - (crc * li + cic * lr)
+    else:
+        win_r = slab[slot, 0:win]
+        win_i = slab[slot, win : 2 * win]
+
+    def center(w, x0):
+        return w[x0 : x0 + tx, yp : yp + by, zp : zp + bz]
+
+    cr_w = win_r[ext : ext + tx]  # full padded cross-section (rolled taps)
+    ci_w = win_i[ext : ext + tx]
+    c_r = center(win_r, ext)
+    c_i = center(win_i, ext)
+    acc_r = -center_c * c_r
+    acc_i = -center_c * c_i
+    for off, cf in zip(offsets, coeffs):
+        acc_r = acc_r + cf * (center(win_r, ext + off) + center(win_r, ext - off))
+        acc_i = acc_i + cf * (center(win_i, ext + off) + center(win_i, ext - off))
+        # y taps read the exchanged pad rows via aligned rolls
+        acc_r = acc_r + cf * (
+            pltpu.roll(cr_w, byp - off, 1)[:, yp : yp + by, zp : zp + bz]
+            + pltpu.roll(cr_w, off, 1)[:, yp : yp + by, zp : zp + bz]
+        )
+        acc_i = acc_i + cf * (
+            pltpu.roll(ci_w, byp - off, 1)[:, yp : yp + by, zp : zp + bz]
+            + pltpu.roll(ci_w, off, 1)[:, yp : yp + by, zp : zp + bz]
+        )
+        if zp > 0:
+            acc_r = acc_r + cf * (
+                pltpu.roll(cr_w, bzp - off, 2)[:, yp : yp + by, zp : zp + bz]
+                + pltpu.roll(cr_w, off, 2)[:, yp : yp + by, zp : zp + bz]
+            )
+            acc_i = acc_i + cf * (
+                pltpu.roll(ci_w, bzp - off, 2)[:, yp : yp + by, zp : zp + bz]
+                + pltpu.roll(ci_w, off, 2)[:, yp : yp + by, zp : zp + bz]
+            )
+        else:
+            acc_r = acc_r + cf * (
+                _shift_z(cr_w, off) + _shift_z(cr_w, -off)
+            )[:, yp : yp + by, :]
+            acc_i = acc_i + cf * (
+                _shift_z(ci_w, off) + _shift_z(ci_w, -off)
+            )[:, yp : yp + by, :]
+
+    if analytic is None:
+        for bc in b_copies:
+            bc.wait()
+        br = b_slab[0:tx]
+        bi = b_slab[tx : 2 * tx]
+    else:
+        x0 = (i * tx + jnp.int32(ext) + org_smem[0, 0]).astype(jnp.float32)
+        y0 = (jnp.int32(ext) + org_smem[1, 0]).astype(jnp.float32)
+        z0 = (jnp.int32(ext) + org_smem[2, 0]).astype(jnp.float32)
+        br, bi = _analytic_b_sc(analytic, (tx, by, bz), x0, y0, z0)
+    # factored complex update (see _evolve_kernel_sc)
+    ur = 2.0 * c_r + scale * acc_r
+    ui = 2.0 * c_i + scale * acc_i
+    new_r = br * ur - bi * ui - c_r
+    new_i = br * ui + bi * ur - c_i
+
+    @pl.when(i >= 1)
+    def _drain_prev_out():
+        for row0 in (0, tx):
+            pltpu.make_async_copy(
+                result.at[pl.ds(row0, tx)],
+                out_hbm.at[
+                    pl.ds(
+                        (jnp.int32(0) if row0 == 0 else jnp.int32(bxp))
+                        + (i - 1) * tx + ext,
+                        tx,
+                    ),
+                    pl.ds(yp, by),
+                    pl.ds(zp, bz),
+                ],
+                sem_out,
+            ).wait()
+
+    result[0:tx] = new_r
+    result[tx : 2 * tx] = new_i
+
+    def out_copies(x_idx):
+        return [
+            pltpu.make_async_copy(
+                result.at[pl.ds(0, tx)],
+                out_hbm.at[pl.ds(x_idx * tx + ext, tx), pl.ds(yp, by),
+                           pl.ds(zp, bz)],
+                sem_out,
+            ),
+            pltpu.make_async_copy(
+                result.at[pl.ds(tx, tx)],
+                out_hbm.at[
+                    pl.ds(jnp.int32(bxp) + x_idx * tx + ext, tx),
+                    pl.ds(yp, by), pl.ds(zp, bz),
+                ],
+                sem_out,
+            ),
+        ]
+
+    for oc in out_copies(i):
+        oc.start()
+
+    if with_norm or n_lower > 0:
+        @pl.when(i == 0)
+        def _init():
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+            for s in range(2 * n_lower):
+                over_out[s, 0] = jnp.zeros((), over_out.dtype)
+
+        norm_out[0, 0] += jnp.sum(new_r * new_r) + jnp.sum(new_i * new_i)
+    for s_idx in range(n_lower):
+        lr = lower_slab[
+            (2 * s_idx) * win + ext : (2 * s_idx) * win + ext + tx,
+            yp : yp + by,
+            zp : zp + bz,
+        ]
+        li = lower_slab[
+            (2 * s_idx + 1) * win + ext : (2 * s_idx + 1) * win + ext + tx,
+            yp : yp + by,
+            zp : zp + bz,
+        ]
+        over_out[2 * s_idx, 0] += jnp.sum(lr * new_r) + jnp.sum(li * new_i)
+        over_out[2 * s_idx + 1, 0] += jnp.sum(lr * new_i) - jnp.sum(li * new_r)
+
+    @pl.when(i == nprog - 1)
+    def _drain_tail():
+        for oc in out_copies(i):
+            oc.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "scale", "n_lower", "with_norm", "interpret", "analytic",
+        "zp",
+    ),
+)
+def evolve_step_fused_sc_yzp(
+    psi2_pad3: jnp.ndarray,
+    b2_pad3: Optional[jnp.ndarray],
+    store2_pad3: Optional[jnp.ndarray],
+    order: str,
+    scale: float,
+    n_lower: int = 0,
+    with_norm: bool = True,
+    interpret: bool = False,
+    coef: Optional[jnp.ndarray] = None,
+    analytic=None,
+    origin=None,
+    zp: int = _pk._YZP_ZPAD,
+):
+    """One fused split-complex sweep on a y/z-padded local block.
+
+    Args:
+      psi2_pad3: (2·(BX+2e), BY+16, BZ+2·zp) — x-concatenated (re, im),
+        each x-padded by ext and y/z padded by the alignment pads; the
+        innermost ext pad rows hold neighbour data (or zeros at global
+        edges), refreshed by the caller per step.
+      b2_pad3: (2·BX, BY+16, BZ+2·zp) stacked (Br, Bi) interior rows in the
+        same y/z-padded layout (pads unread), or None with ``analytic``.
+      store2_pad3: (S, 2·(BX+2e), BY+16, BZ+2·zp) stored pairs, halos/pads
+        filled like ψ's.
+      coef: (1+2S, 1) [inv, cr_0, ci_0, …] affine correction.
+      origin: (3, 1) i32 global interior (x, y, z) origin of this shard.
+
+    Returns:
+      (ψ'2_pad3, norm2, overlaps[2S]) — y/z pads of ψ' unwritten (the
+      caller must refresh before the next read); reductions cover the
+      interior block only.
+    """
+    ext = _EXT[order]
+    bxp2, byp, bzp = psi2_pad3.shape
+    bxp = bxp2 // 2
+    bx = bxp - 2 * ext
+    by = byp - 2 * _pk._YZP_YPAD
+    bz = bzp - 2 * zp
+    dtype = psi2_pad3.dtype
+    tx = _pick_tx_sc_yzp(bx, byp, bzp, by, bz, ext, dtype.itemsize, n_lower,
+                         analytic is not None)
+    if tx is None:
+        raise ValueError(
+            f"y/z-padded split sweep does not fit VMEM for block {by}x{bz}"
+        )
+    if b2_pad3 is None:
+        assert analytic is not None
+        b2_pad3 = jnp.zeros((2, 1, 1), dtype=dtype)
+    if store2_pad3 is None or n_lower == 0:
+        store2_pad3 = jnp.zeros((1, 2 * bxp, byp, bzp), dtype=dtype)
+    n_store = store2_pad3.shape[0]
+    store_flat = store2_pad3.reshape(n_store * 2 * bxp, byp, bzp)
+    if coef is None:
+        coef = jnp.concatenate(
+            [jnp.ones((1, 1), dtype), jnp.zeros((2 * n_store, 1), dtype)]
+        )
+    if origin is None:
+        origin = jnp.zeros((3, 1), jnp.int32)
+    else:
+        origin = jnp.asarray(origin, jnp.int32).reshape(3, 1)
+
+    kernel = functools.partial(
+        _evolve_kernel_sc_yzp,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        by=by,
+        bz=bz,
+        n_lower=n_lower,
+        with_norm=with_norm,
+        analytic=analytic,
+        zp=zp,
+    )
+    win = tx + 2 * ext
+    b_slab_shape = (1, 8, 128) if analytic is not None else (2 * tx, by, bz)
+    with jax.enable_x64(False):
+        out2, norm2, overlaps = pl.pallas_call(
+            kernel,
+            grid=(bx // tx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2 * bxp, byp, bzp), dtype),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+                jax.ShapeDtypeStruct((2 * n_store, 1), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 2 * win, byp, bzp), dtype),
+                pltpu.VMEM(b_slab_shape, dtype),
+                pltpu.VMEM((2 * tx, by, bz), dtype),
+                pltpu.VMEM(
+                    (n_store * 2 * win, byp, bzp) if n_lower > 0
+                    else (1, 1, 128),
+                    dtype,
+                ),
+                pltpu.VMEM((ext, byp, bzp), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((max(n_store, 1),)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )(psi2_pad3, b2_pad3, store_flat, coef, origin)
+    return out2, norm2[0, 0], overlaps[: 2 * (n_lower or 1), 0]

@@ -74,25 +74,40 @@ class ShardedSplitOps:
         # single-axis y/z mesh transposes its sharded axis to x so the
         # whole split-kernel ladder applies unchanged (round-2 split ran
         # pallas only on NATURAL x-only meshes — a (1,8,1) complex run
-        # fell all the way back to XLA).
+        # fell all the way back to XLA). Multi-axis meshes ride the
+        # y/z-padded split kernel (pallas_split._evolve_kernel_sc_yzp),
+        # ranked like ShardedOps: prefer a permutation with the unsharded
+        # axis last (zp=0 — the global z Dirichlet stays in-register, no
+        # 128-lane pads).
         def _classify(p):
             ms = tuple(natural_shape[i] for i in p)
             nx_, ny_, nz_ = (dims[i] for i in p)
-            bx_ = nx_ // ms[0]
+            bx_, by_, bz_ = nx_ // ms[0], ny_ // ms[1], nz_ // ms[2]
             if (
-                ms[1] != 1
-                or ms[2] != 1
-                or config.real_dtype != jnp.float32
+                config.real_dtype != jnp.float32
                 or nx_ % ms[0]
-                or ny_ % 8
-                or nz_ % 128
+                or ny_ % ms[1]
+                or nz_ % ms[2]
                 or bx_ < ext
-                or not ps_mod.step_fused_sc_supported(
+            ):
+                return 0, None, 0
+            if (
+                ms[1] == 1
+                and ms[2] == 1
+                and ny_ % 8 == 0
+                and nz_ % 128 == 0
+                and ps_mod.step_fused_sc_supported(
                     bx_, ny_, nz_, ext, itemsize, n_lower
                 )
             ):
-                return 0
-            return 1
+                return 3, "x", 0
+            if (ms[1] > 1 or ms[2] > 1) and by_ >= ext and bz_ >= ext:
+                zp_ = 0 if ms[2] == 1 else ps_mod._pk._YZP_ZPAD
+                if ps_mod.step_fused_sc_yzp_supported(
+                    bx_, by_, bz_, ext, itemsize, n_lower, zp_
+                ):
+                    return (2 if zp_ == 0 else 1), "yzp", zp_
+            return 0, None, 0
 
         import itertools as _it
 
@@ -103,8 +118,11 @@ class ShardedSplitOps:
         _cands += [
             p for p in _it.permutations(range(3)) if p not in _cands
         ]
-        _best = max(range(len(_cands)), key=lambda j: _classify(_cands[j]))
-        pallas_ok = _classify(_cands[_best]) > 0
+        _best = max(
+            range(len(_cands)), key=lambda j: _classify(_cands[j])[0]
+        )
+        _rank, pallas_mode, yzp_zp = _classify(_cands[_best])
+        pallas_ok = _rank > 0
         perm = _cands[_best] if pallas_ok else _sorted_perm
         self.perm = perm
         self.inv_perm = tuple(int(i) for i in np.argsort(perm))
@@ -112,16 +130,20 @@ class ShardedSplitOps:
         self.axis_names = axis_names
         self.mesh_shape = tuple(natural_shape[i] for i in perm)
         mesh_shape = self.mesh_shape
+        self.yzp_zp = yzp_zp
         nx, ny, nz = (dims[i] for i in perm)
         bx = nx // mesh_shape[0]
+        by = ny // mesh_shape[1]
+        bz = nz // mesh_shape[2]
         if use_pallas is None:
             use_pallas = pallas_ok and jax.default_backend() not in ("cpu",)
         elif use_pallas and not pallas_ok:
             raise ValueError(
-                "sharded split pallas sweep requires a single-axis mesh, "
-                "f32, tile-aligned y/z and a VMEM-sized block"
+                "sharded split pallas sweep requires f32, tile-aligned "
+                "per-shard blocks and a VMEM-sized slab"
             )
         self.use_pallas = use_pallas
+        self.pallas_mode = pallas_mode if use_pallas else None
 
         # analytic complex-B per shard (the shard's global x origin rides a
         # traced SMEM scalar, so the (Br, Bi) streams are skipped)
@@ -132,11 +154,25 @@ class ShardedSplitOps:
             PotentialType.COMPLEX_HARMONIC: "Harmonic",
             PotentialType.COMPLEX_COULOMB: "Coulomb",
         }
+        if self.pallas_mode == "x":
+            _analytic_fits = (
+                ps_mod._pick_tx_sc(bx, ny, nz, ext, itemsize, n_lower, True)
+                is not None
+            )
+        elif self.pallas_mode == "yzp":
+            _analytic_fits = (
+                ps_mod._pick_tx_sc_yzp(
+                    bx, by + 2 * ps_mod._pk._YZP_YPAD, bz + 2 * yzp_zp,
+                    by, bz, ext, itemsize, n_lower, True,
+                )
+                is not None
+            )
+        else:
+            _analytic_fits = False
         if (
             use_pallas
             and config.potential in _sc_kinds
-            and ps_mod._pick_tx_sc(bx, ny, nz, ext, itemsize, n_lower, True)
-            is not None
+            and _analytic_fits
         ):
             g = config.grid
             sc_analytic = (
@@ -162,7 +198,7 @@ class ShardedSplitOps:
         sc_res_steps = 0
         sc_whole_chunk = False
         sc_resb_plan = None
-        if use_pallas and n_lower == 0:
+        if use_pallas and self.pallas_mode == "x" and n_lower == 0:
             sc_whole_chunk = mesh_shape[0] == 1 and (
                 ps_mod.resident_sc_supported(bx, ny, nz, ext, itemsize)
             )
@@ -203,6 +239,7 @@ class ShardedSplitOps:
         sc_resb_sharded = None
         if (
             use_pallas
+            and self.pallas_mode == "x"
             and n_lower == 0
             and mesh_shape[0] > 1
             and sc_analytic is not None
@@ -247,6 +284,213 @@ class ShardedSplitOps:
             return pr, pi
 
         def _make_evolve_chunk_local(per_step_norm: bool):
+            def evolve_chunk_yzp_sc(pr, pi, br, bi, sr, si):
+                """Multi-axis-mesh split chunk via the y/z-padded split
+                kernel: the (re, im) pair rides the x-concatenated layout
+                with alignment pads (8 sublanes / 128 lanes) whose innermost
+                ext rows are refreshed from neighbours every step (one full
+                y/z strip covers BOTH components; x faces per component).
+                With ``yzp_zp == 0`` z carries no pads: the kernel's
+                in-register zero shifts ARE the global z Dirichlet."""
+                e = ext
+                yp = ps_mod._pk._YZP_YPAD
+                zp_l = yzp_zp
+                bxl, byl, bzl = pr.shape
+                bxp = bxl + 2 * e
+                dtype = pr.dtype
+                blens = (bxl, byl, bzl)
+                pad_off = (e, yp, zp_l)
+                pads = ((e, e), (yp, yp), (zp_l, zp_l))
+                origin = jnp.stack(
+                    [
+                        jax.lax.axis_index(axis_names[d]).astype(jnp.int32)
+                        * jnp.int32(blens[d])
+                        for d in range(3)
+                    ]
+                ).reshape(3, 1)
+
+                def to_p2(pr_, pi_):
+                    return jnp.concatenate(
+                        [jnp.pad(pr_, pads), jnp.pad(pi_, pads)], axis=0
+                    )
+
+                def refresh_x(p2):
+                    # x faces per component band (re at 0, im at bxp)
+                    if mesh_shape[0] == 1:
+                        z = jnp.zeros((e,) + p2.shape[1:], dtype)
+                        for base in (0, bxp):
+                            p2 = lax.dynamic_update_slice_in_dim(
+                                p2, z, base, 0
+                            )
+                            p2 = lax.dynamic_update_slice_in_dim(
+                                p2, z, base + e + bxl, 0
+                            )
+                        return p2
+                    for base in (0, bxp):
+                        hi = lax.slice_in_dim(
+                            p2, base + bxl, base + bxl + e, axis=0
+                        )
+                        lo = lax.slice_in_dim(
+                            p2, base + e, base + 2 * e, axis=0
+                        )
+                        fl = lax.ppermute(
+                            hi, axis_names[0],
+                            [(j, j + 1) for j in range(mesh_shape[0] - 1)],
+                        )
+                        fr = lax.ppermute(
+                            lo, axis_names[0],
+                            [(j + 1, j) for j in range(mesh_shape[0] - 1)],
+                        )
+                        p2 = lax.dynamic_update_slice_in_dim(p2, fl, base, 0)
+                        p2 = lax.dynamic_update_slice_in_dim(
+                            p2, fr, base + e + bxl, 0
+                        )
+                    return p2
+
+                def refresh_axis(p2, axis):
+                    # y/z strips span the concatenated x extent — one
+                    # ppermute refreshes both components at once
+                    pad = pad_off[axis]
+                    blen = blens[axis]
+                    lo = lax.slice_in_dim(p2, pad, pad + e, axis=axis)
+                    if mesh_shape[axis] == 1:
+                        z = jnp.zeros_like(lo)
+                        p2 = lax.dynamic_update_slice_in_dim(
+                            p2, z, pad - e, axis
+                        )
+                        return lax.dynamic_update_slice_in_dim(
+                            p2, z, pad + blen, axis
+                        )
+                    hi = lax.slice_in_dim(
+                        p2, pad + blen - e, pad + blen, axis=axis
+                    )
+                    fl = lax.ppermute(
+                        hi, axis_names[axis],
+                        [(j, j + 1) for j in range(mesh_shape[axis] - 1)],
+                    )
+                    fr = lax.ppermute(
+                        lo, axis_names[axis],
+                        [(j + 1, j) for j in range(mesh_shape[axis] - 1)],
+                    )
+                    p2 = lax.dynamic_update_slice_in_dim(
+                        p2, fl, pad - e, axis
+                    )
+                    return lax.dynamic_update_slice_in_dim(
+                        p2, fr, pad + blen, axis
+                    )
+
+                def refresh3(p2):
+                    p2 = refresh_x(p2)
+                    p2 = refresh_axis(p2, 1)
+                    if zp_l > 0:
+                        p2 = refresh_axis(p2, 2)
+                    return p2
+
+                _o2, _c2, _cc2, k2 = geometry.stencil_coefficients(order)
+                scale = dt / (k2 * dn * dn * mass)
+                b2_p3 = (
+                    None
+                    if sc_analytic is not None
+                    else jnp.concatenate(
+                        [
+                            jnp.pad(br, ((0, 0), (yp, yp), (zp_l, zp_l))),
+                            jnp.pad(bi, ((0, 0), (yp, yp), (zp_l, zp_l))),
+                        ],
+                        axis=0,
+                    )
+                )
+                store2_p3 = (
+                    jnp.stack(
+                        [
+                            refresh3(to_p2(sr[s], si[s]))
+                            for s in range(n_lower)
+                        ]
+                    )
+                    if n_lower > 0
+                    else None
+                )
+
+                def split_out(p2):
+                    return (
+                        p2[e : e + bxl, yp : yp + byl, zp_l : zp_l + bzl],
+                        p2[
+                            bxp + e : bxp + e + bxl,
+                            yp : yp + byl,
+                            zp_l : zp_l + bzl,
+                        ],
+                    )
+
+                if n_lower == 0 and not per_step_norm:
+
+                    def body(_i, p2):
+                        p2 = refresh3(p2)
+                        out2, _n2, _ov = ps_mod.evolve_step_fused_sc_yzp(
+                            p2, b2_p3, None, order, scale, 0, False,
+                            pallas_interpret, analytic=sc_analytic,
+                            origin=origin, zp=zp_l,
+                        )
+                        return out2
+
+                    p2 = lax.fori_loop(0, screen_update, body, to_p2(pr, pi))
+                    return split_out(p2)
+
+                if n_lower == 0:
+
+                    def body_norm(_i, carry):
+                        p2, coef = carry
+                        p2 = refresh3(p2)
+                        out2, n2_loc, _ov = ps_mod.evolve_step_fused_sc_yzp(
+                            p2, b2_p3, None, order, scale, 0, True,
+                            pallas_interpret, coef, sc_analytic, origin,
+                            zp_l,
+                        )
+                        inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                        return out2, inv.reshape(1, 1)
+
+                    coef0 = jnp.ones((1, 1), dtype)
+                    p2, coef = lax.fori_loop(
+                        0, screen_update, body_norm, (to_p2(pr, pi), coef0)
+                    )
+                    out_r, out_i = split_out(p2)
+                    return out_r * coef[0, 0], out_i * coef[0, 0]
+
+                coef0 = jnp.concatenate(
+                    [
+                        jnp.ones((1, 1), dtype),
+                        jnp.zeros((2 * n_lower, 1), dtype),
+                    ]
+                )
+
+                def body_exc(_i, carry):
+                    p2, coef = carry
+                    p2 = refresh3(p2)
+                    out2, n2_loc, ov_loc = ps_mod.evolve_step_fused_sc_yzp(
+                        p2, b2_p3, store2_p3, order, scale, n_lower, True,
+                        pallas_interpret, coef, sc_analytic, origin, zp_l,
+                    )
+                    inv = (1.0 / jnp.sqrt(_psum(n2_loc))).astype(dtype)
+                    ov = _psum(ov_loc)
+                    coef = jnp.concatenate(
+                        [
+                            inv.reshape(1, 1),
+                            (ov * inv).reshape(2 * n_lower, 1),
+                        ]
+                    )
+                    return out2, coef
+
+                p2, coef = lax.fori_loop(
+                    0, screen_update, body_exc, (to_p2(pr, pi), coef0)
+                )
+                out_r, out_i = split_out(p2)
+                out_r = out_r * coef[0, 0]
+                out_i = out_i * coef[0, 0]
+                for s in range(n_lower):
+                    cr = coef[1 + 2 * s, 0]
+                    ci = coef[2 + 2 * s, 0]
+                    out_r = out_r - (cr * sr[s] - ci * si[s])
+                    out_i = out_i - (cr * si[s] + ci * sr[s])
+                return out_r, out_i
+
             def step_local(pr, pi, ar, ai, br, bi, sr, si):
                 tr = stencil_taps(
                     exchange_halos(pr, ext, mesh_shape, axis_names), order
@@ -272,6 +516,8 @@ class ShardedSplitOps:
                         lambda _i, c: step_local(c[0], c[1], ar, ai, br, bi, sr, si),
                         (pr, pi),
                     )
+                if self.pallas_mode == "yzp":
+                    return evolve_chunk_yzp_sc(pr, pi, br, bi, sr, si)
 
                 # fused split-kernel path: ppermute x-halo refresh of both
                 # components + the local pallas sweep; excited states carry
