@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from wafer_tpu import geometry
+from wafer_tpu.ops.observables import hybrid_sum
 from wafer_tpu.ops.stencil import stencil_taps
 
 
@@ -121,17 +122,22 @@ def measure_and_prepare_sc(
     tr = stencil_taps(pr, order)
     ti = stencil_taps(pi, order)
 
-    # energy = Σ V|ψ|² − ψ*·taps/denom; ψ*·taps = (wr−i·wi)(tr+i·ti)
-    e_re = jnp.sum(vrw * abs2 - (wr * tr + wi * ti) / denom)
-    e_im = jnp.sum(viw * abs2 - (wr * ti - wi * tr) / denom)
-    norm2 = jnp.sum(abs2)
+    # energy = Σ V|ψ|² − ψ*·taps/denom; ψ*·taps = (wr−i·wi)(tr+i·ti).
+    # The five convergence-critical sums accumulate via hybrid_sum (f32
+    # rows, f64 combine under x64) like the native-complex path
+    # (ops/observables.py) and the sharded split path
+    # (parallel/sharded_split.py) — plain f32 sums over ≥16M cells drown
+    # the 1e-6 ΔE/N signal whenever |E| ≳ 2 (BASELINE config 4, 256³).
+    e_re = hybrid_sum(vrw * abs2 - (wr * tr + wi * ti) / denom)
+    e_im = hybrid_sum(viw * abs2 - (wr * ti - wi * tr) / denom)
+    norm2 = hybrid_sum(abs2)
     if pot_sub_array is not None:
-        v_inf = jnp.sum(abs2 * pot_sub_array)
+        v_inf = hybrid_sum(abs2 * pot_sub_array)
     elif pot_sub_scalar is not None:
         v_inf = norm2 * pot_sub_scalar
     else:
-        v_inf = jnp.zeros((), dtype=abs2.dtype)
-    r2 = jnp.sum(abs2 * r2_grid)
+        v_inf = jnp.zeros((), dtype=norm2.dtype)
+    r2 = hybrid_sum(abs2 * r2_grid)
 
     inv = (1.0 / jnp.sqrt(norm2)).astype(pr.dtype)
     pr, pi = pr * inv, pi * inv

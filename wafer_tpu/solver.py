@@ -190,9 +190,13 @@ def make_batched_runner(measure_fn, evolve_fn, tolerance, is_complex,
                 one = jnp.ones((), rdt)
                 zf = jnp.zeros((), rdt)
                 if split_pair:
-                    # split observables carry the ψ dtype (plain f32 sums,
-                    # no hybrid-f64 accumulation on this path)
-                    mdt = jax.tree_util.tree_leaves(phi_c)[0].dtype
+                    # split observables ride hybrid_sum: f64 under x64,
+                    # else the ψ dtype (ops/split_complex.py)
+                    mdt = (
+                        jnp.float64
+                        if jax.config.jax_enable_x64
+                        else jax.tree_util.tree_leaves(phi_c)[0].dtype
+                    )
                     zm = jnp.zeros((), mdt)
                     row = (zm, zm, jnp.ones((), mdt), zm, zm)
                 else:
