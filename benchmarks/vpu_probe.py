@@ -45,7 +45,7 @@ TX = 16
 SCALE = 0.001
 
 
-def _kernel(x_hbm, o_hbm, buf, sem, *, mix: str):
+def _kernel(x_hbm, o_hbm, buf, rplane, sem, *, mix: str):
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -54,11 +54,31 @@ def _kernel(x_hbm, o_hbm, buf, sem, *, mix: str):
         cp = pltpu.make_async_copy(x_hbm, buf, sem)
         cp.start()
         cp.wait()
+        # hoisted reciprocal plane r = 1/P_yz (the "horner" mix's
+        # once-per-chunk precompute; others ignore it)
+        dy = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0).astype(
+            jnp.float32
+        ) - jnp.float32(N / 2)
+        dz = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1).astype(
+            jnp.float32
+        ) - jnp.float32(N / 2)
+        rplane[...] = 1.0 / (1.0 + jnp.float32(0.25 * 1e-4) * (dy * dy + dz * dz))
 
     for rs in range(0, N, TX):
         c = buf[rs : rs + TX]
         if mix == "fma":
             acc = (-6.0) * c
+        elif mix == "rowtaps":
+            # shuffle-free upper bound: all six taps read as axis-0 row
+            # windows (physically wrong — it prices the hypothetical where
+            # no lane/sublane shuffles exist, i.e. the ceiling for ANY
+            # "plane-reuse"/layout scheme; a 3D array has one row axis, so
+            # two of the three tap axes must pay shuffles — this bound is
+            # unreachable, see docs/KERNEL.md round-4 notes)
+            acc = (-6.0) * c
+            for off in (-1, 1, -2, 2, -3, 3):
+                ro = min(max(rs + off, 0), N - TX)
+                acc += buf[ro : ro + TX]
         else:
             # 6 taps with the sweep's real shift lowering (x: slice pair —
             # ascending in-place sweeps make one side a plain slice;
@@ -78,6 +98,18 @@ def _kernel(x_hbm, o_hbm, buf, sem, *, mix: str):
             q = jnp.float32(0.25 * 1e-4) * (dx * dx)
             yz = buf[rs : rs + TX] * jnp.float32(0.0) + jnp.float32(1.0)
             b = 1.0 / (yz + q)
+        elif mix == "horner":
+            # divide-free analytic B: b = 1/(P + q) = r·1/(1 + g), g = q·r,
+            # expanded as a 4-term alternating Horner series (exact to f32
+            # when g_max^4 < eps — true for every stability-bounded
+            # harmonic config, where g = dt/4·x_phys² ≤ ~0.02)
+            dx = jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0).astype(
+                jnp.float32
+            ) + jnp.float32(rs - N / 2)
+            q = jnp.float32(0.25 * 1e-4) * (dx * dx)
+            r = rplane[...][None, :, :]
+            g = q * r
+            b = r * (1.0 - g * (1.0 - g * (1.0 - g)))
         else:
             b = jnp.float32(0.98)
         buf[rs : rs + TX] = b * (2.0 * c + SCALE * acc) - c
@@ -103,6 +135,7 @@ def _make_chain(mix: str, reps: int):
                 out_shape=jax.ShapeDtypeStruct((N, N, N), jnp.float32),
                 scratch_shapes=[
                     pltpu.VMEM((N, N, N), jnp.float32),
+                    pltpu.VMEM((N, N), jnp.float32),
                     pltpu.SemaphoreType.DMA,
                 ],
                 compiler_params=pltpu.CompilerParams(
@@ -148,10 +181,17 @@ def main():
     r_fma = measure("fma")
     r_taps = measure("taps")
     r_full = measure("full")
+    r_rows = measure("rowtaps")
+    r_horn = measure("horner")
     print(json.dumps({
         "shift_cost_pct": round(100 * (r_fma - r_taps) / r_fma, 1),
         "analyticB_cost_pct": round(100 * (r_taps - r_full) / max(r_taps, 1), 1),
         "full_rate": f"{r_full:.3e}",
+        # round-4 probes: the shuffle-free tap bound (ceiling for any
+        # plane-reuse/layout scheme) and the divide-free Horner-B mix
+        "rowtaps_bound": f"{r_rows:.3e}",
+        "horner_rate": f"{r_horn:.3e}",
+        "horner_vs_full_pct": round(100 * (r_horn - r_full) / max(r_full, 1), 1),
     }))
 
 

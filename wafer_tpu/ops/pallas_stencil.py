@@ -2040,6 +2040,39 @@ def b_to_xpad_k(b_int: jnp.ndarray, ext: int, k_steps: int) -> jnp.ndarray:
 # (src/grid.rs:544-687) for the ground state (no per-step reductions,
 # src/grid.rs:674-681 applies to excited states only).
 
+def _harmonic_series_terms(analytic) -> Optional[int]:
+    """Static choice of the divide-free Horner-B series length for the
+    Harmonic resident kernels, or None → per-slab f32 divide.
+
+    b = 1/(P_yz + q_x) = r·1/(1 + g) with r = 1/P_yz hoisted once per
+    chunk and g = q_x·r; the alternating series Σ(−g)ᵏ truncated at n
+    terms carries relative error ≤ g_maxⁿ⁺¹. The f32 divide is the single
+    most expensive op in the resident sweep (benchmarks/vpu_probe.py
+    round 4: divide-based mix 1.25e11 vs Horner 1.83e11, +46%), so any
+    config whose static worst-case g needs ≤ 6 fma terms for sub-eps
+    truncation takes the series. g_max = q_max/P_min with
+    q_max = dt·dn²/4·dx_max² (dx_max ≤ ngx/2 + pads) and
+    P_min = 1 − dt/2·vshift (the hoisted plane's minimum, dy=dz=0)."""
+    _kind, dn, dt_, _mass, ngx, _ngy, _ngz = analytic[:7]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    p_min = 1.0 - 0.5 * dt_ * vshift
+    if p_min <= 1e-3:
+        return None
+    dx_max = 0.5 * ngx + 8.0
+    g_max = (0.25 * dt_ * dn * dn) * dx_max * dx_max / p_min
+    if g_max >= 0.25:
+        return None
+    eps_half = 5.96e-8  # 0.5 · f32 eps
+    n = 1
+    err = g_max * g_max  # truncation after n terms: g^(n+1)
+    while err > eps_half:
+        n += 1
+        err *= g_max
+        if n > 6:
+            return None
+    return n
+
+
 def _res_hoist_yz(kind, analytic, ny, nz, ext, y0=None, z0=None):
     """Plane-constant hoist for the resident kernels' in-kernel B: the
     value stored once in yz_buf and reused by every slab of every step.
@@ -2054,8 +2087,14 @@ def _res_hoist_yz(kind, analytic, ny, nz, ext, y0=None, z0=None):
         ext if z0 is None else z0,
     )
     if kind == "Harmonic":
-        # b = 1/(P + q_x): P = 1 − dt/2·vshift + dt·dn²/4·(dy²+dz²)
-        return (1.0 - 0.5 * dt_ * vshift) + (0.25 * dt_ * dn * dn) * yz
+        # b = 1/(P + q_x): P = 1 − dt/2·vshift + dt·dn²/4·(dy²+dz²);
+        # when the Horner series engages the hoist is the RECIPROCAL
+        # plane r = 1/P (one plane divide per chunk) — _res_b_slab
+        # makes the same static choice
+        p = (1.0 - 0.5 * dt_ * vshift) + (0.25 * dt_ * dn * dn) * yz
+        if _harmonic_series_terms(analytic) is not None:
+            return 1.0 / p
+        return p
     if kind == "Periodic":
         # b = 1/(C − s_x·S): S = dt/2·sin²y·sin²z (yz is the product)
         return (0.5 * dt_) * yz
@@ -2078,6 +2117,18 @@ def _res_b_slab(kind, analytic, yz_val, x0f, txs, ny, nz, ext):
             jnp.float32
         ) + (x0f - (ngx + 1.0) / 2.0)
         q = (0.25 * dt_ * dn * dn) * (dx * dx)
+        n_terms = _harmonic_series_terms(analytic)
+        if n_terms is not None:
+            # divide-free B: yz_val is the hoisted reciprocal plane
+            # r = 1/P; b = r·(1 − g + g² − …) with g = q·r — truncation
+            # ≤ g_maxⁿ⁺¹ < eps/2 by the static series-length choice
+            # (probe: +46% over the per-slab divide, vpu_probe.py r4)
+            r = yz_val[None, :, :]
+            g = q * r
+            acc = 1.0 - g
+            for _ in range(n_terms - 1):
+                acc = 1.0 - g * acc
+            return r * acc
         return 1.0 / (yz_val[None, :, :] + q)
     if kind == "Periodic":
         px = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
@@ -3710,6 +3761,383 @@ def evolve_window_res_yzp(
                 pltpu.VMEM((byp, bzp), dtype),
                 pltpu.VMEM((byp, bzp), dtype),
                 pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        )(phi_pad3, origin, edges)
+    if with_norm:
+        return out, n2[0, 0]
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# x-blocked y/z-padded window kernel: multi-axis shards whose block > VMEM
+# --------------------------------------------------------------------------- #
+#
+# At 512³ on a (4,2,1)-class mesh the deep-padded local block exceeds the
+# resident budget, so pick_res_yzp declines and the driver fell back to the
+# 1-step yzp stream (one ψ HBM read+write AND one per-axis ppermute round
+# per step). This kernel composes the two proven pieces: the deep-padded
+# window layout + once-per-R-steps exchange of _evolve_kernel_res_yzp, with
+# _evolve_kernel_resb's x-blocked out-of-place streaming INSIDE the window —
+# NX_local is split into VMEM-sized x-blocks, each loaded with an R·ext-deep
+# x ghost zone and swept blind R times on-chip (y/z taps ride the full
+# padded planes exactly as the whole-block kernel; y/z extents are never
+# blocked). The pass is out-of-place, so every block reads pre-window data
+# and the deep-ghost-zone exactness argument applies per block, per axis.
+# Decomposition seam: /root/reference/src/config.rs:222-239,
+# src/grid.rs:505-534. Ground state, analytic-B only.
+
+
+def pick_resb_yzp(bx: int, by: int, bz: int, ext: int, itemsize: int,
+                  screen_update: int, zp: int):
+    """(bxk, r, tx, yp) window plan for the x-blocked y/z-padded kernel, or
+    None. Tried by the sharded driver only where :func:`pick_res_yzp`
+    declined (deep-padded block > VMEM); the rate model is pick_resb's
+    (serial DMA at ~0.73 VPU-row-equivalents per transferred row)."""
+    if itemsize != 4:
+        return None
+    best = None
+    best_rate = 0.0
+    for r in (8, 4, 2):
+        if screen_update % r:
+            continue
+        h = r * ext
+        if bx < h or by < h or (zp > 0 and (bz < h or h > zp)):
+            continue
+        yp = 8 * ((h + 7) // 8)
+        byp = by + 2 * yp
+        bzp = bz + 2 * zp
+        plane = byp * bzp * itemsize
+        for bxk in (256, 192, 128, 96, 64, 48, 32, 16):
+            if bx % bxk or bxk <= ext:
+                continue
+            bxkp = bxk + 2 * h
+            if bxkp * plane > _RES_BUDGET:
+                continue
+            tx = _pick_tx_resb(bxkp, ext, h, plane)
+            if tx is None:
+                continue
+            vpu_rows = r * (bxk + 2 * (r - 1) * ext)
+            rate = bxk * r / (vpu_rows + 0.73 * (bxkp + bxk))
+            if rate > best_rate:
+                best, best_rate = (bxk, r, tx, yp), rate
+    return best
+
+
+def _evolve_kernel_resb_yzp(
+    phi_hbm,    # (BX+2H, BYP, BZP) ANY — deep-padded local block
+    org_smem,   # (3, 1) SMEM i32 — global interior (x, y, z) origin
+    edge_smem,  # (6, 1) SMEM i32 — [xlo, xhi, ylo, yhi, zlo, zhi]
+    out_hbm,    # (BX+2H, BYP, BZP) ANY
+    norm_out,   # (1, 1) SMEM — final step's LOCAL interior ‖ψ‖² (with_norm)
+    psi_a,      # (BXK+2H, BYP, BZP) VMEM — block buffer
+    lag,        # (ext, BYP, BZP) VMEM
+    yz_buf,     # (BYP, BZP) VMEM — hoisted plane constant
+    mask_buf,   # (BYP, BZP) VMEM — y/z global-edge Dirichlet mask
+    zeros_halo, # (H, BYP, BZP) VMEM
+    sem_in,     # DMA (nslabs,)
+    sem_out,    # DMA (nslabs,)
+    sem_halo,
+    *,
+    order: str,
+    scale: float,
+    bxk: int,
+    tx: int,
+    ext: int,
+    analytic,
+    halo: int,  # R·ext
+    yp: int,
+    zp: int,
+    by: int,
+    bz: int,
+    r_steps: int,
+    with_norm: bool = False,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    idx = pl.program_id(0)
+    nblk = pl.num_programs(0) // r_steps
+    i = idx // r_steps         # block index (outer)
+    t = idx - i * r_steps      # in-block step (inner, sequential)
+    byp, bzp = psi_a.shape[1], psi_a.shape[2]
+    kind = analytic[0]
+    h = halo
+    bxp = bxk + 2 * h
+    x_row0 = (
+        (i * bxk).astype(jnp.float32)
+        + org_smem[0, 0].astype(jnp.float32)
+        + jnp.float32(ext - h)
+    )
+    last_t = t == r_steps - 1
+
+    rows_swept = bxp - 2 * ext
+    slabs = [(ext + s * tx, tx) for s in range(rows_swept // tx)]
+    if rows_swept % tx:
+        slabs.append((ext + (rows_swept // tx) * tx, rows_swept % tx))
+    nslabs = len(slabs)
+    seg_lo = [0] + [rs for rs, _t in slabs[1:]]
+    seg_hi = seg_lo[1:] + [bxp]
+    out_rng = []
+    for rs, txs in slabs:
+        lo = max(rs, h)
+        hi = min(rs + txs, h + bxk)
+        out_rng.append((lo, hi) if hi > lo else None)
+
+    def in_seg(blk, s, buf):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(blk * bxk + seg_lo[s], seg_hi[s] - seg_lo[s])],
+            buf.at[pl.ds(seg_lo[s], seg_hi[s] - seg_lo[s])],
+            sem_in.at[s],
+        )
+
+    def out_seg(blk, s, buf):
+        lo, hi = out_rng[s]
+        return pltpu.make_async_copy(
+            buf.at[pl.ds(lo, hi - lo)],
+            out_hbm.at[pl.ds(blk * bxk + lo, hi - lo)],
+            sem_out.at[s],
+        )
+
+    @pl.when(idx == 0)
+    def _hoist():
+        # hoisted plane constant + y/z global-edge Dirichlet mask on the
+        # PADDED plane — see _evolve_kernel_res_yzp._load
+        y0 = org_smem[1, 0].astype(jnp.float32) + jnp.float32(ext - yp)
+        z0 = org_smem[2, 0].astype(jnp.float32) + jnp.float32(ext - zp)
+        yz_buf[...] = _res_hoist_yz(kind, analytic, byp, bzp, ext, y0, z0)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (byp, bzp), 0)
+        m = jnp.ones((byp, bzp), psi_a.dtype)
+        m = jnp.where(jnp.logical_and(edge_smem[2, 0] == 1, yi < yp), 0.0, m)
+        m = jnp.where(
+            jnp.logical_and(edge_smem[3, 0] == 1, yi >= yp + by), 0.0, m
+        )
+        if zp > 0:
+            zi = jax.lax.broadcasted_iota(jnp.int32, (byp, bzp), 1)
+            m = jnp.where(
+                jnp.logical_and(edge_smem[4, 0] == 1, zi < zp), 0.0, m
+            )
+            m = jnp.where(
+                jnp.logical_and(edge_smem[5, 0] == 1, zi >= zp + bz), 0.0, m
+            )
+        mask_buf[...] = m
+
+    def sweep(buf, cold_waits):
+        lag[...] = buf[0:ext]
+        for s_idx, (rs, txs) in enumerate(slabs):
+            if cold_waits is not None and s_idx + 1 < nslabs:
+
+                @pl.when(cold_waits)
+                def _wait_next_seg(_s=s_idx + 1):
+                    in_seg(i, _s, buf).wait()
+
+            c = buf[rs : rs + txs]
+            acc = (-float(center_c)) * c
+            for off, cf in zip(offsets, coeffs):
+                cf = float(cf)
+                xm = jnp.concatenate(
+                    [lag[ext - off : ext], buf[rs : rs + txs - off]], axis=0
+                )
+                xp_ = buf[rs + off : rs + txs + off]
+                acc += cf * (xm + xp_)
+                # full-padded-plane rolls: wrap garbage enters at the pad
+                # edge and creeps inward ext/step — covered by pads ≥ R·ext
+                acc += cf * (
+                    pltpu.roll(c, byp - off, 1) + pltpu.roll(c, off, 1)
+                )
+                if zp > 0:
+                    acc += cf * (
+                        pltpu.roll(c, bzp - off, 2) + pltpu.roll(c, off, 2)
+                    )
+                else:
+                    acc += cf * (_shift_z(c, off) + _shift_z(c, -off))
+            b = _res_b_slab(
+                kind, analytic, yz_buf[...], x_row0 + jnp.float32(rs), txs,
+                byp, bzp, ext,
+            )
+            new = (b * (2.0 * c + scale * acc) - c) * mask_buf[...][None]
+            if with_norm:
+                # final step's LOCAL interior norm² partial (windowed drift
+                # guard — see _evolve_kernel_res_yzp); accumulated across
+                # blocks (the grid is sequential)
+                v_lo = max(rs, h) - rs
+                v_hi = min(rs + txs, bxp - h) - rs
+                first = rs == slabs[0][0]
+
+                @pl.when(last_t)
+                def _acc_norm(_vl=v_lo, _vh=v_hi, _first=first, _new=new):
+                    if _first:
+
+                        @pl.when(i == 0)
+                        def _init():
+                            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+
+                    if _vh > _vl:
+                        nm = _new[_vl:_vh, yp : yp + by, zp : zp + bz]
+                        norm_out[0, 0] += jnp.sum(nm * nm)
+            lag[...] = buf[rs + txs - ext : rs + txs]
+            buf[rs : rs + txs] = new
+
+    def dirichlet(buf):
+        # deep-halo x Dirichlet: global-edge blocks re-zero their halo side
+        # after every step (the blind sweep wrote into it); shard-interior
+        # sides hold exchanged neighbour rows
+        @pl.when(jnp.logical_and(i == 0, edge_smem[0, 0] == 1))
+        def _lo():
+            buf[0:h] = jnp.zeros((h, byp, bzp), buf.dtype)
+
+        @pl.when(jnp.logical_and(i == nblk - 1, edge_smem[1, 0] == 1))
+        def _hi():
+            buf[bxp - h : bxp] = jnp.zeros((h, byp, bzp), buf.dtype)
+
+    # serial schedule (the measured-best variant of _evolve_kernel_resb:
+    # overlap schemes all ran at or below it on v5e)
+    @pl.when(jnp.logical_and(t == 0, i >= 1))
+    def _drain_prev():
+        for s in range(nslabs):
+            if out_rng[s] is not None:
+                out_seg(i - 1, s, psi_a).wait()
+
+    @pl.when(t == 0)
+    def _load():
+        for s in range(nslabs):
+            in_seg(i, s, psi_a).start()
+        in_seg(i, 0, psi_a).wait()
+
+    sweep(psi_a, t == 0)
+    dirichlet(psi_a)
+
+    @pl.when(last_t)
+    def _emit_outs():
+        for s in range(nslabs):
+            if out_rng[s] is not None:
+                out_seg(i, s, psi_a).start()
+
+    @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+    def _drain_tail():
+        for s in range(nslabs):
+            if out_rng[s] is not None:
+                out_seg(i, s, psi_a).wait()
+
+    if not with_norm:
+        @pl.when(jnp.logical_and(last_t, i == nblk - 1))
+        def _zero_norm():
+            norm_out[0, 0] = jnp.zeros((), norm_out.dtype)
+
+    # the out block's x-halo rows at GLOBAL edges are Dirichlet zeros; at
+    # shard seams they are refreshed by the caller's exchange before the
+    # next window (refresh_deep), so only edge flags need the zeros
+    @pl.when(
+        jnp.logical_and(
+            jnp.logical_and(last_t, i == 0), edge_smem[0, 0] == 1
+        )
+    )
+    def _zero_lo():
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        hc = pltpu.make_async_copy(zeros_halo, out_hbm.at[pl.ds(0, h)],
+                                   sem_halo)
+        hc.start()
+        hc.wait()
+
+    @pl.when(
+        jnp.logical_and(
+            jnp.logical_and(last_t, i == nblk - 1), edge_smem[1, 0] == 1
+        )
+    )
+    def _zero_hi():
+        nxp_rows = out_hbm.shape[0]
+        zeros_halo[...] = jnp.zeros_like(zeros_halo)
+        hc = pltpu.make_async_copy(
+            zeros_halo, out_hbm.at[pl.ds(nxp_rows - h, h)], sem_halo
+        )
+        hc.start()
+        hc.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "scale", "n_steps", "analytic", "interpret", "halo", "yp",
+        "zp", "bxk", "tx", "with_norm",
+    ),
+)
+def evolve_window_resb_yzp(
+    phi_pad3: jnp.ndarray,
+    order: str,
+    scale: float,
+    n_steps: int,
+    analytic,
+    origin,
+    edges,
+    halo: int,
+    yp: int,
+    zp: int,
+    bxk: int,
+    tx: int,
+    interpret: bool = False,
+    with_norm: bool = False,
+):
+    """One x-blocked out-of-place pass of ``n_steps`` blind sweeps over a
+    deep-padded local block (contract identical to
+    :func:`evolve_window_res_yzp`, including the with_norm pair return);
+    the x-halo rows at shard seams are unwritten on output — callers
+    refresh every pad before the next window."""
+    ext = _EXT[order]
+    nxp, byp, bzp = phi_pad3.shape
+    by = byp - 2 * yp
+    bz = bzp - 2 * zp
+    bx = nxp - 2 * halo
+    dtype = phi_pad3.dtype
+    if bx % bxk:
+        raise ValueError(f"bxk={bxk} does not divide local BX={bx}")
+    bxp = bxk + 2 * halo
+    plane = byp * bzp * dtype.itemsize
+    kernel = functools.partial(
+        _evolve_kernel_resb_yzp,
+        order=order,
+        scale=scale,
+        bxk=bxk,
+        tx=tx,
+        ext=ext,
+        analytic=analytic,
+        halo=halo,
+        yp=yp,
+        zp=zp,
+        by=by,
+        bz=bz,
+        r_steps=n_steps,
+        with_norm=with_norm,
+    )
+    rows_swept = bxp - 2 * ext
+    nslabs = rows_swept // tx + (1 if rows_swept % tx else 0)
+    origin = jnp.asarray(origin, jnp.int32).reshape(3, 1)
+    edges = jnp.asarray(edges, jnp.int32).reshape(6, 1)
+    need = (bxp + ext + halo + 2 + 6 * tx) * plane
+    with jax.enable_x64(False):
+        out, n2 = pl.pallas_call(
+            kernel,
+            grid=((bx // bxk) * n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nxp, byp, bzp), dtype),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bxp, byp, bzp), dtype),
+                pltpu.VMEM((ext, byp, bzp), dtype),
+                pltpu.VMEM((byp, bzp), dtype),
+                pltpu.VMEM((byp, bzp), dtype),
+                pltpu.VMEM((halo, byp, bzp), dtype),
+                pltpu.SemaphoreType.DMA((nslabs,)),
+                pltpu.SemaphoreType.DMA((nslabs,)),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
