@@ -125,6 +125,44 @@ def chunk_resw(block, zp, analytic, steps, plan):
     return run, jnp.pad(block, pads)
 
 
+def chunk_resbw(block, zp, analytic, steps, plan):
+    """x-blocked windows (evolve_window_resb_yzp) — the round-4 path for
+    >VMEM blocks (512³-class shards); same window cadence as resw."""
+    bxk, r_w, tx, yp = plan
+    e = EXT
+    h = r_w * e
+    pads = ((h, h), (yp, yp), (zp, zp))
+    origin = jnp.zeros((3, 1), jnp.int32)
+    edges = jnp.ones((6, 1), jnp.int32)
+    scale = DT / (2.0 * DN * DN * MASS)
+
+    def refresh_deep(pp):
+        zx = jnp.zeros((h,) + pp.shape[1:], pp.dtype)
+        pp = lax.dynamic_update_slice_in_dim(pp, zx, 0, 0)
+        pp = lax.dynamic_update_slice_in_dim(pp, zx, h + block.shape[0], 0)
+        zy = jnp.zeros((pp.shape[0], h, pp.shape[2]), pp.dtype)
+        pp = lax.dynamic_update_slice_in_dim(pp, zy, yp - h, 1)
+        pp = lax.dynamic_update_slice_in_dim(pp, zy, yp + block.shape[1], 1)
+        if zp > 0:
+            zz = jnp.zeros((pp.shape[0], pp.shape[1], h), pp.dtype)
+            pp = lax.dynamic_update_slice_in_dim(pp, zz, zp - h, 2)
+            pp = lax.dynamic_update_slice_in_dim(pp, zz, zp + block.shape[2], 2)
+        return pp
+
+    def body(_i, pp):
+        pp = refresh_deep(pp)
+        return pk.evolve_window_resb_yzp(
+            pp, ORDER, scale, r_w, analytic, origin, edges, h, yp, zp,
+            bxk, tx, False,
+        )
+
+    @jax.jit
+    def run(pp):
+        return lax.fori_loop(0, steps // r_w, body, pp)
+
+    return run, jnp.pad(block, pads)
+
+
 def rate(run, pp0, steps, interior, chains=(2, 6)):
     """Chained-dispatch difference timing (see bench.py)."""
     pp = run(pp0)
@@ -172,6 +210,30 @@ def main(argv):
             rw = rate(runw, ppw, SCREEN, interior)
             print(f"[{name}] resw   {rw:.3e} updates/s/chip (R={plan[0]})")
             out[f"{name}-resw"] = rw
+
+        planb = pk.pick_resb_yzp(bx, by, bz, EXT, 4, SCREEN, zp)
+        if planb is not None and plan is None:
+            # on-chip correctness vs the 1-step path before timing: one
+            # SCREEN-step chunk, interior max deviation
+            runb, ppb = chunk_resbw(block, zp, analytic, SCREEN, planb)
+            h_b, yp_b = planb[1] * EXT, planb[3]
+            o1 = np.asarray(run1(pp1))[
+                EXT : EXT + bx,
+                pk._YZP_YPAD : pk._YZP_YPAD + by,
+                zp : zp + bz,
+            ]
+            ob = np.asarray(runb(ppb))[
+                h_b : h_b + bx, yp_b : yp_b + by, zp : zp + bz
+            ]
+            dev = float(np.max(np.abs(o1 - ob)))
+            print(f"[{name}] resbw max dev vs 1step: {dev:.3g}")
+            out[f"{name}-resbw-dev"] = dev
+            rb = rate(runb, ppb, SCREEN, interior)
+            print(
+                f"[{name}] resbw  {rb:.3e} updates/s/chip "
+                f"(bxk={planb[0]}, R={planb[1]}, tx={planb[2]})"
+            )
+            out[f"{name}-resbw"] = rb
 
     print(json.dumps(out))
 

@@ -1310,6 +1310,108 @@ def test_sharded_yzp_resident_windows_match_xla(
     np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
 
 
+@pytest.mark.parametrize(
+    "mesh_shape,size,order,screen_update",
+    [
+        ((4, 2, 1), {"x": 128, "y": 32, "z": 256}, "ThreePoint", 8),
+        ((2, 2, 2), {"x": 64, "y": 16, "z": 256}, "ThreePoint", 8),
+    ],
+)
+def test_sharded_yzp_blocked_windows_match_xla(
+    monkeypatch, mesh_shape, size, order, screen_update
+):
+    """x-blocked y/z-padded windows (>VMEM shard blocks: VMEM-sized
+    x-blocks swept blind R times per out-of-place pass, once-per-window
+    exchange) == the sharded XLA sweep. The resident budget is pinched so
+    pick_res_yzp declines and the blocked composition engages — the
+    512³-on-a-multi-axis-mesh situation at test scale."""
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    monkeypatch.setattr(pk, "_RES_BUDGET", 1_100_000)
+    cfg = base_config(
+        precision="f32",
+        central_difference=order,
+        grid={"size": size, "dn": 0.2, "dt": 0.002},
+        output={"screen_update": screen_update},
+    )
+    ext = cfg.central_difference.ext
+    rng = np.random.default_rng(66)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh(mesh_shape)
+    ops_x = ShardedOps(cfg, mesh, 0, use_pallas=False)
+    ref = np.asarray(ops_x.get(
+        ops_x.evolve_chunk(
+            ops_x.put(phi_int), ops_x.put(a_int), ops_x.put(b_int),
+            ops_x.put_store(None),
+        )
+    ))
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.res_yzp is None
+    assert ops_p.resb_yzp is not None
+    bxk_w, r_w, _tx_w, _yp_w = ops_p.resb_yzp
+    assert r_w >= 2
+    assert ops_p.analytic is not None
+    out = np.asarray(ops_p.get(
+        ops_p.evolve_chunk(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    ))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
+
+
+def test_sharded_yzp_blocked_windowed_psn_matches_per_step(monkeypatch):
+    """The windowed drift guard rides the x-blocked window kernel too:
+    its with_norm accumulation across blocks == the per-step-normalised
+    trajectory up to rescaling (docs/PARITY.md divergence 7)."""
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    monkeypatch.setattr(pk, "_RES_BUDGET", 1_100_000)
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 128, "y": 32, "z": 256}, "dn": 0.2, "dt": 0.002},
+        output={"screen_update": 8},
+    )
+    ext = 1
+    rng = np.random.default_rng(67)
+    phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
+    phi_int /= np.sqrt(np.sum(phi_int.astype(np.float64) ** 2)).astype(
+        np.float32
+    )
+    v = pmod.generate(cfg)
+    a, b = pmod.build_ab(v, cfg.grid.dt)
+    a_int = geometry.work_area(a, ext)
+    b_int = geometry.work_area(b, ext)
+
+    mesh = make_mesh((4, 2, 1))
+    ops_p = ShardedOps(cfg, mesh, 0, use_pallas=True, pallas_interpret=True)
+    assert ops_p.pallas_mode == "yzp"
+    assert ops_p.resb_yzp is not None
+    assert ops_p.psn_window_steps == ops_p.resb_yzp[1]
+    assert ops_p.evolve_chunk_psn_win is not None
+    ref = np.asarray(ops_p.get(
+        ops_p.evolve_chunk_psn(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    ))
+    out = np.asarray(ops_p.get(
+        ops_p.evolve_chunk_psn_win(
+            ops_p.put(phi_int), ops_p.put(a_int), ops_p.put(b_int),
+            ops_p.put_store(None),
+        )
+    ))
+    assert abs(float(np.sum(out.astype(np.float64) ** 2)) - 1.0) < 1e-5
+    assert abs(float(np.sum(ref.astype(np.float64) ** 2)) - 1.0) < 1e-5
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
+
+
 def test_sharded_yzp_windowed_psn_matches_per_step():
     """The windowed drift guard (renormalise once per R-step resident
     window) differs from the per-step-normalised chunk only by rescaling

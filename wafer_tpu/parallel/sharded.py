@@ -413,6 +413,23 @@ class ShardedOps:
             )
         self.res_yzp = res_yzp
 
+        # Deep-padded block exceeds VMEM (512³-class shards): the x-blocked
+        # out-of-place window kernel keeps the once-per-R exchange cadence
+        # while streaming VMEM-sized x-blocks — see
+        # ops/pallas_stencil._evolve_kernel_resb_yzp
+        resb_yzp = None
+        if (
+            use_pallas
+            and self.pallas_mode == "yzp"
+            and n_lower == 0
+            and analytic is not None
+            and res_yzp is None
+        ):
+            resb_yzp = pk.pick_resb_yzp(
+                bx, by, bz, ext, itemsize, screen_update, yzp_zp
+            )
+        self.resb_yzp = resb_yzp
+
         def orthogonalise(phi, store):
             for s in range(n_lower):
                 lower = store[s]
@@ -503,14 +520,19 @@ class ShardedOps:
                 else None
             )
 
-            if res_yzp is not None and n_lower == 0:
+            win_yzp = res_yzp if res_yzp is not None else resb_yzp
+            if win_yzp is not None and n_lower == 0:
                 # resident-window machinery: R blind in-kernel sweeps per ψ
                 # HBM pass; R·ext-deep halos on every axis exchanged once
                 # per window as full-cross-section strips sequenced x→y→z,
                 # so the edge/corner regions R star-stencil steps read
                 # compose from already-refreshed lower-axis halos (a y
                 # strip spans the just-filled x halos, a z strip both)
-                r_w, yp_w = res_yzp
+                if res_yzp is not None:
+                    r_w, yp_w = res_yzp
+                else:
+                    # >VMEM blocks: same window contract, x-blocked kernel
+                    bxk_w, r_w, tx_w, yp_w = resb_yzp
                 h = r_w * ext
                 pad_off_w = (h, yp_w, zp)
                 pads_w = ((h, h), (yp_w, yp_w), (zp, zp))
@@ -556,15 +578,27 @@ class ShardedOps:
                         )
                     return pp
 
-            if n_lower == 0 and not per_step_norm:
                 if res_yzp is not None:
-
-                    def body_w(_i, pp):
-                        pp = refresh_deep(pp)
+                    def call_window(pp, with_norm=False):
                         return pk.evolve_window_res_yzp(
                             pp, order, scale, r_w, analytic, origin, edges,
                             h, yp_w, zp, pallas_interpret,
+                            with_norm=with_norm,
                         )
+                else:
+                    def call_window(pp, with_norm=False):
+                        return pk.evolve_window_resb_yzp(
+                            pp, order, scale, r_w, analytic, origin, edges,
+                            h, yp_w, zp, bxk_w, tx_w, pallas_interpret,
+                            with_norm=with_norm,
+                        )
+
+            if n_lower == 0 and not per_step_norm:
+                if win_yzp is not None:
+
+                    def body_w(_i, pp):
+                        pp = refresh_deep(pp)
+                        return call_window(pp)
 
                     pp = lax.fori_loop(
                         0, screen_update // r_w, body_w, jnp.pad(phi, pads_w)
@@ -586,7 +620,7 @@ class ShardedOps:
                 return pp[e : e + bx_l, yp : yp + by_l, zp : zp + bz_l]
 
             if n_lower == 0 and psn_windowed:
-                assert res_yzp is not None
+                assert win_yzp is not None
 
                 def body_nw(_i, carry):
                     pp, n2 = carry
@@ -594,10 +628,7 @@ class ShardedOps:
                         1.0 / jnp.sqrt(jnp.maximum(n2, 1e-37))
                     ).astype(dtype)
                     pp = refresh_deep(pp * inv)
-                    pp, n2_loc = pk.evolve_window_res_yzp(
-                        pp, order, scale, r_w, analytic, origin, edges,
-                        h, yp_w, zp, pallas_interpret, with_norm=True,
-                    )
+                    pp, n2_loc = call_window(pp, with_norm=True)
                     return pp, _psum(n2_loc)
 
                 pp, n2 = lax.fori_loop(
@@ -1155,10 +1186,10 @@ class ShardedOps:
         # measured drift per window is safely inside f32 range (see
         # solver_sharded; self.psn_window_steps is the R it must bound).
         self.psn_window_steps = (
-            res_yzp[0]
-            if (n_lower == 0 and res_yzp is not None)
-            else 0
-        )
+            res_yzp[0] if res_yzp is not None else resb_yzp[1]
+        ) if (
+            n_lower == 0 and (res_yzp is not None or resb_yzp is not None)
+        ) else 0
         self.evolve_chunk_psn_win = (
             jax.jit(
                 jax.shard_map(
