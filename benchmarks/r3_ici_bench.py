@@ -135,12 +135,18 @@ if __name__ == "__main__":
               flush=True)
         assert dev < 1e-5, dev
 
-    if os.environ.get("WAFER_ICI_BENCH_EXC") == "1":
-        # S=1 excited loopback: ψ resident across windows + per-step
+    if os.environ.get("WAFER_ICI_BENCH_EXC", "0") != "0":
+        # S≥1 excited loopback: ψ resident across windows + per-step
         # coefficient recursion (local == global at nsh=1); compare with
         # BASELINE.md's windowed sharded S=1 and the single-chip
-        # resident-exc numbers
-        bench(f"ici excited S=1 {N}^3 (loopback)", "force", None, n_lower=1)
+        # resident-exc numbers. WAFER_ICI_BENCH_EXC = n_lower (S=2 drives
+        # the multi-(state, parity) scalar all-to-all slot indexing that
+        # VERDICT r3 weak #5 flagged as the bug-prone surface)
+        s_n = int(os.environ["WAFER_ICI_BENCH_EXC"])
+        bench(
+            f"ici excited S={s_n} {N}^3 (loopback)", "force", None,
+            n_lower=s_n,
+        )
     else:
         bench(f"whole-chunk resident {N}^3", "0", None)
         bench(f"in-kernel ICI R={R} {N}^3 (loopback)", "force", R)

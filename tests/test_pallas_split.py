@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.conftest import base_config
 from wafer_tpu import geometry
@@ -179,6 +180,45 @@ def test_split_resident_supported_gating():
     # 256³ complex (2×64.5 MiB) exceeds the resident budget
     assert not ps.resident_sc_supported(256, 256, 256, 1, 4)
     assert not ps.resident_sc_supported(128, 128, 128, 1, 8)
+
+
+@pytest.mark.parametrize("n_steps", [4, 5])
+def test_split_mixed_residency_matches_xla(n_steps):
+    """Mixed-residency chunk (re VMEM-resident throughout, im streamed
+    through the ping-pong HBM pair) == the XLA split oracle — both
+    ping-pong parities (even/odd chunk lengths end in different halves)."""
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
+    order = "ThreePoint"
+    dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
+    g = cfg.grid
+    analytic = (
+        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
+        cfg.sig, 0.0, cfg.absorb,
+    )
+
+    rr, ri = sc.evolve_chunk_sc(
+        pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, n_steps, 0
+    )
+    out = ps.evolve_chunk_resident_mixed_sc(
+        ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, n_steps, analytic,
+        interpret=True,
+    )
+    or_, oi_ = ps.from_xpad_sc(out, ext)
+    np.testing.assert_allclose(
+        np.asarray(or_), np.asarray(rr), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_split_mixed_residency_gating():
+    # 256³: the pair misses whole-chunk VMEM but re alone fits — the
+    # mixed plan exists exactly there (analytic complex B only)
+    assert ps.resident_mixed_sc_supported(256, 256, 256, 1, 4, True)
+    assert not ps.resident_mixed_sc_supported(256, 256, 256, 1, 4, False)
+    # past the real kernel's resident envelope re no longer fits either
+    assert not ps.resident_mixed_sc_supported(512, 512, 512, 1, 4, True)
 
 
 def test_split_k_fused_matches_one_step():

@@ -39,6 +39,7 @@ from wafer_tpu import geometry
 from wafer_tpu.ops.pallas_stencil import (
     _EXT,
     _analytic_v,
+    _analytic_yz,
     _shift_y,
     _shift_z,
     to_xpad,
@@ -58,6 +59,86 @@ def _analytic_b_sc(analytic, shp, x0, y0, z0):
     di = (0.5 * dt_) * (absorb * v_raw)
     mag = dr * dr + di * di
     return dr / mag, -di / mag
+
+
+def _sc_series_terms(analytic) -> Optional[int]:
+    """Static choice of the divide-free complex Horner-B series length for
+    the Harmonic split resident kernels, or None → per-slab exact B.
+
+    The complex denominator factors D = P_yz + q_x·(1+i·a) with
+    P_yz = 1 − dt/2·vshift + c₄(1+i·a)(dy²+dz²), c₄ = dt·dn²/4,
+    q_x = c₄·dx², a = absorb — so 1/D = R·1/(1+G) with the reciprocal
+    plane R = 1/P_yz hoisted once per chunk (one complex plane divide)
+    and G = q·(1+i·a)·R. The alternating series Σ(−G)ᵏ truncated at n
+    terms carries relative error ≤ |G|_maxⁿ⁺¹; |G| ≤ c₄·√(1+a²)·dx_max²
+    / |P|_min with |P| ≥ Re P ≥ 1 − dt/2·vshift (the c₄·yz real term is
+    ≥ 0). Same per-slab-divide-elimination win as the real kernel's
+    _harmonic_series_terms (vpu_probe r4: +46%) — doubled here, since the
+    exact path pays TWO divides plus a per-slab yz-plane rebuild."""
+    kind, dn, dt_ = analytic[0], analytic[1], analytic[2]
+    if kind != "Harmonic":
+        return None
+    ngx = analytic[4]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    absorb = float(analytic[9]) if len(analytic) > 9 else 0.0
+    p_min = 1.0 - 0.5 * dt_ * vshift
+    if p_min <= 1e-3:
+        return None
+    dx_max = 0.5 * ngx + 8.0
+    g_max = (
+        (0.25 * dt_ * dn * dn) * dx_max * dx_max
+        * (1.0 + absorb * absorb) ** 0.5 / p_min
+    )
+    if g_max >= 0.25:
+        return None
+    eps_half = 5.96e-8  # 0.5 · f32 eps
+    n = 1
+    err = g_max * g_max  # truncation after n terms: |G|^(n+1)
+    while err > eps_half:
+        n += 1
+        err *= g_max
+        if n > 6:
+            return None
+    return n
+
+
+def _sc_hoist_rt(analytic, ny, nz, y0, z0):
+    """(4, ny, nz) chunk-hoisted planes [Rr, Ri, Tr, Ti] for the Horner-B
+    path: R = 1/P_yz (complex reciprocal of the yz plane, see
+    _sc_series_terms) and T = (1+i·a)·R, so the per-slab complex
+    G = q_x·T costs two real multiplies."""
+    dn, dt_ = analytic[1], analytic[2]
+    vshift = float(analytic[8]) if len(analytic) > 8 else 0.0
+    absorb = float(analytic[9]) if len(analytic) > 9 else 0.0
+    yz = _analytic_yz(analytic, ny, nz, y0, z0)
+    c4 = 0.25 * dt_ * dn * dn
+    p_r = (1.0 - 0.5 * dt_ * vshift) + c4 * yz
+    p_i = (c4 * absorb) * yz
+    mag = p_r * p_r + p_i * p_i
+    rr = p_r / mag
+    ri = -p_i / mag
+    return jnp.stack([rr, ri, rr - absorb * ri, ri + absorb * rr])
+
+
+def _sc_b_slab(analytic, rt, x0f, txs, n_terms):
+    """Divide-free complex (Br, Bi) for one slab from the hoisted planes:
+    B = R·S with S the n-term complex Horner evaluation of 1/(1+G),
+    G = c₄·dx²·T. Truncation ≤ |G|ⁿ⁺¹ < f32 eps/2 by the static
+    series-length choice (_sc_series_terms)."""
+    dn, dt_, ngx = analytic[1], analytic[2], analytic[4]
+    dx = jax.lax.broadcasted_iota(jnp.int32, (txs, 1, 1), 0).astype(
+        jnp.float32
+    ) + (x0f - (ngx + 1.0) / 2.0)
+    q = jnp.float32(0.25 * dt_ * dn * dn) * (dx * dx)
+    rr = rt[0][None, :, :]
+    ri = rt[1][None, :, :]
+    gr = q * rt[2][None, :, :]
+    gi = q * rt[3][None, :, :]
+    sr = 1.0 - gr
+    si = -gi
+    for _ in range(n_terms - 1):
+        sr, si = 1.0 - (gr * sr - gi * si), -(gr * si + gi * sr)
+    return rr * sr - ri * si, rr * si + ri * sr
 
 
 # Tighter than the real kernel's 11 MB: Mosaic's scoped-vmem accounting for
@@ -578,6 +659,8 @@ def _evolve_kernel_res_sc(
     sem_snd,   # DMA (4,) — ICI sends (re→right, re→left, im→right, im→left)
     sem_rcv,   # DMA (8,) — ICI recvs, indexed parity·4 + strip
     # (strip: re lo, re hi, im lo, im hi)
+    yzrt,      # (4, NY, NZ) VMEM — hoisted Horner-B planes ((1,1,1) stub
+    # when the series is gated off)
     *,
     order: str,
     scale: float,
@@ -606,11 +689,15 @@ def _evolve_kernel_res_sc(
     # row 0, i.e. padded coordinate ext + xorg)
     x_row0 = xorg_smem[0, 0].astype(jnp.float32) + jnp.float32(ext - halo)
 
+    n_horner = None if analytic is None else _sc_series_terms(analytic)
+
     @pl.when(i == 0)
     def _load():
         cp = pltpu.make_async_copy(psi_hbm, psi_buf, sem_in)
         cp.start()
         cp.wait()
+        if n_horner is not None:
+            yzrt[...] = _sc_hoist_rt(analytic, ny, nz, ext, ext)
 
     if ici_r > 0:
         # In-kernel ICI halo exchange for the pair (sharded split ground):
@@ -774,6 +861,10 @@ def _evolve_kernel_res_sc(
         if analytic is None:
             br = bbuf[(bslot * 2) * tx : (bslot * 2) * tx + txs]
             bi = bbuf[(bslot * 2 + 1) * tx : (bslot * 2 + 1) * tx + txs]
+        elif n_horner is not None:
+            br, bi = _sc_b_slab(
+                analytic, yzrt[...], x_row0 + jnp.float32(rs), txs, n_horner
+            )
         else:
             br, bi = _analytic_b_sc(
                 analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext
@@ -912,8 +1003,12 @@ def evolve_chunk_resident_sc(
     b_arg = b2 if analytic is None else jnp.zeros((1, 1, 1), dtype)
     brows = 4 * tx if analytic is None else 1
     land_rows = 8 * halo if ici_steps else 1
+    horner = analytic is not None and _sc_series_terms(analytic) is not None
+    rt_rows = 4 if horner else 1
     plane = ny * nz * dtype.itemsize
-    need = (nxp2 + 2 * ext + 6 * tx + land_rows) * plane + brows * plane
+    need = (
+        nxp2 + 2 * ext + 6 * tx + land_rows + rt_rows
+    ) * plane + brows * plane
     with jax.enable_x64(False):
         out, _red = pl.pallas_call(
             kernel,
@@ -946,6 +1041,9 @@ def evolve_chunk_resident_sc(
                 ),
                 pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.DMA((8,)),  # recv: parity·4 + strip
+                pltpu.VMEM(
+                    (rt_rows, ny, nz) if horner else (1, 1, 1), jnp.float32
+                ),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
@@ -996,7 +1094,10 @@ def pick_resb_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                         rows % cand == 0 or rows % cand > ext
                     ):
                         continue
-                    if (cap_rows + 12 * cand) * plane <= _pk._RESB_NEED_CAP:
+                    # +4 rows: the hoisted Horner-B planes (_sc_hoist_rt)
+                    if (cap_rows + 12 * cand + 4) * plane <= (
+                        _pk._RESB_NEED_CAP
+                    ):
                         return cand
                 return None
 
@@ -1045,6 +1146,8 @@ def _evolve_kernel_resb_sc(
     sem_in,     # DMA (2·2·nslabs,)
     sem_out,    # DMA (2·2·nslabs,)
     sem_halo,
+    yzrt,       # (4, NY, NZ) VMEM — hoisted Horner-B planes ((1,1,1) stub
+    # when the series is gated off)
     *,
     order: str,
     scale: float,
@@ -1071,6 +1174,12 @@ def _evolve_kernel_resb_sc(
         + jnp.float32(ext - h)
     )
     last_t = t == r_steps - 1
+    n_horner = _sc_series_terms(analytic)
+
+    if n_horner is not None:
+        @pl.when(idx == 0)
+        def _hoist_rt():
+            yzrt[...] = _sc_hoist_rt(analytic, ny, nz, ext, ext)
 
     rows_swept = bxp - 2 * ext
     slabs = [(ext + s * tx, tx) for s in range(rows_swept // tx)]
@@ -1135,9 +1244,16 @@ def _evolve_kernel_resb_sc(
                 acc_i += cf * (xm_i + xp_i)
                 acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
                 acc_i += cf * (_shift_z(ci, off) + _shift_z(ci, -off))
-            br, bi = _analytic_b_sc(
-                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext
-            )
+            if n_horner is not None:
+                br, bi = _sc_b_slab(
+                    analytic, yzrt[...], x_row0 + jnp.float32(rs), txs,
+                    n_horner,
+                )
+            else:
+                br, bi = _analytic_b_sc(
+                    analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext,
+                    ext,
+                )
             tr = 2.0 * cr + scale * acc_r
             ti = 2.0 * ci + scale * acc_i
             new_r = br * tr - bi * ti - cr
@@ -1324,7 +1440,7 @@ def evolve_steps_resident_blocked_sc(
                 rows % cand == 0 or rows % cand > ext
             ):
                 continue
-            if (2 * bxp + 2 * ext + h + 12 * cand) * plane <= (
+            if (2 * bxp + 2 * ext + h + 12 * cand + 4) * plane <= (
                 _pk._RESB_NEED_CAP
             ):
                 tx = cand
@@ -1353,7 +1469,9 @@ def evolve_steps_resident_blocked_sc(
         edges = jnp.ones((2, 1), jnp.int32)
     else:
         edges = jnp.asarray(edges, jnp.int32).reshape(2, 1)
-    need = (2 * bxp + slot_rows + 2 * ext + h + 12 * tx) * plane
+    horner = _sc_series_terms(analytic) is not None
+    rt_rows = 4 if horner else 1
+    need = (2 * bxp + slot_rows + 2 * ext + h + 12 * tx + rt_rows) * plane
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
@@ -1374,6 +1492,9 @@ def evolve_steps_resident_blocked_sc(
                 pltpu.SemaphoreType.DMA((4 * nslabs,)),
                 pltpu.SemaphoreType.DMA((4 * nslabs,)),
                 pltpu.SemaphoreType.DMA,
+                pltpu.VMEM(
+                    (rt_rows, ny, nz) if horner else (1, 1, 1), jnp.float32
+                ),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
@@ -1434,6 +1555,298 @@ def evolve_chunk_resident_blocked_sc(
         else:
             psi2 = p1
     return psi2
+
+
+# --------------------------------------------------------------------------- #
+# mixed-residency resident kernel: re on-chip for the whole chunk, im
+# streamed (256³ complex)
+# --------------------------------------------------------------------------- #
+#
+# The stacked (re, im) pair misses whole-chunk VMEM just past ~200³, but the
+# RE component alone fits to ~268³ — exactly the real kernel's resident
+# envelope. This kernel keeps re VMEM-resident across every step of the
+# chunk (zero re HBM traffic between load and store) and streams only im:
+# per step, double-buffered (tx+2·ext)-row im windows ride in from one half
+# of a ping-pong HBM pair while finished im' slabs ride out to the other
+# half — streamed window DMA genuinely overlaps compute (unlike the
+# block-granular staging of the resident kernels' measured DMA-overlap
+# negative, the windows land in buffers the sweep is not updating in
+# place). Exact per-step cadence (no deep halos, no blind recompute): HBM
+# traffic is 8 B/update (im read+write) against the pair-blocked kernel's
+# ~2.2× VPU amplification + serial DMA. Ground state, analytic complex B
+# only. Capability referent: the reference stubs complex propagation
+# entirely (src/potential.rs:222,271).
+
+
+def pick_tx_mixed_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int):
+    """Slab height for the mixed-residency kernel, or None (re must fit
+    whole-chunk; windows + pair-sweep temporaries under the scoped cap)."""
+    if itemsize != 4:
+        return None
+    plane = ny * nz * itemsize
+    nxe = nx + 2 * ext
+    if nxe * plane > _pk._RES_BUDGET:
+        return None
+    for tx in (16, 8, 4):
+        if tx <= ext or not (nx % tx == 0 or nx % tx > ext):
+            continue
+        # 8·tx temporaries margin: measured — the 256³ tx=16 build
+        # (258-row resident re + 36+32 window rows) compiles and runs at
+        # 6.22e10 vs tx=8's 5.98e10 (BASELINE.md round 4)
+        need = (
+            nxe + ext + 4 + 2 * (tx + 2 * ext) + 2 * tx + 8 * tx
+        ) * plane
+        if need <= _pk._RESB_NEED_CAP:
+            return tx
+    return None
+
+
+def resident_mixed_sc_supported(nx: int, ny: int, nz: int, ext: int,
+                                itemsize: int, analytic_b: bool) -> bool:
+    return (
+        analytic_b
+        and pick_tx_mixed_sc(nx, ny, nz, ext, itemsize) is not None
+    )
+
+
+def _evolve_kernel_res_mixed_sc(
+    re_hbm,     # (NXE, NY, NZ) ANY — re input (consumed at i == 0)
+    im2_hbm,    # (NXE, NY, NZ) ANY — step-0 im (copied out at i == 0)
+    xorg_smem,  # (1, 1) SMEM i32
+    re_out,     # (NXE, NY, NZ) ANY — re' written once at the last step
+    im2_out,    # (2·NXE, NY, NZ) ANY — im ping-pong pair; ALL in-kernel im
+    # DMA rides this ref (even steps read rows [0, NXE) and write
+    # [NXE, 2·NXE); odd steps the reverse)
+    red_out,    # (1, 1) SMEM
+    re_buf,     # (NXE, NY, NZ) VMEM — resident across all steps
+    win,        # (2·(tx+2·ext), NY, NZ) VMEM — im in-windows, 2 slots
+    wout,       # (2·tx, NY, NZ) VMEM — im' out slabs, 2 slots
+    lag_r,      # (ext, NY, NZ) VMEM
+    yzrt,       # (4, NY, NZ) VMEM — Horner-B planes ((1,1,1) stub)
+    zeros_x,    # (ext, NY, NZ) VMEM
+    sem_in,
+    sem_out,
+    sem_win,    # DMA (2,)
+    sem_wout,   # DMA (2,)
+    sem_z,
+    *,
+    order: str,
+    scale: float,
+    tx: int,
+    ext: int,
+    analytic,
+    nx: int,
+):
+    offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    ny, nz = re_buf.shape[1], re_buf.shape[2]
+    nxe = nx + 2 * ext
+    wrows = tx + 2 * ext
+    x_row0 = xorg_smem[0, 0].astype(jnp.float32)
+    n_horner = _sc_series_terms(analytic)
+
+    @pl.when(i == 0)
+    def _load():
+        cp = pltpu.make_async_copy(re_hbm, re_buf, sem_in)
+        cp.start()
+        # all in-kernel im traffic rides the OUTPUT pair: seed its ping
+        # half from the input (one extra im pass per chunk — amortised
+        # over n_steps; sidesteps input-aliasing semantics entirely)
+        sc_ = pltpu.make_async_copy(
+            im2_hbm.at[pl.ds(0, nxe)], im2_out.at[pl.ds(0, nxe)], sem_z
+        )
+        sc_.start()
+        cp.wait()
+        sc_.wait()
+        if n_horner is not None:
+            yzrt[...] = _sc_hoist_rt(analytic, ny, nz, ext, ext)
+        # the pong half's x-halo rows are uninitialised until zeroed (the
+        # in-windows read them at step 1; interior writes never touch them)
+        zeros_x[...] = jnp.zeros_like(zeros_x)
+        for row0 in (nxe, 2 * nxe - ext):
+            zc = pltpu.make_async_copy(
+                zeros_x, im2_out.at[pl.ds(row0, ext)], sem_z
+            )
+            zc.start()
+            zc.wait()
+
+    # step parity: even steps read im from rows [0, NXE) and write
+    # [NXE, 2·NXE); odd steps the reverse — dynamic row bases, one ref
+    parity = jax.lax.rem(i, jnp.int32(2))
+    src_base = parity * jnp.int32(nxe)
+    dst_base = jnp.int32(nxe) - src_base
+
+    slabs = [(ext + s * tx, tx) for s in range(nx // tx)]
+    if nx % tx:
+        slabs.append((ext + (nx // tx) * tx, nx % tx))
+    nslabs = len(slabs)
+
+    def win_in(s_idx, slot):
+        rs, txs = slabs[s_idx]
+        return pltpu.make_async_copy(
+            im2_out.at[pl.ds(src_base + jnp.int32(rs - ext), txs + 2 * ext)],
+            win.at[pl.ds(slot * wrows, txs + 2 * ext)],
+            sem_win.at[slot],
+        )
+
+    def w_out(s_idx, slot):
+        rs, txs = slabs[s_idx]
+        return pltpu.make_async_copy(
+            wout.at[pl.ds(slot * tx, txs)],
+            im2_out.at[pl.ds(dst_base + jnp.int32(rs), txs)],
+            sem_wout.at[slot],
+        )
+
+    win_in(0, 0).start()
+    lag_r[...] = re_buf[0:ext]
+    for s, (rs, txs) in enumerate(slabs):
+        slot = s % 2
+        if s + 1 < nslabs:
+            win_in(s + 1, 1 - slot).start()
+        win_in(s, slot).wait()
+        if s >= 2:
+            # the out slot is re-used every other slab — drain before reuse
+            w_out(s - 2, slot).wait()
+        cr = re_buf[rs : rs + txs]
+        base = slot * wrows + ext
+        ci = win[base : base + txs]
+        acc_r = (-float(center_c)) * cr
+        acc_i = (-float(center_c)) * ci
+        for off, cf in zip(offsets, coeffs):
+            cf = float(cf)
+            xm_r = jnp.concatenate(
+                [lag_r[ext - off : ext], re_buf[rs : rs + txs - off]], axis=0
+            )
+            xp_r = re_buf[rs + off : rs + txs + off]
+            acc_r += cf * (xm_r + xp_r)
+            acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))
+            acc_r += cf * (_shift_z(cr, off) + _shift_z(cr, -off))
+            # the im window carries its own ±ext x-halo — pre-step rows
+            # throughout (im[t−1] lives in the src half, never written
+            # this step), so no im lag buffer exists
+            xm_i = win[base - off : base - off + txs]
+            xp_i = win[base + off : base + off + txs]
+            acc_i += cf * (xm_i + xp_i)
+            acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
+            acc_i += cf * (_shift_z(ci, off) + _shift_z(ci, -off))
+        if n_horner is not None:
+            br, bi = _sc_b_slab(
+                analytic, yzrt[...], x_row0 + jnp.float32(rs), txs, n_horner
+            )
+        else:
+            br, bi = _analytic_b_sc(
+                analytic, (txs, ny, nz), x_row0 + jnp.float32(rs), ext, ext
+            )
+        tr = 2.0 * cr + scale * acc_r
+        ti = 2.0 * ci + scale * acc_i
+        new_r = br * tr - bi * ti - cr
+        new_i = br * ti + bi * tr - ci
+        lag_r[...] = re_buf[rs + txs - ext : rs + txs]
+        re_buf[rs : rs + txs] = new_r
+        wout[slot * tx : slot * tx + txs] = new_i
+        w_out(s, slot).start()
+    for s in range(max(nslabs - 2, 0), nslabs):
+        w_out(s, s % 2).wait()
+
+    @pl.when(i == n_steps - 1)
+    def _store():
+        red_out[0, 0] = jnp.float32(0.0)
+        cp = pltpu.make_async_copy(re_buf, re_out, sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
+                     "interpret", "tx"),
+)
+def evolve_chunk_resident_mixed_sc(
+    psi2: jnp.ndarray,
+    order: str,
+    dt: float,
+    dn: float,
+    mass: float,
+    n_steps: int,
+    analytic,
+    interpret: bool = False,
+    tx: Optional[int] = None,
+) -> jnp.ndarray:
+    """A split-complex ground chunk with re VMEM-resident throughout and im
+    streamed through a ping-pong HBM pair (see the section comment).
+    ``psi2`` is the stacked xpad layout (:func:`to_xpad_sc`); exact
+    per-step cadence (src/grid.rs:544-687)."""
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    ext = _EXT[order]
+    nxp2, ny, nz = psi2.shape
+    nxe = nxp2 // 2
+    nx = nxe - 2 * ext
+    dtype = psi2.dtype
+    assert analytic is not None, "mixed-residency split sweep is analytic-B only"
+    if tx is None:
+        tx = pick_tx_mixed_sc(nx, ny, nz, ext, dtype.itemsize)
+    if tx is None:
+        raise ValueError(f"no mixed-residency slab plan for NX={nx}")
+    kernel = functools.partial(
+        _evolve_kernel_res_mixed_sc,
+        order=order,
+        scale=scale,
+        tx=tx,
+        ext=ext,
+        analytic=analytic,
+        nx=nx,
+    )
+    re = psi2[:nxe]
+    # only the ping half is consumed (copied into the output pair at
+    # i == 0); the input stays (NXE,) tall
+    im2 = psi2[nxe:]
+    xorg = jnp.zeros((1, 1), jnp.int32)
+    wrows = tx + 2 * ext
+    plane = ny * nz * dtype.itemsize
+    horner = _sc_series_terms(analytic) is not None
+    rt_rows = 4 if horner else 1
+    need = (nxe + ext + rt_rows + 2 * wrows + 2 * tx + 12 * tx) * plane
+    with jax.enable_x64(False):
+        re_o, im2_o, _red = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nxe, ny, nz), dtype),
+                jax.ShapeDtypeStruct((2 * nxe, ny, nz), dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nxe, ny, nz), dtype),
+                pltpu.VMEM((2 * wrows, ny, nz), dtype),
+                pltpu.VMEM((2 * tx, ny, nz), dtype),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.VMEM(
+                    (rt_rows, ny, nz) if horner else (1, 1, 1), jnp.float32
+                ),
+                pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        )(re, im2, xorg)
+    im_final = im2_o[nxe:] if n_steps % 2 == 1 else im2_o[:nxe]
+    return jnp.concatenate([re_o, im_final], axis=0)
 
 
 # --------------------------------------------------------------------------- #

@@ -14,6 +14,7 @@ update rule as src/grid.rs:544-687 and reductions as src/grid.rs:303-445).
 from __future__ import annotations
 
 import itertools
+import logging
 from typing import Optional
 
 import jax
@@ -26,6 +27,8 @@ from wafer_tpu import geometry
 from wafer_tpu.config import Config
 from wafer_tpu.parallel.halo import edge_flags, exchange_halos, ici_interpret
 from wafer_tpu.parallel.mesh import AXIS_NAMES
+
+log = logging.getLogger("wafer")
 
 
 def _abs2(w):
@@ -149,6 +152,19 @@ class ShardedOps:
         bx = nx // mesh_shape[0]
         by = ny // mesh_shape[1]
         bz = nz // mesh_shape[2]
+        if min(natural_shape) > 1:
+            # every permutation of a fully-3D mesh shards the 128-lane
+            # axis; the mandatory lane pads cost ~3.4× the interior VPU
+            # work at 256³-class blocks (measured, BASELINE.md round 3) —
+            # no relayout escapes it, so prefer 2-axis shapes
+            log.info(
+                "Fully-3D mesh %s: the sharded lane axis pays a ~3.4x "
+                "padded-plane VPU tax — a 2-axis mesh over the same %d "
+                "devices (e.g. %dx%dx1) is typically much faster",
+                tuple(natural_shape),
+                int(np.prod(natural_shape)),
+                natural_shape[0] * natural_shape[2], natural_shape[1],
+            )
         if use_pallas is None:
             use_pallas = (
                 pallas_mode is not None

@@ -1140,6 +1140,7 @@ def _solve_split(
             nx_, ny_, nz_, ext, 4
         )
         resb_sc_plan = None
+        mixed_sc_tx = None
         if use_resident_sc:
             log.info(
                 "Split-complex ground chunks run the VMEM-resident kernel "
@@ -1147,19 +1148,29 @@ def _solve_split(
                 2 * (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20,
             )
         elif n_lower == 0 and sc_analytic is not None:
-            # pair too big for whole-array residency (e.g. 256³): x-blocked
-            # deep-halo resident passes (see pallas_split.pick_resb_sc)
-            resb_sc_plan = ps.pick_resb_sc(
-                nx_, ny_, nz_, ext, 4, config.output.screen_update
-            )
-            if resb_sc_plan is not None:
+            # pair too big for whole-array residency (256³-class): mixed
+            # residency first (re on-chip all chunk, im streamed — measured
+            # fastest, BASELINE.md round 4), else x-blocked deep-halo pair
+            mixed_sc_tx = ps.pick_tx_mixed_sc(nx_, ny_, nz_, ext, 4)
+            if mixed_sc_tx is not None:
                 log.info(
-                    "Split-complex ground chunks run the x-blocked "
-                    "deep-halo resident kernel (bx=%d, R=%d)",
-                    resb_sc_plan[0], resb_sc_plan[1],
+                    "Split-complex ground chunks run the mixed-residency "
+                    "kernel (re resident %.1f MiB, im streamed, tx=%d)",
+                    (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20, mixed_sc_tx,
                 )
+            else:
+                resb_sc_plan = ps.pick_resb_sc(
+                    nx_, ny_, nz_, ext, 4, config.output.screen_update
+                )
+                if resb_sc_plan is not None:
+                    log.info(
+                        "Split-complex ground chunks run the x-blocked "
+                        "deep-halo resident kernel (bx=%d, R=%d)",
+                        resb_sc_plan[0], resb_sc_plan[1],
+                    )
         if (
             not use_resident_sc
+            and mixed_sc_tx is None
             and resb_sc_plan is None
             and n_lower == 0
             and ps.k_fuse_sc_supported(
@@ -1235,6 +1246,15 @@ def _solve_split(
         # fixed after the first, always-unbatched, chunk)
         pr_, pi_ = pp
         if split_backend == "pallas":
+            if mixed_sc_tx is not None and not per_step_norm:
+                return ps.from_xpad_sc(
+                    ps.evolve_chunk_resident_mixed_sc(
+                        ps.to_xpad_sc(pr_, pi_, ext),
+                        order, dt, dn, mass, su, sc_analytic,
+                        tx=mixed_sc_tx,
+                    ),
+                    ext,
+                )
             if resb_sc_plan is not None and not per_step_norm:
                 return ps.from_xpad_k_sc(
                     ps.evolve_chunk_resident_blocked_sc(
