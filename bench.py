@@ -169,6 +169,138 @@ def _bench_on(device, n: int, use_pallas: bool) -> float:
         return samples[len(samples) // 2]
 
 
+def _median_chain_rate(chunk, p, n: int, steps: int, repeats: int = 3,
+                       lo_reps: int = 1, hi_reps: int = 3):
+    """Median differenced-chain rate (same scheme as _bench_on, shorter
+    chains — the extra rows trade a little variance for wall-clock)."""
+    def run_chain(p, reps):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p = chunk(p)
+        np.asarray(p[:1, :1, :8])
+        return time.perf_counter() - t0, p
+
+    _t, p = run_chain(p, 1)  # compile + warm
+    samples = []
+    for _ in range(repeats):
+        t_lo, p = run_chain(p, lo_reps)
+        t_hi, p = run_chain(p, hi_reps)
+        if t_hi - t_lo <= 0.05 * t_hi:
+            samples.append((n ** 3) * steps * hi_reps / max(t_hi, 1e-9))
+        else:
+            samples.append(
+                (n ** 3) * steps * (hi_reps - lo_reps) / (t_hi - t_lo)
+            )
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+def _row_excited(n: int) -> float:
+    """256³ S=1 excited resident sweep, bf16 l/Sl streams (the solver's
+    default excited dispatch; BASELINE.md round-3 row)."""
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    order, ext = "ThreePoint", 1
+    dn, dt, mass = 0.01, 3e-5, 1.0
+    an = ("Harmonic", dn, dt, mass, n, n, n)
+    _o, _c, _cc, k = geometry.stencil_coefficients(order)
+    scale = dt / (k * dn * dn * mass)
+    rng = np.random.default_rng(0)
+
+    def rand_xpad():
+        p = np.zeros((n + 2 * ext, n, n), np.float32)
+        p[ext:-ext] = rng.normal(size=(n, n, n)).astype(np.float32)
+        p[ext:-ext] /= np.sqrt(np.sum(p.astype(np.float64) ** 2)).astype(
+            np.float32
+        )
+        return jnp.asarray(p)
+
+    phi = rand_xpad()
+    lower = rand_xpad()
+    sl, _n2, _ov = pk.evolve_step_fused(
+        lower, None, None, order, scale, 0, False, analytic=an
+    )
+    store_s = jnp.stack([lower]).astype(jnp.bfloat16)
+    sstore_s = jnp.stack([sl]).astype(jnp.bfloat16)
+
+    def chunk(p):
+        return pk.evolve_chunk_resident(
+            p, order, dt, dn, mass, STEPS, an,
+            store_xpad=store_s, sstore_xpad=sstore_s,
+        )
+
+    return _median_chain_rate(chunk, phi, n, STEPS)
+
+
+def _row_split(n: int) -> float:
+    """256³ split-complex ground sweep on the solver's split dispatch
+    (mixed-residency kernel — re VMEM-resident for the whole chunk, im
+    streamed through the ping-pong pair; BASELINE config 4's sweep rate)."""
+    from wafer_tpu.ops import pallas_split as ps
+
+    order, ext = "ThreePoint", 1
+    dn, dt, mass, absorb = 0.01, 3e-5, 1.0, 0.2
+    an = ("Harmonic", dn, dt, mass, n, n, n, 1.0, 0.0, absorb)
+    tx = ps.pick_tx_mixed_sc(n, n, n, ext, 4)
+    if tx is None:
+        raise RuntimeError("pick_tx_mixed_sc declined")
+    rng = np.random.default_rng(0)
+    pr = np.zeros((n + 2 * ext,) * 3, np.float32)
+    pi = np.zeros((n + 2 * ext,) * 3, np.float32)
+    pr[ext:-ext, ext:-ext, ext:-ext] = rng.normal(size=(n, n, n)).astype(
+        np.float32
+    )
+    pi[ext:-ext, ext:-ext, ext:-ext] = rng.normal(size=(n, n, n)).astype(
+        np.float32
+    )
+
+    def chunk(p2):
+        return ps.evolve_chunk_resident_mixed_sc(
+            p2, order, dt, dn, mass, STEPS, an, tx=tx,
+        )
+
+    p2 = ps.to_xpad_sc(jnp.asarray(pr), jnp.asarray(pi), ext)
+    return _median_chain_rate(chunk, p2, n, STEPS)
+
+
+def _extra_rows(accel) -> list:
+    """The round-over-round perf surface beyond the headline (VERDICT r3
+    weak #6): 512³ ground, 256³ S=1 excited, 256³ split-complex. Each row
+    is independent — a failure records an error string, never loses the
+    primary metric. Disable with WAFER_BENCH_ROWS=0."""
+    rows = []
+    specs = [
+        (
+            "stencil grid-point updates/sec/chip at 512^3 (f32, 3-point "
+            "CD, x-blocked deep-halo resident)",
+            lambda: _bench_on(accel, 512, True),
+        ),
+        (
+            f"excited S=1 updates/sec/chip at {N}^3 (f32, bf16 l/Sl "
+            "streams, resident)",
+            lambda: _row_excited(N),
+        ),
+        (
+            f"split-complex updates/sec/chip at {N}^3 (f32 (re,im) pair, "
+            "mixed residency)",
+            lambda: _row_split(N),
+        ),
+    ]
+    for metric, fn in specs:
+        try:
+            with jax.default_device(accel):
+                rows.append(
+                    {
+                        "metric": metric,
+                        "value": round(fn(), 1),
+                        "unit": "updates/s",
+                    }
+                )
+        except Exception as exc:  # noqa: BLE001 — record, don't lose the run
+            rows.append({"metric": metric, "value": None, "error": str(exc)[:200]})
+    return rows
+
+
 def _devices_with_retry():
     """The axon tunnel occasionally reports UNAVAILABLE for minutes at a
     time (observed: a multi-hour grant outage mid-round). jax caches a
@@ -215,6 +347,10 @@ def main() -> None:
         # sweep (measured 128³ vs 256³ on CPU within a few %)
         "baseline": f"host-CPU XLA sweep at {N_CPU}^3" if baseline else None,
     }
+    # the rest of the perf surface (512³ / excited / split) rides along in
+    # the same single JSON line; accelerator-only (the kernels need one)
+    if use_pallas and os.environ.get("WAFER_BENCH_ROWS", "1") != "0":
+        out["rows"] = _extra_rows(accel)
     print(json.dumps(out))
 
 
