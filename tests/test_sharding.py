@@ -1143,10 +1143,46 @@ def test_sharded_split_blocked_windows_match_xla(mesh_shape, monkeypatch):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_sharded_split_mixed_shortcut(monkeypatch):
+    """1×1×1-mesh split ground whose pair exceeds whole-array residency
+    but whose RE component fits rides the single-chip mixed-residency
+    kernel and matches the sharded XLA path."""
+    import wafer_tpu.ops.pallas_split as ps_mod
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=57, n=64,
+                                                 screen_update=5)
+    monkeypatch.setattr(ps_mod, "resident_sc_supported",
+                        lambda *a: False)
+    mesh = make_mesh((1, 1, 1))
+    ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    ops_p = ShardedSplitOps(
+        cfg, mesh, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert not ops_p.sc_whole_chunk
+    assert ops_p.sc_mixed_tx is not None
+    assert ops_p.sc_resb_plan is None
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_sharded_split_blocked_shortcut(monkeypatch):
     """1×1×1-mesh split ground whose pair exceeds whole-array residency
-    rides the single-chip x-blocked deep-halo resident kernel and matches
-    the sharded XLA path."""
+    AND whose re component misses the mixed plan rides the single-chip
+    x-blocked deep-halo resident kernel and matches the sharded XLA
+    path."""
     import wafer_tpu.ops.pallas_split as ps_mod
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
@@ -1154,6 +1190,8 @@ def test_sharded_split_blocked_shortcut(monkeypatch):
                                                  screen_update=5)
     monkeypatch.setattr(ps_mod, "resident_sc_supported",
                         lambda *a: False)
+    monkeypatch.setattr(ps_mod, "pick_tx_mixed_sc",
+                        lambda *a: None)
     mesh = make_mesh((1, 1, 1))
     ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
     rr, ri = ops_x.evolve_chunk(

@@ -198,6 +198,7 @@ class ShardedSplitOps:
         sc_res_steps = 0
         sc_whole_chunk = False
         sc_resb_plan = None
+        sc_mixed_tx = None
         if use_pallas and self.pallas_mode == "x" and n_lower == 0:
             sc_whole_chunk = mesh_shape[0] == 1 and (
                 ps_mod.resident_sc_supported(bx, ny, nz, ext, itemsize)
@@ -208,12 +209,17 @@ class ShardedSplitOps:
                 and sc_analytic is not None
             ):
                 # degenerate 1-shard axis, HBM-sized pair (256³-class):
-                # the single-chip x-blocked deep-halo resident kernel
-                # applies unchanged (its unconditional edge zeroing IS the
-                # global Dirichlet here)
-                sc_resb_plan = ps_mod.pick_resb_sc(
-                    bx, ny, nz, ext, itemsize, screen_update
+                # the single-chip kernels apply unchanged (their
+                # unconditional edge zeroing IS the global Dirichlet here)
+                # — mixed residency first (measured fastest, BASELINE.md
+                # round 4), else the x-blocked deep-halo pair
+                sc_mixed_tx = ps_mod.pick_tx_mixed_sc(
+                    bx, ny, nz, ext, itemsize
                 )
+                if sc_mixed_tx is None:
+                    sc_resb_plan = ps_mod.pick_resb_sc(
+                        bx, ny, nz, ext, itemsize, screen_update
+                    )
             if not sc_whole_chunk and sc_analytic is not None:
                 for r in (16, 8, 4, 2):
                     if r > screen_update or bx < r * ext:
@@ -232,6 +238,7 @@ class ShardedSplitOps:
         self.sc_res_steps = sc_res_steps
         self.sc_whole_chunk = sc_whole_chunk
         self.sc_resb_plan = sc_resb_plan
+        self.sc_mixed_tx = sc_mixed_tx
 
         # Multi-shard blocks past pair residency (512³-class complex
         # shards): blocked exchange windows, as the real family
@@ -604,6 +611,25 @@ class ShardedSplitOps:
                         sc_analytic, interpret=pallas_interpret,
                         per_step_norm=per_step_norm, b2=b2_loc,
                         x_origin=x_org,
+                    )
+                    return (
+                        out2[ext : ext + bxl],
+                        out2[bxp + ext : bxp + ext + bxl],
+                    )
+
+                if (
+                    n_lower == 0
+                    and not per_step_norm
+                    and sc_mixed_tx is not None
+                ):
+                    # 1-shard axis, pair exceeds whole-array residency but
+                    # re alone fits: the single-chip mixed-residency kernel
+                    # (re on-chip all chunk, im streamed — measured fastest,
+                    # see solver._solve_split)
+                    out2 = ps_mod.evolve_chunk_resident_mixed_sc(
+                        to_x2(pr, pi), order, dt, dn, mass, screen_update,
+                        sc_analytic, interpret=pallas_interpret,
+                        tx=sc_mixed_tx,
                     )
                     return (
                         out2[ext : ext + bxl],
