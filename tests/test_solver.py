@@ -95,6 +95,76 @@ def test_max_steps_guard(tmp_run):
         solver.run(cfg)
 
 
+def test_marginal_dt_checkerboard_mode(tmp_run, caplog):
+    """AT the explicit stability bound the zone-corner (checkerboard)
+    mode is exactly undamped — ``scale·acc = −2`` collapses the update to
+    ``ψ' = −ψ`` regardless of the potential factor B — while every
+    physical mode decays, so a contaminated IC converges to the lattice
+    mode (E ≈ the zone-corner kinetic energy). A 10% dt margin restores
+    damping and the same IC reaches the true ground state. The solver
+    warns at/near the bound (the reference's validation allows equality,
+    src/config.rs:362-370)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    n, dn = 16, 0.2
+    bound = solver.stable_dt_bound("ThreePoint", dn, 1.0)
+    idx = np.arange(n)
+    cb = (-1.0) ** (idx[:, None, None] + idx[None, :, None] + idx[None, None, :])
+    x = (idx - (n - 1) / 2.0) * dn
+    r2 = (x[:, None, None] ** 2 + x[None, :, None] ** 2
+          + x[None, None, :] ** 2)
+    gauss = np.exp(-r2 / 2.0)
+    phi_int = (gauss + 1e-3 * cb).astype(np.float32)
+    phi_int /= np.sqrt(np.sum(phi_int.astype(np.float64) ** 2)).astype(
+        np.float32
+    )
+    phi_pad = jnp.asarray(np.pad(phi_int, 1))
+
+    def run_at(dt):
+        cfg = base_config(
+            grid={"size": {"x": n, "y": n, "z": n}, "dn": dn, "dt": dt},
+            tolerance=1e-6,
+            potential="Harmonic",
+            init_condition="Constant",
+            precision="f32",
+            output={"screen_update": 200, "file_type": "Json"},
+            max_steps=60000,
+        )
+        _setup(cfg)
+        res = solver._run_single(
+            cfg, logging.getLogger("wafer"), ic_overrides={0: phi_pad}
+        )[0]
+        return res.observables.energy / res.observables.norm2
+
+    # zone-corner kinetic energy at this dn: (c0 + 6)/(k·dn²) = 150
+    e_bound = run_at(bound)
+    assert e_bound > 50.0, e_bound  # lattice mode won
+    e_margin = run_at(0.9 * bound)
+    assert abs(e_margin - 1.5) < 0.5, e_margin  # true ground state
+
+    # the warning rides solver.run (all drivers dispatch through it)
+    def run_short(dt):
+        cfg = base_config(
+            grid={"size": {"x": 12, "y": 12, "z": 12}, "dn": dn, "dt": dt},
+            tolerance=1e-30,
+            output={"screen_update": 50, "file_type": "Json"},
+            max_steps=100,
+        )
+        _setup(cfg)
+        with pytest.raises(errors.MaxStepError):
+            solver.run(cfg)
+
+    with caplog.at_level(logging.WARNING, logger="wafer"):
+        run_short(bound)
+    assert any("stability bound" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="wafer"):
+        run_short(0.9 * bound)
+    assert not any("stability bound" in r.message for r in caplog.records)
+
+
 def test_eta_estimator():
     """Exponential convergence → sensible cycle estimate (src/grid.rs:254-283)."""
     cfg = base_config(tolerance=1e-6, output={"screen_update": 100})

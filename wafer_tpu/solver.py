@@ -1517,6 +1517,34 @@ def _solve_split(
     return SolveResult(wnum=wnum, converged=True, observables=obs, steps=step, phi=(pr, pi))
 
 
+def _warn_marginal_dt(config: Config, log) -> None:
+    """Warn when dt sits at (or within 2% of) the explicit stability bound.
+
+    The reference validates only ``dt ≤ dn²/3`` and allows equality
+    (src/config.rs:362-370), but AT the bound the zone-corner
+    (checkerboard) mode is exactly undamped: its Laplacian term satisfies
+    ``scale·acc = −2`` so the update collapses to ``ψ' = B·0 − ψ = −ψ`` —
+    amplification 1 for ANY potential, real or complex. Every physical
+    mode decays like ``1 − E·dt < 1``, so a long imaginary-time run
+    converges toward the lattice mode instead of the ground state
+    whenever the IC (or f32 noise) excites it — measured: a 512³ run with
+    a wall-discontinuous Gaussian "converged" to E ≈ 2·3/dn² (the
+    checkerboard energy). A few-percent margin restores damping
+    (|g| = |B·2(1 − dt/bound) − 1| < 1)."""
+    bound = stable_dt_bound(
+        config.central_difference.value, config.grid.dn, config.mass
+    )
+    if config.grid.dt > 0.98 * bound:
+        log.warning(
+            "dt=%g is at/near the explicit stability bound %.6g: the "
+            "zone-corner (checkerboard) mode is undamped there "
+            "(amplification 1 for any potential), so long imaginary-time "
+            "runs drift toward the lattice mode instead of the ground "
+            "state. Prefer dt <= %.6g (95%% of the bound).",
+            config.grid.dt, bound, 0.95 * bound,
+        )
+
+
 def run(
     config: Config,
     log=None,
@@ -1532,6 +1560,7 @@ def run(
     coarse levels still solve single-device and only the final level runs
     sharded."""
     log = log or logging.getLogger("wafer")
+    _warn_marginal_dt(config, log)
     if config.multigrid:
         return _run_multigrid(config, log, debug_level, seed, progress_factory)
     if config.mesh.n_devices > 1:
