@@ -338,6 +338,7 @@ def test_split_pallas_dispatch_resident_and_k2(tmp_run, monkeypatch):
     for fn in (
         "evolve_chunk_fused_sc",
         "evolve_chunk_resident_sc",
+        "evolve_chunk_resident_mixed_sc",
         "evolve_chunk_fused_k_sc",
     ):
         monkeypatch.setattr(

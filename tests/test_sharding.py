@@ -1889,7 +1889,13 @@ def test_sharded_sync_update_f32_precision(tmp_run):
     assert out[0].steps == ref[0].steps
     e_ref = ref[0].observables.energy / ref[0].observables.norm2
     e_out = out[0].observables.energy / out[0].observables.norm2
-    assert abs(e_ref - e_out) < 1e-9, (e_ref, e_out)
+    # The Gaussian-noise IC is hot (lattice-kinetic scale), so the
+    # drift guard engages then disengages mid-run; with sync_update=8
+    # the toggle lands on a batch boundary instead of the exact chunk,
+    # so trajectories agree to f32 rounding, not bitwise
+    # (PARITY divergence 7). The guard-constant bitwise case is
+    # test_sharded_sync_update_matches_per_chunk (atol 1e-14).
+    assert abs(e_ref - e_out) < 1e-5, (e_ref, e_out)
 
 
 def test_sharded_1x1x1_whole_chunk_resident():

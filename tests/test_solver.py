@@ -165,6 +165,46 @@ def test_marginal_dt_checkerboard_mode(tmp_run, caplog):
     assert not any("stability bound" in r.message for r in caplog.records)
 
 
+def test_drift_guard_disengages_after_transient(tmp_run, caplog):
+    """The f32 scale-drift guard re-evaluates per measure: a hot IC (a
+    dn-width Gaussian, kinetic ≈ 3/(4·dn²)) engages per-step
+    renormalisation for the transient chunks, then the guard disengages
+    (hysteresis at half the e-fold limit) once E settles toward E₀ and
+    the fast non-psn kernel ladder resumes. The run still converges to
+    the true ground state."""
+    import logging
+
+    import jax.numpy as jnp
+
+    n, dn, dt = 16, 0.2, 0.012
+    idx = np.arange(n)
+    x = (idx - (n - 1) / 2.0) * dn
+    r2 = (x[:, None, None] ** 2 + x[None, :, None] ** 2
+          + x[None, None, :] ** 2)
+    hot = np.exp(-r2 / (2.0 * dn * dn)).astype(np.float32)
+    hot /= np.sqrt(np.sum(hot.astype(np.float64) ** 2)).astype(np.float32)
+    cfg = base_config(
+        grid={"size": {"x": n, "y": n, "z": n}, "dn": dn, "dt": dt},
+        tolerance=1e-6,
+        potential="Harmonic",
+        init_condition="Constant",
+        precision="f32",
+        output={"screen_update": 200, "file_type": "Json"},
+        max_steps=60000,
+    )
+    _setup(cfg)
+    with caplog.at_level(logging.INFO, logger="wafer"):
+        res = solver._run_single(
+            cfg, logging.getLogger("wafer"),
+            ic_overrides={0: jnp.asarray(np.pad(hot, 1))},
+        )[0]
+    msgs = [r.message for r in caplog.records]
+    assert any("renormalising the ground state every step" in m for m in msgs)
+    assert any("resuming per-chunk normalisation" in m for m in msgs)
+    e0 = res.observables.energy / res.observables.norm2
+    assert abs(e0 - 1.5) < 0.5, e0
+
+
 def test_eta_estimator():
     """Exponential convergence → sensible cycle estimate (src/grid.rs:254-283)."""
     cfg = base_config(tolerance=1e-6, output={"screen_update": 100})

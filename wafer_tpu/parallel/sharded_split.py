@@ -1209,27 +1209,23 @@ def _solve_state_split(
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
         if (
-            step == 0
-            and n_lower == 0
+            n_lower == 0
             and config.grid.dt
             <= stable_dt_bound(
                 config.central_difference.value, config.grid.dn, config.mass
             )
         ):
+            # re-evaluated per measure with hysteresis (solver.drift_guard):
+            # a hot IC rides psn through the transient, then the fast
+            # kernel ladder resumes; the batched cache is psn-keyed
+            from wafer_tpu.solver import drift_guard
+
             _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
-            _drift = (
-                2.0
-                * abs(norm_energy.real - v_shift)
-                * config.grid.dt
-                * config.output.screen_update
+            per_step_norm = drift_guard(
+                per_step_norm, norm_energy.real, v_shift,
+                config.grid.dt, config.output.screen_update,
+                _efold_limit, log,
             )
-            if _drift > _efold_limit:
-                per_step_norm = True
-                log.info(
-                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
-                    "renormalising the ground state every step",
-                    _drift,
-                )
         tau = step * config.grid.dt
 
         # snapshot: symmetrisation persists (componentwise); the stale-norm

@@ -287,15 +287,15 @@ def _solve_state(
         from wafer_tpu.solver import stable_dt_bound
 
         if (
-            step == 0
-            and n_lower == 0
+            n_lower == 0
             and config.grid.dt
             <= stable_dt_bound(
                 config.central_difference.value, config.grid.dn, config.mass
             )
         ):
-            # f32 scale-drift guard (see solver.solve): large potential
-            # offsets need the per-step-normalised ground chunk
+            # f32 scale-drift guard (see solver.drift_guard): re-evaluated
+            # per measure with hysteresis — a hot IC engages psn for the
+            # transient chunks, then the fast ladder resumes
             _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
             _drift = (
                 2.0
@@ -303,24 +303,25 @@ def _solve_state(
                 * config.grid.dt
                 * config.output.screen_update
             )
-            if _drift > _efold_limit:
-                per_step_norm = True
-                # yzp-resident meshes: renormalise per R-step window
-                # instead when the drift per window is safely inside f32
-                # range (pure rescaling — PARITY divergence 7); else the
-                # 1-step psn kernel
-                _rw = getattr(ops, "psn_window_steps", 0)
-                if (
-                    _rw
-                    and _drift * _rw / config.output.screen_update < 25.0
-                ):
-                    psn_windowed = True
-                log.info(
-                    "Large potential offset (≈%.0f norm² e-folds per chunk):"
-                    " renormalising the ground state every %s",
-                    _drift,
-                    f"{_rw}-step window" if psn_windowed else "step",
-                )
+            # yzp-resident meshes: renormalise per R-step window instead
+            # when the drift per window is safely inside f32 range (pure
+            # rescaling — PARITY divergence 7); else the 1-step psn kernel
+            _rw = getattr(ops, "psn_window_steps", 0)
+            _windowed = bool(
+                _rw and _drift * _rw / config.output.screen_update < 25.0
+            )
+            from wafer_tpu.solver import drift_guard
+
+            _new = drift_guard(
+                per_step_norm,
+                float(jnp.asarray(norm_energy).real), pots.v_shift,
+                config.grid.dt, config.output.screen_update,
+                _efold_limit, log,
+                what=f"{_rw}-step window" if _windowed else "step",
+            )
+            if _new and not per_step_norm:
+                psn_windowed = _windowed
+            per_step_norm = _new
         tau = step * config.grid.dt
 
         if config.output.snap_update is not None and step % config.output.snap_update == 0:

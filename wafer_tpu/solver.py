@@ -568,8 +568,9 @@ def solve(
     # variationally E₀ > min V — so the drift is pure decay). When the
     # e-fold count would push per-element ψ² below the f32 normal range
     # (TPUs flush denormals), route the state through the per-step-
-    # normalised path. Decided once from the IC's measured energy, a
-    # conservative upper bound on every later Rayleigh quotient.
+    # normalised path. Re-evaluated at every measure with hysteresis
+    # (drift_guard): a hot IC engages it for the transient chunks, then
+    # the fast non-psn ladders resume once E settles toward E₀.
     per_step_norm = False
     _efold_limit = 60.0 if config.real_dtype == jnp.float32 else 600.0
     import time as _time
@@ -706,12 +707,15 @@ def solve(
         return _evolve_dispatch(phi, False, env)
 
     def _get_batched(k_chunks: int):
-        if k_chunks not in _batched_cache:
-            _batched_cache[k_chunks] = make_batched_runner(
+        # keyed on the drift-guard flag: the runner's scan traces
+        # _evolve_env once, baking the current per_step_norm in
+        key = (k_chunks, per_step_norm)
+        if key not in _batched_cache:
+            _batched_cache[key] = make_batched_runner(
                 _measure_env, _evolve_env, config.tolerance, is_complex,
                 k_chunks,
             )
-        return _batched_cache[k_chunks]
+        return _batched_cache[key]
 
     def _pick_batch_k(step: int) -> int:
         return pick_batch_k(
@@ -832,20 +836,12 @@ def solve(
         # mask a genuinely divergent evolution instead of letting the
         # NonFinite guard fire. |E − s|: E > s drifts toward underflow,
         # E < s (deep wells, e.g. Dodecahedron's −100) toward overflow.
-        if step == 0 and n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
-            _drift = (
-                2.0
-                * abs(float(jnp.asarray(norm_energy).real) - pots.v_shift)
-                * dt
-                * config.output.screen_update
+        if n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
+            per_step_norm = drift_guard(
+                per_step_norm, float(jnp.asarray(norm_energy).real),
+                pots.v_shift, dt, config.output.screen_update,
+                _efold_limit, log,
             )
-            if _drift > _efold_limit:
-                per_step_norm = True
-                log.info(
-                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
-                    "renormalising the ground state every step",
-                    _drift,
-                )
         tau = step * dt
 
         # Snapshot lifecycle (reference: src/grid.rs:137-158). The reference
@@ -1242,8 +1238,9 @@ def _solve_split(
 
     def _evolve_env_sc(pp, env):
         # one screen_update chunk — the same dispatch ladder for the
-        # direct per-chunk path and the batched scan (per_step_norm is
-        # fixed after the first, always-unbatched, chunk)
+        # direct per-chunk path and the batched scan (the batched cache
+        # is keyed on per_step_norm, which the drift guard may toggle
+        # between chunks)
         pr_, pi_ = pp
         if split_backend == "pallas":
             if mixed_sc_tx is not None and not per_step_norm:
@@ -1306,12 +1303,14 @@ def _solve_split(
         )
 
     def _get_batched_sc(k_chunks: int):
-        if k_chunks not in _batched_cache:
-            _batched_cache[k_chunks] = make_batched_runner(
+        # keyed on the drift-guard flag (see _get_batched in solve())
+        key = (k_chunks, per_step_norm)
+        if key not in _batched_cache:
+            _batched_cache[key] = make_batched_runner(
                 _measure_env_sc, _evolve_env_sc, config.tolerance, True,
                 k_chunks, split_pair=True,
             )
-        return _batched_cache[k_chunks]
+        return _batched_cache[key]
 
     _dispatch_env_sc = {
         "vr": vr,
@@ -1387,20 +1386,11 @@ def _solve_split(
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
-        if step == 0 and n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
-            _drift = (
-                2.0
-                * abs(norm_energy.real - v_shift)
-                * dt
-                * config.output.screen_update
+        if n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
+            per_step_norm = drift_guard(
+                per_step_norm, norm_energy.real, v_shift, dt,
+                config.output.screen_update, _efold_limit, log,
             )
-            if _drift > _efold_limit:
-                per_step_norm = True
-                log.info(
-                    "Large potential offset (≈%.0f norm² e-folds per chunk): "
-                    "renormalising the ground state every step",
-                    _drift,
-                )
         tau = step * dt
 
         # Snapshot lifecycle, matching solve(): the symmetrisation persists
@@ -1515,6 +1505,46 @@ def _solve_split(
     log.info("Calculation Converged")
     w_store.append((pr, pi))
     return SolveResult(wnum=wnum, converged=True, observables=obs, steps=step, phi=(pr, pi))
+
+
+def drift_guard(
+    per_step_norm: bool,
+    energy_real: float,
+    v_shift: float,
+    dt: float,
+    su: int,
+    efold_limit: float,
+    log,
+    what: str = "step",
+) -> bool:
+    """Re-evaluate the f32 scale-drift guard from the freshest measured
+    energy (PARITY divergence 7). The drift is
+    ``2·|E − v_shift|·dt·screen_update`` norm² e-folds per chunk; engage
+    per-step renormalisation above ``efold_limit``, and DISENGAGE once the
+    drift falls under half of it (hysteresis — no flapping near the
+    threshold). Re-evaluating per measure matters because the IC's energy
+    is a conservative upper bound on every later Rayleigh quotient: a
+    wall-discontinuous Gaussian starts at the lattice-kinetic scale
+    (≈3/dn², thousands of e-folds) but decays to E₀ within a few chunks,
+    after which the fast non-psn kernel ladders apply again.
+    Renormalisation is a pure rescaling, so engaging/disengaging
+    mid-run leaves the trajectory identical up to float rounding."""
+    drift = 2.0 * abs(energy_real - v_shift) * dt * su
+    if not per_step_norm and drift > efold_limit:
+        log.info(
+            "Large potential offset (≈%.0f norm² e-folds per chunk): "
+            "renormalising the ground state every %s",
+            drift, what,
+        )
+        return True
+    if per_step_norm and drift < 0.5 * efold_limit:
+        log.info(
+            "Potential-offset drift fell to ≈%.0f norm² e-folds per "
+            "chunk: resuming per-chunk normalisation",
+            drift,
+        )
+        return False
+    return per_step_norm
 
 
 def _warn_marginal_dt(config: Config, log) -> None:
