@@ -60,6 +60,57 @@ def test_complex_zero_absorb_matches_real(tmp_run):
     assert abs(e_cplx.real - e_real) < 1e-8
 
 
+def test_complex_full_cornell_e2e(tmp_run, monkeypatch):
+    """BASELINE config 4's literal workload, CI-scaled: the absorptive
+    finite-T quarkonium potential ComplexFullCornell = (1+i·absorb)·
+    FullCornell through the split-complex driver. At absorb=0 it must
+    reproduce the real FullCornell run (same seed → same Gaussian IC);
+    at absorb>0 the ground state acquires a thermal width
+    Im E ≈ absorb·⟨V⟩ > 0 while the binding energy still reads off the
+    real part's per-cell V(∞) array."""
+    from wafer_tpu.ops import split_complex as sc
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    common = dict(
+        mass=4.65,
+        sig=0.223,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.5, "dt": 0.05},
+        tolerance=1e-6,
+        init_condition="Gaussian",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=200000,
+    )
+    run_dir.check_output_dir("test")
+    r_real = solver.run(
+        base_config(potential="FullCornell", **common), seed=12
+    )[0]
+    e_real = r_real.observables.energy / r_real.observables.norm2
+
+    r_c0 = solver.run(
+        base_config(potential="ComplexFullCornell", absorb=0.0, **common),
+        seed=12,
+    )[0]
+    e_c0 = r_c0.observables.energy / r_c0.observables.norm2
+    assert abs(e_c0.imag) < 1e-10
+    assert abs(e_c0.real - e_real) < 1e-6, (e_real, e_c0)
+
+    r_ca = solver.run(
+        base_config(potential="ComplexFullCornell", absorb=0.2, **common),
+        seed=12,
+    )[0]
+    assert r_ca.converged
+    obs = r_ca.observables
+    e_ca = obs.energy / obs.norm2
+    # Im E is the thermal width: absorb·⟨V⟩ up to the eigenstate shift
+    assert e_ca.imag > 0.0, e_ca
+    assert abs(e_ca.imag - 0.2 * e_ca.real) / abs(e_ca.real) < 0.2, e_ca
+    # binding reads the real part's per-cell V(∞) array (whether the
+    # screened potential still binds at this T is physics, not plumbing —
+    # the real-path test asserts only finiteness too)
+    binding = (obs.energy - obs.v_infinity) / obs.norm2
+    assert np.isfinite(binding.real), binding
+
+
 def test_complex_observables_file_output(tmp_run):
     """Complex runs surface Im(E) in the summary dict."""
     from wafer_tpu.io import writers

@@ -77,9 +77,16 @@ def test_file_type_extensions():
 
 
 def test_variable_pot_sub():
-    """Only FullCornell has an array pot_sub (reference: src/config.rs:106-126)."""
+    """Only the FullCornell family has an array pot_sub (reference:
+    src/config.rs:106-126; the absorptive ComplexFullCornell extension
+    shares the real part's V(∞) array)."""
     for pt in PotentialType:
-        assert pt.variable_pot_sub == (pt is PotentialType.FULL_CORNELL)
+        assert pt.variable_pot_sub == (
+            pt in (
+                PotentialType.FULL_CORNELL,
+                PotentialType.COMPLEX_FULL_CORNELL,
+            )
+        )
 
 
 def test_script_location_set_only_for_from_script():

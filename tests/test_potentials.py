@@ -164,6 +164,32 @@ def test_complex_absorb():
     np.testing.assert_allclose(v.imag, 0.5 * v.real, rtol=1e-12)
 
 
+def test_complex_full_cornell_scaled_array():
+    """TPU extension: the absorptive finite-T quarkonium potential is
+    (1 + i·absorb)·FullCornell — the complex in-medium potential the
+    reference's finite-T Cornell physics calls for but stubs as real
+    (src/potential.rs:222,250-271)."""
+    kw = dict(mass=4.65, sig=0.223)
+    cfg_r = base_config(potential="FullCornell", **kw)
+    cfg_c = base_config(potential="ComplexFullCornell", absorb=0.3, **kw)
+    vr = np.asarray(pmod.generate(cfg_r))
+    vc = np.asarray(pmod.generate(cfg_c))
+    assert np.iscomplexobj(vc)
+    np.testing.assert_allclose(vc.real, vr, rtol=1e-12)
+    np.testing.assert_allclose(vc.imag, 0.3 * vr, rtol=1e-12)
+    # the split (re, im) pair mirrors the complex array
+    pr, pi_ = pmod.generate_split(cfg_c)
+    np.testing.assert_allclose(np.asarray(pr), vr, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(pi_), 0.3 * vr, rtol=1e-12)
+    # the binding offset V(∞) rides the real part's pot_sub array
+    np.testing.assert_allclose(
+        np.asarray(pmod.potential_sub_array(cfg_c)),
+        np.asarray(pmod.potential_sub_array(cfg_r)),
+    )
+    with pytest.raises(errors.PotentialNotAvailableError):
+        pmod.potential_sub_scalar(cfg_c)
+
+
 def test_potential_sub_scalars():
     """(reference: src/potential.rs:346-363)"""
     assert pmod.potential_sub_scalar(base_config()) == 0.0

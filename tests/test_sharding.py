@@ -612,6 +612,43 @@ def test_sharded_split_complex_matches_single_device(tmp_run, monkeypatch):
     assert abs(e0 - 1.5 * cmath.sqrt(1 + 0.2j)) < 0.05
 
 
+def test_sharded_split_full_cornell_pot_sub_array(tmp_run, monkeypatch):
+    """ComplexFullCornell (absorptive finite-T quarkonium) over a mesh:
+    the sharded split driver must wire the per-cell V(∞) array through
+    the sharded measure (binding = E − ⟨pot_sub⟩ — a regression for the
+    previously-unreachable complex+array-pot_sub combination) and match
+    the single-device split run."""
+    from wafer_tpu import solver
+    from wafer_tpu.ops import split_complex as sc
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    common = dict(
+        potential="ComplexFullCornell",
+        absorb=0.2,
+        mass=4.65,
+        sig=0.223,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.5, "dt": 0.05},
+        tolerance=1e-6,
+        init_condition="Gaussian",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=200000,
+    )
+    run_dir.check_output_dir("test")
+    single = solver.run(base_config(**common), seed=12)[0]
+    sharded = solver.run(
+        base_config(mesh={"x": 2, "y": 2, "z": 1}, **common), seed=12
+    )[0]
+    e_s = single.observables.energy / single.observables.norm2
+    e_m = sharded.observables.energy / sharded.observables.norm2
+    assert abs(e_s - e_m) < 1e-6, (e_s, e_m)
+    # the V(∞) array must actually participate in the sharded measure
+    assert sharded.observables.v_infinity != 0.0
+    assert (
+        abs(sharded.observables.v_infinity - single.observables.v_infinity)
+        < 1e-6 * abs(single.observables.v_infinity)
+    )
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
 def test_sharded_resident_matches_sharded_xla(mesh_shape, monkeypatch):
     """VMEM-resident chunks under shard_map: R·ext-deep ghost zones

@@ -31,6 +31,12 @@ class PotentialType(enum.Enum):
     FULL_CORNELL = "FullCornell"
     HARMONIC = "Harmonic"
     COMPLEX_HARMONIC = "ComplexHarmonic"
+    # TPU extension beyond the reference enum (src/config.rs:73-104): the
+    # absorptive finite-T quarkonium potential — (1 + i·absorb) times the
+    # Debye-screened anisotropic FullCornell. The reference's Complex*
+    # entries are real stubs (src/potential.rs:222,271); this adds the
+    # complex potential its finite-T physics actually calls for.
+    COMPLEX_FULL_CORNELL = "ComplexFullCornell"
     DODECAHEDRON = "Dodecahedron"
     FROM_FILE = "FromFile"
     FROM_SCRIPT = "FromScript"
@@ -38,8 +44,13 @@ class PotentialType(enum.Enum):
     @property
     def variable_pot_sub(self) -> bool:
         """True when potential_sub is a full array rather than a scalar
-        (reference: src/config.rs:106-126). Only FullCornell qualifies."""
-        return self is PotentialType.FULL_CORNELL
+        (reference: src/config.rs:106-126). Only the FullCornell family
+        qualifies; the complex variant shares the real part's V(∞) array
+        (the absorptive factor scales V, not the binding offset read from
+        the real part)."""
+        return self in (
+            PotentialType.FULL_CORNELL, PotentialType.COMPLEX_FULL_CORNELL
+        )
 
     @property
     def is_complex(self) -> bool:
@@ -47,7 +58,22 @@ class PotentialType(enum.Enum):
 
         The reference stubs these out as real (src/potential.rs:222,271);
         here complex propagation is an actual capability."""
-        return self in (PotentialType.COMPLEX_COULOMB, PotentialType.COMPLEX_HARMONIC)
+        return self in (
+            PotentialType.COMPLEX_COULOMB,
+            PotentialType.COMPLEX_HARMONIC,
+            PotentialType.COMPLEX_FULL_CORNELL,
+        )
+
+    @property
+    def real_counterpart(self) -> "PotentialType":
+        """The real potential a Complex* type scales by (1 + i·absorb) —
+        used for split-(re, im) generation and for real-valued side
+        effects (initial conditions, pot_sub, saved potential)."""
+        return {
+            PotentialType.COMPLEX_COULOMB: PotentialType.COULOMB,
+            PotentialType.COMPLEX_HARMONIC: PotentialType.HARMONIC,
+            PotentialType.COMPLEX_FULL_CORNELL: PotentialType.FULL_CORNELL,
+        }[self]
 
     def display(self) -> str:
         return {
@@ -62,6 +88,9 @@ class PotentialType(enum.Enum):
             PotentialType.FULL_CORNELL: "Fully anisotropic screened Cornell + spin correction",
             PotentialType.HARMONIC: "Harmonic oscillator",
             PotentialType.COMPLEX_HARMONIC: "Complex harmonic oscillator",
+            PotentialType.COMPLEX_FULL_CORNELL: (
+                "Complex screened Cornell (finite-T absorptive)"
+            ),
             PotentialType.DODECAHEDRON: "Dodecahedron",
             PotentialType.FROM_FILE: "User generated potential from file",
             PotentialType.FROM_SCRIPT: "User generated potential from script",

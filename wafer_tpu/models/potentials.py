@@ -214,7 +214,7 @@ def generate(
         far = -0.5 * (4.0 / 3.0) / r_safe + config.sig * r_safe + 4.0 * mass
         return jnp.where(r < dn, 4.0 * mass, far).astype(rdt)
 
-    if pot is PotentialType.FULL_CORNELL:
+    if pot in (PotentialType.FULL_CORNELL, PotentialType.COMPLEX_FULL_CORNELL):
         # Debye-screened anisotropic Cornell + spin correction
         # (src/potential.rs:250-269). t/xi/nf/tc are config-extension
         # parameters the reference hardcodes (its TODOs).
@@ -234,7 +234,13 @@ def generate(
             - 0.8 * config.sig / (4.0 * mass * mass * r_safe)
             + 4.0 * mass
         )
-        return jnp.where(r < dn, 4.0 * mass, far).astype(rdt)
+        v = jnp.where(r < dn, 4.0 * mass, far).astype(rdt)
+        if pot is PotentialType.COMPLEX_FULL_CORNELL:
+            # absorptive finite-T variant (the imaginary part the thermal
+            # width gives the in-medium potential), with the same
+            # (1 + i·absorb)·V convention as the other Complex* types
+            return v.astype(config.dtype) * (1.0 + 1j * config.absorb)
+        return v
 
     if pot in (PotentialType.HARMONIC, PotentialType.COMPLEX_HARMONIC):
         v = (r * r / 2.0).astype(rdt)
@@ -270,7 +276,7 @@ def potential_sub_scalar(config: Config) -> float:
         return 1.0 / config.grid.dn
     if pot is PotentialType.SIMPLE_CORNELL:
         return 4.0 * config.mass
-    if pot is PotentialType.FULL_CORNELL:
+    if pot.variable_pot_sub:
         raise errors.PotentialNotAvailableError()
     return 0.0
 
@@ -322,12 +328,9 @@ def generate_split(config: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
         raise errors.PotentialNotAvailableError()
     import dataclasses
 
-    real_type = (
-        PotentialType.COULOMB
-        if config.potential is PotentialType.COMPLEX_COULOMB
-        else PotentialType.HARMONIC
+    real_cfg = dataclasses.replace(
+        config, potential=config.potential.real_counterpart
     )
-    real_cfg = dataclasses.replace(config, potential=real_type)
     vr = generate(real_cfg)
     return vr, config.absorb * vr
 
@@ -370,6 +373,59 @@ def build_ab(
     b = 1.0 / (1.0 + dt * vs / 2.0)
     a = (1.0 - dt * vs / 2.0) * b
     return a, b
+
+
+def load_pot_sub(
+    config: Config, log=None
+) -> Tuple[Optional[jnp.ndarray], Optional[float]]:
+    """potential_sub with the reference's file-preference and
+    type-consistency checks (src/potential.rs:112-153): a work-size array
+    for the FullCornell family, a positive scalar otherwise, (None, None)
+    when V(∞) = 0. Shared by load_arrays and the sharded split driver
+    (which builds (re, im) pairs instead of a Potentials bundle)."""
+    import logging
+
+    log = log or logging.getLogger("wafer")
+    from wafer_tpu.io import readers
+
+    pot_sub_array = None
+    pot_sub_scalar_val: Optional[float] = None
+    sub_from_file = None
+    try:
+        sub_from_file = readers.potential_sub(
+            config.work_size(), config.output.file_type, log, input_dir=config.input_dir
+        )
+    except errors.FileNotFoundWaferError:
+        sub_from_file = None
+
+    if sub_from_file is not None:
+        arr, scalar = sub_from_file
+        if arr is None and scalar is not None and config.potential.variable_pot_sub:
+            log.error(
+                "Potential_sub input file contains a singular value, but potential "
+                "type is FullCornell. Update or remove the potential file in the "
+                "input directory before continuing."
+            )
+            raise errors.WrongPotentialSubDimsError()
+        if arr is not None and scalar is None and not config.potential.variable_pot_sub:
+            log.error(
+                "Potential_sub input file contains an array, but potential type is "
+                "not FullCornell. Update or remove the potential file in the input "
+                "directory before continuing."
+            )
+            raise errors.WrongPotentialSubDimsError()
+        log.info("Potential_sub loaded from disk")
+        pot_sub_array = jnp.asarray(arr, dtype=config.real_dtype) if arr is not None else None
+        pot_sub_scalar_val = float(scalar) if scalar is not None else None
+    elif config.potential.variable_pot_sub:
+        pot_sub_array = potential_sub_array(config)
+        log.info("Variable potential_sub calculated directly")
+    else:
+        single = potential_sub_scalar(config)
+        log.info("Constant potential_sub calculated directly")
+        # only a positive offset is kept (src/potential.rs:146-153)
+        pot_sub_scalar_val = single if single > 0.0 else None
+    return pot_sub_array, pot_sub_scalar_val
 
 
 def load_arrays(config: Config, log=None) -> Potentials:
@@ -434,43 +490,7 @@ def load_arrays(config: Config, log=None) -> Potentials:
 
     # potential_sub: prefer a file, with type-consistency checks
     # (src/potential.rs:112-153)
-    pot_sub_array = None
-    pot_sub_scalar_val: Optional[float] = None
-    sub_from_file = None
-    try:
-        sub_from_file = readers.potential_sub(
-            config.work_size(), config.output.file_type, log, input_dir=config.input_dir
-        )
-    except errors.FileNotFoundWaferError:
-        sub_from_file = None
-
-    if sub_from_file is not None:
-        arr, scalar = sub_from_file
-        if arr is None and scalar is not None and config.potential.variable_pot_sub:
-            log.error(
-                "Potential_sub input file contains a singular value, but potential "
-                "type is FullCornell. Update or remove the potential file in the "
-                "input directory before continuing."
-            )
-            raise errors.WrongPotentialSubDimsError()
-        if arr is not None and scalar is None and not config.potential.variable_pot_sub:
-            log.error(
-                "Potential_sub input file contains an array, but potential type is "
-                "not FullCornell. Update or remove the potential file in the input "
-                "directory before continuing."
-            )
-            raise errors.WrongPotentialSubDimsError()
-        log.info("Potential_sub loaded from disk")
-        pot_sub_array = jnp.asarray(arr, dtype=config.real_dtype) if arr is not None else None
-        pot_sub_scalar_val = float(scalar) if scalar is not None else None
-    elif config.potential.variable_pot_sub:
-        pot_sub_array = potential_sub_array(config)
-        log.info("Variable potential_sub calculated directly")
-    else:
-        single = potential_sub_scalar(config)
-        log.info("Constant potential_sub calculated directly")
-        # only a positive offset is kept (src/potential.rs:146-153)
-        pot_sub_scalar_val = single if single > 0.0 else None
+    pot_sub_array, pot_sub_scalar_val = load_pot_sub(config, log)
 
     pots = Potentials(
         v=v,

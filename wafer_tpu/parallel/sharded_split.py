@@ -941,6 +941,9 @@ def run_sharded_split(
     v_min = float(jnp.min(jnp.where(jnp.isfinite(vr), vr, jnp.inf)))
     v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
     ar, ai, br, bi = pmod.build_ab_split(vr, vi, config.grid.dt, v_shift)
+    # binding-energy offset V(∞): an array for the FullCornell family
+    # (ComplexFullCornell shares the real part's), a scalar otherwise
+    pot_sub_array, pot_sub_scalar = pmod.load_pot_sub(config, log)
 
     def interior(p):
         return geometry.work_area(p, ext)
@@ -977,6 +980,8 @@ def run_sharded_split(
                 ic_override=(
                     ic_overrides.get(wnum) if ic_overrides is not None else None
                 ),
+                pot_sub_array=pot_sub_array,
+                pot_sub_scalar=pot_sub_scalar,
             )
         )
     return results
@@ -1027,14 +1032,9 @@ def _select_ic_split(config, log, wnum, w_store, seed):
         except errors.WaferError:
             log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
             return w_store[wnum - 1]
-    from wafer_tpu.config import PotentialType
-
-    real_counterpart = (
-        PotentialType.COULOMB
-        if config.potential is PotentialType.COMPLEX_COULOMB
-        else PotentialType.HARMONIC
+    real_cfg = dataclasses.replace(
+        config, potential=config.potential.real_counterpart
     )
-    real_cfg = dataclasses.replace(config, potential=real_counterpart)
     pr = initial.set_initial_conditions(real_cfg, log, seed=seed)
     return (
         geometry.work_area(pr, ext),
@@ -1045,6 +1045,7 @@ def _select_ic_split(config, log, wnum, w_store, seed):
 def _solve_state_split(
     config, log, mesh, wnum, w_store, vr, vi, ar, ai, br, bi, r2_grid,
     v_shift, seed, progress, ic_override=None,
+    pot_sub_array=None, pot_sub_scalar=None,
 ):
     from wafer_tpu.io import writers
     from wafer_tpu.models import initial
@@ -1065,7 +1066,9 @@ def _solve_state_split(
         use_pallas = True
     try:
         ops = ShardedSplitOps(
-            config, mesh, n_lower, v_shift=v_shift, use_pallas=use_pallas
+            config, mesh, n_lower, v_shift=v_shift, use_pallas=use_pallas,
+            has_pot_sub_array=pot_sub_array is not None,
+            pot_sub_scalar=pot_sub_scalar,
         )
     except ValueError as exc:
         raise errors.ConfigParseError(
@@ -1090,7 +1093,11 @@ def _solve_state_split(
     ar_d, ai_d = ops.put(ar), ops.put(ai)
     br_d, bi_d = ops.put(br), ops.put(bi)
     r2_d = ops.put(r2_grid)
-    sub_d = ops.dummy_pot_sub()
+    sub_d = (
+        ops.put(pot_sub_array)
+        if pot_sub_array is not None
+        else ops.dummy_pot_sub()
+    )
     sr_d = ops.put_store(
         jnp.stack([w[0] for w in w_store[:n_lower]]) if n_lower else None
     )

@@ -1067,12 +1067,9 @@ def _solve_split(
             pr = initial.symmetrise_wavefunction(config, geometry.zero_boundary(pr, ext))
             pi = initial.symmetrise_wavefunction(config, geometry.zero_boundary(pi, ext))
         else:
-            real_counterpart = (
-                PotentialType.COULOMB
-                if config.potential is PotentialType.COMPLEX_COULOMB
-                else PotentialType.HARMONIC
+            real_cfg = dataclasses.replace(
+                config, potential=config.potential.real_counterpart
             )
-            real_cfg = dataclasses.replace(config, potential=real_counterpart)
             pr = initial.set_initial_conditions(real_cfg, log, seed=seed)
             pi = jnp.zeros_like(pr)
 
@@ -1742,12 +1739,9 @@ def _run_single(
 
             from wafer_tpu.config import PotentialType
 
-            real_counterpart = (
-                PotentialType.COULOMB
-                if config.potential is PotentialType.COMPLEX_COULOMB
-                else PotentialType.HARMONIC
+            load_cfg = dataclasses.replace(
+                config, potential=config.potential.real_counterpart
             )
-            load_cfg = dataclasses.replace(config, potential=real_counterpart)
             if config.output.save_potential:
                 log.warning(
                     "save_potential under the split-complex fallback stores "
