@@ -166,3 +166,76 @@ def test_symmetrised_ic_is_symmetric():
         np.testing.assert_allclose(
             w[:, ext : ext + n + 1, p], w[:, ext : ext + n + 1, src], atol=1e-14
         )
+
+
+def test_exact_clone_gram_schmidt_cancels_to_zero():
+    """The hazard perturb_clone exists for: normalise-then-orthogonalise of
+    an EXACT clone cancels bitwise to the zero array whenever the norm
+    scale and the overlap round to the same f32 (here both are exactly 1),
+    which zeroes the excited-state seed (observed on the 256³ north star)."""
+    from wafer_tpu.ops import gram_schmidt
+
+    cfg = base_config()
+    w = jnp.zeros(cfg.padded_size(), jnp.float32).at[5, 5, 5].set(1.0)
+    phi = gram_schmidt.normalise_wavefunction(w, jnp.float32(1.0))
+    phi = gram_schmidt.orthogonalise_wavefunction(phi, jnp.stack([w]), 1)
+    assert float(jnp.max(jnp.abs(phi))) == 0.0  # the degenerate collapse
+
+
+def test_perturb_clone_survives_gram_schmidt():
+    """perturb_clone's seed leaves a non-zero residual after the chunk
+    head's normalise+orthogonalise — the regression for the 256³ S=2
+    collapse (solver._select_initial_condition memory fallback)."""
+    from wafer_tpu.ops import gram_schmidt
+
+    cfg = base_config()
+    w = jnp.zeros(cfg.padded_size(), jnp.float32).at[5, 5, 5].set(1.0)
+    seeded = initial.perturb_clone(cfg, w, wnum=1, seed=7)
+    phi = gram_schmidt.normalise_wavefunction(
+        seeded, gram_schmidt.get_norm_squared(seeded)
+    )
+    phi = gram_schmidt.orthogonalise_wavefunction(phi, jnp.stack([w]), 1)
+    res = float(jnp.sqrt(gram_schmidt.get_norm_squared(phi)))
+    assert res > 1e-5
+    # Dirichlet shell stays clean without an explicit zero_boundary
+    s = np.asarray(seeded)
+    assert np.all(s[0] == 0) and np.all(s[:, -1] == 0) and np.all(s[..., 0] == 0)
+
+
+def test_perturb_clone_deterministic_and_driver_consistent():
+    """Same (seed, wnum) → identical noise; the interior (sharded-driver)
+    field is exactly the padded field's interior, so cross-driver
+    equivalence runs see the same perturbation."""
+    cfg = base_config()
+    w = jnp.ones(cfg.padded_size(), jnp.float32)
+    a = np.asarray(initial.perturb_clone(cfg, w, wnum=2, seed=3))
+    b = np.asarray(initial.perturb_clone(cfg, w, wnum=2, seed=3))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(initial.perturb_clone(cfg, w, wnum=2, seed=4))
+    assert np.any(a != c)
+    wi = jnp.ones(cfg.grid.size.as_tuple(), jnp.float32)
+    d = np.asarray(
+        initial.perturb_clone(cfg, wi, wnum=2, seed=3, padded=False)
+    )
+    # identical interior noise field: (a - w) interior == (d - wi)
+    np.testing.assert_allclose(
+        a[1:-1, 1:-1, 1:-1] - 1.0, d - 1.0, rtol=0, atol=0
+    )
+
+
+def test_perturb_clone_rms_from_reference():
+    """A zero imaginary part still gets a usable perturbation when the
+    amplitude reference is the real part (split-pair callers)."""
+    cfg = base_config()
+    pr = jnp.full(cfg.padded_size(), 2.0, jnp.float32)
+    pi = jnp.zeros(cfg.padded_size(), jnp.float32)
+    out = np.asarray(
+        initial.perturb_clone(
+            cfg, pi, wnum=1, seed=5, component=1, rms_from=pr
+        )
+    )
+    assert np.abs(out[2:-2, 2:-2, 2:-2]).max() > 1e-4  # ~1e-3·rms(pr)
+    zero_amp = np.asarray(
+        initial.perturb_clone(cfg, pi, wnum=1, seed=5, component=1)
+    )
+    assert np.abs(zero_amp).max() == 0.0  # rms(pi)=0 → no perturbation

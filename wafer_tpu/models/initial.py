@@ -71,6 +71,62 @@ def generate_boolean(init_size, dtype) -> jnp.ndarray:
     return ((i % 2) * (j % 2) * (k % 2)).astype(dtype)
 
 
+def perturb_clone(
+    config: Config,
+    w: jnp.ndarray,
+    wnum: int,
+    seed: Optional[int] = None,
+    scale: float = 1e-3,
+    padded: bool = True,
+    component: int = 0,
+    rms_from: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Seed state ``wnum`` from a converged lower state plus deterministic
+    relative noise.
+
+    The reference re-uses the previous state verbatim when no file is on
+    disk (src/grid.rs:60-100) and relies on the f64 rounding residual of
+    the first normalise-then-orthogonalise to seed the new state. In f32
+    that residual is an outright hazard: the chunk head computes
+    ``ψ/s − c·ψ`` elementwise, and whenever the two scalars round to the
+    same f32 the subtraction cancels BITWISE to the exact zero array —
+    the evolution then collapses to zeros and the norm² guard fires
+    (observed on the 256³ Coulomb north star, data-dependent: the same
+    workload passed in round 3). An explicit, seeded perturbation makes
+    the excited seed well-defined; imaginary time converges to the same
+    eigenstate, so converged observables are unaffected (documented
+    divergence: docs/PARITY.md).
+
+    Driver consistency: the noise is drawn on the INTERIOR grid shape
+    from ``fold_in(seed, wnum·k + component)`` so every driver (padded
+    single-device, interior sharded, split pairs via ``component``)
+    derives the identical perturbation field; padded callers receive it
+    zero-padded, which keeps the Dirichlet shell clean by construction.
+    """
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(0 if seed is None else seed),
+        7919 * wnum + component,
+    )
+    size = config.grid.size.as_tuple()
+    rdt = config.real_dtype
+    noise = jax.random.normal(key, size, dtype=rdt)
+    if jnp.iscomplexobj(w):
+        noise = (
+            noise
+            + 1j
+            * jax.random.normal(jax.random.fold_in(key, 1), size, dtype=rdt)
+        ).astype(w.dtype)
+    ext = config.central_difference.ext
+    if padded:
+        noise = jnp.pad(noise, ext)
+    # amplitude reference: ``rms_from`` lets a split-pair caller scale a
+    # (possibly all-zero) imaginary part by the real part's magnitude
+    ref = w if rms_from is None else rms_from
+    wi = ref[ext:-ext, ext:-ext, ext:-ext] if padded else ref
+    rms = jnp.sqrt(jnp.mean(jnp.abs(wi) ** 2)).astype(rdt)
+    return w + (scale * rms) * noise
+
+
 def set_initial_conditions(config: Config, log=None, seed: Optional[int] = None) -> jnp.ndarray:
     """Build the starting wavefunction: generator → Dirichlet shell →
     symmetrisation (reference: src/config.rs:577-627)."""

@@ -1031,7 +1031,19 @@ def _select_ic_split(config, log, wnum, w_store, seed):
             )
         except errors.WaferError:
             log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
-            return w_store[wnum - 1]
+            # seeded perturbation: an exact clone can Gram-Schmidt-cancel
+            # bitwise to zero in f32 (see initial.perturb_clone); the pair
+            # draws the same noise fields as the single-device split driver
+            pr_c, pi_c = w_store[wnum - 1]
+            return (
+                initial.perturb_clone(
+                    config, pr_c, wnum, seed=seed, padded=False
+                ),
+                initial.perturb_clone(
+                    config, pi_c, wnum, seed=seed, padded=False,
+                    component=1, rms_from=pr_c,
+                ),
+            )
     real_cfg = dataclasses.replace(
         config, potential=config.potential.real_counterpart
     )

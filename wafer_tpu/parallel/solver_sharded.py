@@ -122,7 +122,12 @@ def _select_ic(config, log, wnum, w_store, seed, ic_override=None):
             return _interior(config, jnp.asarray(wfn, dtype=config.dtype))
         except errors.WaferError:
             log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
-            return w_store[wnum - 1]
+            # seeded perturbation: an exact clone can Gram-Schmidt-cancel
+            # bitwise to zero in f32 (see initial.perturb_clone); interior
+            # arrays draw the same noise field as the padded drivers
+            return initial.perturb_clone(
+                config, w_store[wnum - 1], wnum, seed=seed, padded=False
+            )
     return _interior(config, initial.set_initial_conditions(config, log, seed=seed))
 
 

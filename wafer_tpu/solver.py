@@ -268,7 +268,11 @@ def _select_initial_condition(
             return jnp.asarray(wfn, dtype=config.dtype)
         except errors.WaferError:
             log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
-            return w_store[wnum - 1]
+            # seeded perturbation: an exact clone can Gram-Schmidt-cancel
+            # bitwise to zero in f32 (see initial.perturb_clone)
+            return initial.perturb_clone(
+                config, w_store[wnum - 1], wnum, seed=seed
+            )
     return initial.set_initial_conditions(config, log, seed=seed)
 
 
@@ -829,6 +833,14 @@ def solve(
                 energy=energy, norm2=float(n2), v_infinity=float(vinf), r2=float(r2)
             )
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
+            if obs.norm2 == 0.0:
+                log.error(
+                    "norm² is exactly zero at step %d: the state collapsed "
+                    "to the zero array (a degenerate excited-state seed — "
+                    "see models.initial.perturb_clone), not a dt "
+                    "instability",
+                    step,
+                )
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
         # Engage only in the stable-dt regime: renormalisation is a pure
@@ -1040,6 +1052,12 @@ def _solve_split(
             pi = jnp.asarray(np.imag(wfn), dtype=config.real_dtype)
         except errors.WaferError:
             pr, pi = w_store[wnum - 1]
+            # seeded perturbation: an exact clone can Gram-Schmidt-cancel
+            # bitwise to zero in f32 (see initial.perturb_clone)
+            pi = initial.perturb_clone(
+                config, pi, wnum, seed=seed, component=1, rms_from=pr
+            )
+            pr = initial.perturb_clone(config, pr, wnum, seed=seed)
             log.info("Loaded wavefunction %d from memory as initial condition", wnum - 1)
     if pr is None:
         from wafer_tpu.config import InitialCondition, PotentialType
@@ -1381,6 +1399,14 @@ def _solve_split(
                 r2=float(r2),
             )
         if not (math.isfinite(obs.norm2) and obs.norm2 > 0.0):
+            if obs.norm2 == 0.0:
+                log.error(
+                    "norm² is exactly zero at step %d: the state collapsed "
+                    "to the zero array (a degenerate excited-state seed — "
+                    "see models.initial.perturb_clone), not a dt "
+                    "instability",
+                    step,
+                )
             raise errors.NonFiniteError("norm²", step)
         norm_energy = obs.energy / obs.norm2
         if n_lower == 0 and dt <= stable_dt_bound(order, dn, mass):
