@@ -413,9 +413,79 @@ def test_split_pallas_dispatch_resident_and_k2(tmp_run, monkeypatch):
     e_r = out_r[0].observables.energy / out_r[0].observables.norm2
     assert abs(e_r - e_ref) < 2e-4, (e_ref, e_r)
 
-    # K=2 dispatch (residency gated off)
+    # K=2 dispatch (whole-pair residency AND mixed residency gated off —
+    # without the second gate the mixed kernel silently takes this branch)
     monkeypatch.setattr(ps, "resident_sc_supported", lambda *a: False)
+    monkeypatch.setattr(ps, "pick_tx_mixed_sc", lambda *a, **k: None)
     cfg_k = base_config(**common)
     out_k = solver.run(cfg_k, seed=5)
     e_k = out_k[0].observables.energy / out_k[0].observables.norm2
     assert abs(e_k - e_ref) < 2e-4, (e_ref, e_k)
+
+
+def test_split_pallas_dispatch_mixed_streamed_b(tmp_run, monkeypatch):
+    """Non-analytic complex potentials (ComplexFullCornell — no in-kernel
+    B formula) dispatch to the STREAMED-B mixed-residency kernel when the
+    pair exceeds whole-array residency: re resident, im + (Br, Bi) windows
+    streamed. Must match the XLA split path (interpret, backend spoofed)."""
+    import functools
+
+    import jax
+
+    from wafer_tpu.ops import pallas_split as ps, split_complex as sc
+
+    common = dict(
+        precision="f32",
+        potential="ComplexFullCornell",
+        absorb=0.2,
+        mass=4.65,
+        sig=0.223,
+        grid={"size": {"x": 16, "y": 8, "z": 128}, "dn": 0.25, "dt": 0.01},
+        tolerance=1e-5,
+        init_condition="Gaussian",
+        output={"screen_update": 50, "file_type": "Json"},
+        max_steps=20000,
+    )
+    run_dir.check_output_dir("test")
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+
+    cfg_x = base_config(**common)
+    cfg_x.backend = "xla"
+    ref = solver.run(cfg_x, seed=5)
+    e_ref = ref[0].observables.energy / ref[0].observables.norm2
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # force past whole-pair residency so the mixed plan is the dispatch
+    monkeypatch.setattr(ps, "resident_sc_supported", lambda *a: False)
+    for fn in ("evolve_chunk_fused_sc", "evolve_chunk_fused_k_sc"):
+        monkeypatch.setattr(
+            ps, fn, functools.partial(getattr(ps, fn), interpret=True)
+        )
+    orig_step = ps.evolve_step_fused_sc
+
+    def step_interp(*a, **k):
+        # interpret is the 8th positional arg in the chunk drivers
+        if len(a) >= 8:
+            a = a[:7] + (True,) + a[8:]
+        else:
+            k["interpret"] = True
+        return orig_step(*a, **k)
+
+    monkeypatch.setattr(ps, "evolve_step_fused_sc", step_interp)
+    calls = []
+    orig_mixed = ps.evolve_chunk_resident_mixed_sc
+
+    def mixed_interp(*a, **k):
+        calls.append((a[6] if len(a) > 6 else k.get("analytic"),
+                      k.get("b2") is not None))
+        k["interpret"] = True
+        return orig_mixed(*a, **k)
+
+    monkeypatch.setattr(ps, "evolve_chunk_resident_mixed_sc", mixed_interp)
+
+    cfg_m = base_config(**common)
+    out_m = solver.run(cfg_m, seed=5)
+    e_m = out_m[0].observables.energy / out_m[0].observables.norm2
+    assert abs(e_m - e_ref) < 2e-4 * max(1.0, abs(e_ref)), (e_ref, e_m)
+    assert calls, "streamed-B mixed kernel did not dispatch"
+    assert all(an is None and has_b2 for an, has_b2 in calls), calls[:3]

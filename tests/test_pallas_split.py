@@ -183,10 +183,13 @@ def test_split_resident_supported_gating():
 
 
 @pytest.mark.parametrize("n_steps", [4, 5])
-def test_split_mixed_residency_matches_xla(n_steps):
+@pytest.mark.parametrize("streamed_b", [False, True])
+def test_split_mixed_residency_matches_xla(n_steps, streamed_b):
     """Mixed-residency chunk (re VMEM-resident throughout, im streamed
     through the ping-pong HBM pair) == the XLA split oracle — both
-    ping-pong parities (even/odd chunk lengths end in different halves)."""
+    ping-pong parities (even/odd chunk lengths end in different halves)
+    and both B sources (analytic complex B / streamed (Br, Bi) windows,
+    the non-analytic-potential path, e.g. ComplexFullCornell)."""
     cfg, ext, pr, pi, ar, ai, br, bi = _setup()
     order = "ThreePoint"
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
@@ -200,8 +203,10 @@ def test_split_mixed_residency_matches_xla(n_steps):
         pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, n_steps, 0
     )
     out = ps.evolve_chunk_resident_mixed_sc(
-        ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, n_steps, analytic,
+        ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, n_steps,
+        None if streamed_b else analytic,
         interpret=True,
+        b2=_stack_b(br, bi, ext) if streamed_b else None,
     )
     or_, oi_ = ps.from_xpad_sc(out, ext)
     np.testing.assert_allclose(
@@ -214,11 +219,18 @@ def test_split_mixed_residency_matches_xla(n_steps):
 
 def test_split_mixed_residency_gating():
     # 256³: the pair misses whole-chunk VMEM but re alone fits — the
-    # mixed plan exists exactly there (analytic complex B only)
+    # mixed plan exists exactly there
     assert ps.resident_mixed_sc_supported(256, 256, 256, 1, 4, True)
-    assert not ps.resident_mixed_sc_supported(256, 256, 256, 1, 4, False)
+    # streamed-B (non-analytic potentials) budgets the (Br, Bi) windows:
+    # still fits at 256³, one tx notch below the analytic plan
+    assert ps.resident_mixed_sc_supported(256, 256, 256, 1, 4, False)
+    assert (
+        ps.pick_tx_mixed_sc(256, 256, 256, 1, 4, False)
+        <= ps.pick_tx_mixed_sc(256, 256, 256, 1, 4, True)
+    )
     # past the real kernel's resident envelope re no longer fits either
     assert not ps.resident_mixed_sc_supported(512, 512, 512, 1, 4, True)
+    assert not ps.resident_mixed_sc_supported(512, 512, 512, 1, 4, False)
 
 
 def test_split_k_fused_matches_one_step():

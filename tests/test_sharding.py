@@ -820,13 +820,15 @@ def test_sharded_ici_resident_three_windows_race_detector():
     np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-6)
 
 
-def _split_setup(seed=51, n=8, screen_update=3):
+def _split_setup(seed=51, n=8, screen_update=3, potential="ComplexHarmonic",
+                 **cfg_kw):
     cfg = base_config(
         precision="f32",
-        potential="ComplexHarmonic",
+        potential=potential,
         absorb=0.2,
         grid={"size": {"x": n, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
         output={"screen_update": screen_update},
+        **cfg_kw,
     )
     rng = np.random.default_rng(seed)
     pr = rng.normal(size=cfg.work_size()).astype(np.float32)
@@ -1184,15 +1186,22 @@ def test_sharded_split_blocked_windows_match_xla(mesh_shape, monkeypatch):
                                rtol=2e-5, atol=2e-6)
 
 
-def test_sharded_split_mixed_shortcut(monkeypatch):
+@pytest.mark.parametrize("potential", ["ComplexHarmonic", "ComplexFullCornell"])
+def test_sharded_split_mixed_shortcut(monkeypatch, potential):
     """1×1×1-mesh split ground whose pair exceeds whole-array residency
     but whose RE component fits rides the single-chip mixed-residency
-    kernel and matches the sharded XLA path."""
+    kernel and matches the sharded XLA path — both B sources (analytic
+    complex B for ComplexHarmonic; streamed (Br, Bi) windows for
+    ComplexFullCornell, whose Debye-screened B has no in-kernel form)."""
     import wafer_tpu.ops.pallas_split as ps_mod
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
+    kw = {} if potential == "ComplexHarmonic" else {
+        "mass": 4.65, "sig": 0.223,
+    }
     cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=57, n=64,
-                                                 screen_update=5)
+                                                 screen_update=5,
+                                                 potential=potential, **kw)
     monkeypatch.setattr(ps_mod, "resident_sc_supported",
                         lambda *a: False)
     mesh = make_mesh((1, 1, 1))
@@ -1208,6 +1217,7 @@ def test_sharded_split_mixed_shortcut(monkeypatch):
     assert not ops_p.sc_whole_chunk
     assert ops_p.sc_mixed_tx is not None
     assert ops_p.sc_resb_plan is None
+    assert (ops_p.sc_analytic is None) == (potential == "ComplexFullCornell")
     or_, oi_ = ops_p.evolve_chunk(
         ops_p.put(pr), ops_p.put(pi),
         ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
@@ -1232,7 +1242,7 @@ def test_sharded_split_blocked_shortcut(monkeypatch):
     monkeypatch.setattr(ps_mod, "resident_sc_supported",
                         lambda *a: False)
     monkeypatch.setattr(ps_mod, "pick_tx_mixed_sc",
-                        lambda *a: None)
+                        lambda *a, **k: None)
     mesh = make_mesh((1, 1, 1))
     ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
     rr, ri = ops_x.evolve_chunk(

@@ -1578,9 +1578,13 @@ def evolve_chunk_resident_blocked_sc(
 # entirely (src/potential.rs:222,271).
 
 
-def pick_tx_mixed_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int):
+def pick_tx_mixed_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
+                     analytic_b: bool = True):
     """Slab height for the mixed-residency kernel, or None (re must fit
-    whole-chunk; windows + pair-sweep temporaries under the scoped cap)."""
+    whole-chunk; windows + pair-sweep temporaries under the scoped cap).
+    ``analytic_b=False`` budgets the double-buffered (Br, Bi) slab windows
+    the streamed-B variant adds (non-analytic complex potentials, e.g.
+    ComplexFullCornell)."""
     if itemsize != 4:
         return None
     plane = ny * nz * itemsize
@@ -1595,6 +1599,7 @@ def pick_tx_mixed_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int):
         # 6.22e10 vs tx=8's 5.98e10 (BASELINE.md round 4)
         need = (
             nxe + ext + 4 + 2 * (tx + 2 * ext) + 2 * tx + 8 * tx
+            + (0 if analytic_b else 4 * tx)
         ) * plane
         if need <= _pk._RESB_NEED_CAP:
             return tx
@@ -1603,15 +1608,13 @@ def pick_tx_mixed_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int):
 
 def resident_mixed_sc_supported(nx: int, ny: int, nz: int, ext: int,
                                 itemsize: int, analytic_b: bool) -> bool:
-    return (
-        analytic_b
-        and pick_tx_mixed_sc(nx, ny, nz, ext, itemsize) is not None
-    )
+    return pick_tx_mixed_sc(nx, ny, nz, ext, itemsize, analytic_b) is not None
 
 
 def _evolve_kernel_res_mixed_sc(
     re_hbm,     # (NXE, NY, NZ) ANY — re input (consumed at i == 0)
     im2_hbm,    # (NXE, NY, NZ) ANY — step-0 im (copied out at i == 0)
+    b2_hbm,     # (2·NX, NY, NZ) ANY — (Br, Bi) stacked (stub when analytic)
     xorg_smem,  # (1, 1) SMEM i32
     re_out,     # (NXE, NY, NZ) ANY — re' written once at the last step
     im2_out,    # (2·NXE, NY, NZ) ANY — im ping-pong pair; ALL in-kernel im
@@ -1624,11 +1627,14 @@ def _evolve_kernel_res_mixed_sc(
     lag_r,      # (ext, NY, NZ) VMEM
     yzrt,       # (4, NY, NZ) VMEM — Horner-B planes ((1,1,1) stub)
     zeros_x,    # (ext, NY, NZ) VMEM
+    bbuf,       # (4·tx, NY, NZ) VMEM — double-buffered (Br, Bi) slab
+    # windows ((1,1,1) stub when analytic)
     sem_in,
     sem_out,
     sem_win,    # DMA (2,)
     sem_wout,   # DMA (2,)
     sem_z,
+    sem_b,      # DMA (4,)
     *,
     order: str,
     scale: float,
@@ -1644,7 +1650,7 @@ def _evolve_kernel_res_mixed_sc(
     nxe = nx + 2 * ext
     wrows = tx + 2 * ext
     x_row0 = xorg_smem[0, 0].astype(jnp.float32)
-    n_horner = _sc_series_terms(analytic)
+    n_horner = None if analytic is None else _sc_series_terms(analytic)
 
     @pl.when(i == 0)
     def _load():
@@ -1698,13 +1704,42 @@ def _evolve_kernel_res_mixed_sc(
             sem_wout.at[slot],
         )
 
+    if analytic is None:
+        # streamed-B mode (non-analytic complex potentials, e.g.
+        # ComplexFullCornell): (Br, Bi) slab windows ride in double-buffered
+        # alongside the im windows — B is step-constant, so this re-reads it
+        # every step (16 B/update total stream vs the analytic variant's 8)
+        def b_dma(s_idx, bslot):
+            rs_s, tx_s = slabs[s_idx]
+            return [
+                pltpu.make_async_copy(
+                    b2_hbm.at[pl.ds(rs_s - ext, tx_s)],
+                    bbuf.at[pl.ds((bslot * 2) * tx, tx_s)],
+                    sem_b.at[bslot * 2],
+                ),
+                pltpu.make_async_copy(
+                    b2_hbm.at[pl.ds(nx + rs_s - ext, tx_s)],
+                    bbuf.at[pl.ds((bslot * 2 + 1) * tx, tx_s)],
+                    sem_b.at[bslot * 2 + 1],
+                ),
+            ]
+
+        for c_ in b_dma(0, 0):
+            c_.start()
+
     win_in(0, 0).start()
     lag_r[...] = re_buf[0:ext]
     for s, (rs, txs) in enumerate(slabs):
         slot = s % 2
         if s + 1 < nslabs:
             win_in(s + 1, 1 - slot).start()
+            if analytic is None:
+                for c_ in b_dma(s + 1, 1 - slot):
+                    c_.start()
         win_in(s, slot).wait()
+        if analytic is None:
+            for c_ in b_dma(s, slot):
+                c_.wait()
         if s >= 2:
             # the out slot is re-used every other slab — drain before reuse
             w_out(s - 2, slot).wait()
@@ -1730,7 +1765,10 @@ def _evolve_kernel_res_mixed_sc(
             acc_i += cf * (xm_i + xp_i)
             acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
             acc_i += cf * (_shift_z(ci, off) + _shift_z(ci, -off))
-        if n_horner is not None:
+        if analytic is None:
+            br = bbuf[(slot * 2) * tx : (slot * 2) * tx + txs]
+            bi = bbuf[(slot * 2 + 1) * tx : (slot * 2 + 1) * tx + txs]
+        elif n_horner is not None:
             br, bi = _sc_b_slab(
                 analytic, yzrt[...], x_row0 + jnp.float32(rs), txs, n_horner
             )
@@ -1772,11 +1810,14 @@ def evolve_chunk_resident_mixed_sc(
     analytic,
     interpret: bool = False,
     tx: Optional[int] = None,
+    b2: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """A split-complex ground chunk with re VMEM-resident throughout and im
     streamed through a ping-pong HBM pair (see the section comment).
     ``psi2`` is the stacked xpad layout (:func:`to_xpad_sc`); exact
-    per-step cadence (src/grid.rs:544-687)."""
+    per-step cadence (src/grid.rs:544-687). Non-analytic complex potentials
+    pass ``b2`` ((Br, Bi) work-area stacked) and the kernel streams it
+    double-buffered alongside im."""
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
     ext = _EXT[order]
@@ -1784,9 +1825,11 @@ def evolve_chunk_resident_mixed_sc(
     nxe = nxp2 // 2
     nx = nxe - 2 * ext
     dtype = psi2.dtype
-    assert analytic is not None, "mixed-residency split sweep is analytic-B only"
+    if analytic is None and b2 is None:
+        raise ValueError("mixed-residency split sweep needs analytic or b2")
     if tx is None:
-        tx = pick_tx_mixed_sc(nx, ny, nz, ext, dtype.itemsize)
+        tx = pick_tx_mixed_sc(nx, ny, nz, ext, dtype.itemsize,
+                              analytic is not None)
     if tx is None:
         raise ValueError(f"no mixed-residency slab plan for NX={nx}")
     kernel = functools.partial(
@@ -1805,14 +1848,20 @@ def evolve_chunk_resident_mixed_sc(
     xorg = jnp.zeros((1, 1), jnp.int32)
     wrows = tx + 2 * ext
     plane = ny * nz * dtype.itemsize
-    horner = _sc_series_terms(analytic) is not None
+    horner = analytic is not None and _sc_series_terms(analytic) is not None
     rt_rows = 4 if horner else 1
-    need = (nxe + ext + rt_rows + 2 * wrows + 2 * tx + 12 * tx) * plane
+    b_arg = b2 if analytic is None else jnp.zeros((1, 1, 1), dtype)
+    brows = 4 * tx if analytic is None else 1
+    need = (
+        nxe + ext + rt_rows + 2 * wrows + 2 * tx + 12 * tx
+        + (brows if analytic is None else 0)
+    ) * plane
     with jax.enable_x64(False):
         re_o, im2_o, _red = pl.pallas_call(
             kernel,
             grid=(n_steps,),
             in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1836,15 +1885,20 @@ def evolve_chunk_resident_mixed_sc(
                     (rt_rows, ny, nz) if horner else (1, 1, 1), jnp.float32
                 ),
                 pltpu.VMEM((ext, ny, nz), dtype),
+                pltpu.VMEM(
+                    (brows, ny, nz) if analytic is None else (1, 1, 1),
+                    dtype,
+                ),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((4,)),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
-        )(re, im2, xorg)
+        )(re, im2, b_arg, xorg)
     im_final = im2_o[nxe:] if n_steps % 2 == 1 else im2_o[:nxe]
     return jnp.concatenate([re_o, im_final], axis=0)
 

@@ -203,20 +203,19 @@ class ShardedSplitOps:
             sc_whole_chunk = mesh_shape[0] == 1 and (
                 ps_mod.resident_sc_supported(bx, ny, nz, ext, itemsize)
             )
-            if (
-                not sc_whole_chunk
-                and mesh_shape[0] == 1
-                and sc_analytic is not None
-            ):
+            if not sc_whole_chunk and mesh_shape[0] == 1:
                 # degenerate 1-shard axis, HBM-sized pair (256³-class):
                 # the single-chip kernels apply unchanged (their
                 # unconditional edge zeroing IS the global Dirichlet here)
                 # — mixed residency first (measured fastest, BASELINE.md
-                # round 4), else the x-blocked deep-halo pair
+                # round 4; streamed-(Br, Bi) variant for non-analytic
+                # potentials), else the x-blocked deep-halo pair
+                # (analytic-B only)
                 sc_mixed_tx = ps_mod.pick_tx_mixed_sc(
-                    bx, ny, nz, ext, itemsize
+                    bx, ny, nz, ext, itemsize,
+                    analytic_b=sc_analytic is not None,
                 )
-                if sc_mixed_tx is None:
+                if sc_mixed_tx is None and sc_analytic is not None:
                     sc_resb_plan = ps_mod.pick_resb_sc(
                         bx, ny, nz, ext, itemsize, screen_update
                     )
@@ -629,7 +628,7 @@ class ShardedSplitOps:
                     out2 = ps_mod.evolve_chunk_resident_mixed_sc(
                         to_x2(pr, pi), order, dt, dn, mass, screen_update,
                         sc_analytic, interpret=pallas_interpret,
-                        tx=sc_mixed_tx,
+                        tx=sc_mixed_tx, b2=b2_loc,
                     )
                     return (
                         out2[ext : ext + bxl],

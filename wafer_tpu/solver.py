@@ -1158,18 +1158,24 @@ def _solve_split(
                 "((re, im) = %.1f MiB on-chip)",
                 2 * (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20,
             )
-        elif n_lower == 0 and sc_analytic is not None:
+        elif n_lower == 0:
             # pair too big for whole-array residency (256³-class): mixed
             # residency first (re on-chip all chunk, im streamed — measured
-            # fastest, BASELINE.md round 4), else x-blocked deep-halo pair
-            mixed_sc_tx = ps.pick_tx_mixed_sc(nx_, ny_, nz_, ext, 4)
+            # fastest, BASELINE.md round 4; non-analytic potentials stream
+            # (Br, Bi) windows too), else x-blocked deep-halo pair
+            # (analytic-B only), else K=2
+            mixed_sc_tx = ps.pick_tx_mixed_sc(
+                nx_, ny_, nz_, ext, 4, analytic_b=sc_analytic is not None
+            )
             if mixed_sc_tx is not None:
                 log.info(
                     "Split-complex ground chunks run the mixed-residency "
-                    "kernel (re resident %.1f MiB, im streamed, tx=%d)",
-                    (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20, mixed_sc_tx,
+                    "kernel (re resident %.1f MiB, im%s streamed, tx=%d)",
+                    (nx_ + 2 * ext) * ny_ * nz_ * 4 / 2**20,
+                    "" if sc_analytic is not None else " + (Br, Bi)",
+                    mixed_sc_tx,
                 )
-            else:
+            elif sc_analytic is not None:
                 resb_sc_plan = ps.pick_resb_sc(
                     nx_, ny_, nz_, ext, 4, config.output.screen_update
                 )
@@ -1264,6 +1270,7 @@ def _solve_split(
                         ps.to_xpad_sc(pr_, pi_, ext),
                         order, dt, dn, mass, su, sc_analytic,
                         tx=mixed_sc_tx,
+                        b2=None if sc_analytic is not None else env.get("b2"),
                     ),
                     ext,
                 )
