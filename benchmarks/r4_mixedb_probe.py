@@ -55,7 +55,13 @@ def _median_rate(chunk, p, updates_per_chunk: int, repeats: int = 3):
         t_lo, p = run_chain(p, 1)
         t_hi, p = run_chain(p, 3)
         if t_hi - t_lo <= 0.05 * t_hi:
-            samples.append(updates_per_chunk * 3 / max(t_hi, 1e-9))
+            # degenerate sample (async-tunnel timing noise): enlarge the
+            # chain-length delta to 1 vs 5 instead of falling back to an
+            # absolute wall, which would fold per-chain dispatch overhead
+            # into the rate (CLAUDE.md timing discipline / ADVICE r4)
+            t_lo, p = run_chain(p, 1)
+            t_hi, p = run_chain(p, 5)
+            samples.append(updates_per_chunk * 4 / max(t_hi - t_lo, 1e-9))
         else:
             samples.append(updates_per_chunk * 2 / (t_hi - t_lo))
     samples.sort()

@@ -1,4 +1,8 @@
-"""Fused split-complex Pallas sweep vs the XLA split path (interpret mode)."""
+"""Fused split-complex Pallas sweep vs the XLA split path (interpret mode).
+
+Every kernel family is parametrized over all three stencil orders —
+ext ∈ {1, 2, 3} halo widths are the part SURVEY §7 calls hardest to get
+right (the reference's bb/ext spec: src/config.rs:222-239)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -9,15 +13,19 @@ from wafer_tpu import geometry
 from wafer_tpu.models import potentials as pmod
 from wafer_tpu.ops import pallas_split as ps, split_complex as sc
 
+ORDERS = ["ThreePoint", "FivePoint", "SevenPoint"]
+_EXTS = {"ThreePoint": 1, "FivePoint": 2, "SevenPoint": 3}
 
-def _setup(n_lower=0):
+
+def _setup(n_lower=0, order="ThreePoint"):
     cfg = base_config(
         precision="f32",
         potential="ComplexHarmonic",
         absorb=0.2,
+        central_difference=order,
         grid={"size": {"x": 8, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
     )
-    ext = 1
+    ext = _EXTS[order]
     rng = np.random.default_rng(41)
     pr = geometry.zero_boundary(
         jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
@@ -37,9 +45,17 @@ def _stack_b(br, bi, ext):
     )
 
 
-def test_split_fused_chunk_ground():
-    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
-    order = "ThreePoint"
+def _analytic_tuple(cfg):
+    g = cfg.grid
+    return (
+        "Harmonic", g.dn, g.dt, cfg.mass,
+        g.size.x, g.size.y, g.size.z, cfg.sig, 0.0, cfg.absorb,
+    )
+
+
+@pytest.mark.parametrize("order", ORDERS)
+def test_split_fused_chunk_ground(order):
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(order=order)
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
     rr, ri = sc.evolve_chunk_sc(
         pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, 4, 0
@@ -53,9 +69,9 @@ def test_split_fused_chunk_ground():
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)
 
 
-def test_split_fused_chunk_per_step_norm():
-    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
-    order = "ThreePoint"
+@pytest.mark.parametrize("order", ORDERS)
+def test_split_fused_chunk_per_step_norm(order):
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(order=order)
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
     rr, ri = sc.evolve_chunk_sc(
         pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, 4, 0,
@@ -70,10 +86,10 @@ def test_split_fused_chunk_per_step_norm():
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=5e-5, atol=5e-6)
 
 
-def test_split_fused_chunk_excited():
+@pytest.mark.parametrize("order", ORDERS)
+def test_split_fused_chunk_excited(order):
     """Complex Gram-Schmidt through the carried [inv, cr, ci] coefficients."""
-    cfg, ext, pr, pi, ar, ai, br, bi = _setup(n_lower=1)
-    order = "ThreePoint"
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(n_lower=1, order=order)
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
     rng = np.random.default_rng(43)
     lr = geometry.zero_boundary(
@@ -104,17 +120,13 @@ def test_split_fused_chunk_excited():
     assert abs(o_re) < 1e-4 and abs(o_im) < 1e-4
 
 
-def test_split_fused_analytic_b():
+@pytest.mark.parametrize("order", ORDERS)
+def test_split_fused_analytic_b(order):
     """In-kernel complex coordinate-B == streamed (Br, Bi) arrays, ground
     and excited paths."""
-    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
-    order = "ThreePoint"
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(order=order)
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
-    g = cfg.grid
-    analytic = (
-        "Harmonic", g.dn, g.dt, cfg.mass,
-        g.size.x, g.size.y, g.size.z, cfg.sig, 0.0, cfg.absorb,
-    )
+    analytic = _analytic_tuple(cfg)
     ref2 = ps.evolve_chunk_fused_sc(
         ps.to_xpad_sc(pr, pi, ext), _stack_b(br, bi, ext), None,
         order, dt, dn, mass, 3, 0, interpret=True,
@@ -128,13 +140,12 @@ def test_split_fused_analytic_b():
     )
 
 
-def test_split_resident_chunk_matches_xla():
+@pytest.mark.parametrize("order", ORDERS)
+def test_split_resident_chunk_matches_xla(order):
     """(re, im)-resident chunk kernel: streamed-B, analytic-B, and the
     per-step-norm variant vs the XLA split oracle."""
-    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
-    order = "ThreePoint"
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(order=order)
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
-    g = cfg.grid
 
     rr, ri = sc.evolve_chunk_sc(
         pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, 4, 0
@@ -149,10 +160,7 @@ def test_split_resident_chunk_matches_xla():
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6)
 
     # analytic complex B
-    analytic = (
-        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
-        cfg.sig, 0.0, cfg.absorb,
-    )
+    analytic = _analytic_tuple(cfg)
     out_a = ps.evolve_chunk_resident_sc(
         ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, 4, analytic,
         interpret=True,
@@ -182,22 +190,18 @@ def test_split_resident_supported_gating():
     assert not ps.resident_sc_supported(128, 128, 128, 1, 8)
 
 
+@pytest.mark.parametrize("order", ORDERS)
 @pytest.mark.parametrize("n_steps", [4, 5])
 @pytest.mark.parametrize("streamed_b", [False, True])
-def test_split_mixed_residency_matches_xla(n_steps, streamed_b):
+def test_split_mixed_residency_matches_xla(n_steps, streamed_b, order):
     """Mixed-residency chunk (re VMEM-resident throughout, im streamed
     through the ping-pong HBM pair) == the XLA split oracle — both
     ping-pong parities (even/odd chunk lengths end in different halves)
     and both B sources (analytic complex B / streamed (Br, Bi) windows,
     the non-analytic-potential path, e.g. ComplexFullCornell)."""
-    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
-    order = "ThreePoint"
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(order=order)
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
-    g = cfg.grid
-    analytic = (
-        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
-        cfg.sig, 0.0, cfg.absorb,
-    )
+    analytic = _analytic_tuple(cfg)
 
     rr, ri = sc.evolve_chunk_sc(
         pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, n_steps, 0
@@ -233,13 +237,12 @@ def test_split_mixed_residency_gating():
     assert not ps.resident_mixed_sc_supported(512, 512, 512, 1, 4, False)
 
 
-def test_split_k_fused_matches_one_step():
+@pytest.mark.parametrize("order", ORDERS)
+def test_split_k_fused_matches_one_step(order):
     """K=2 temporal blocking for split-complex grounds == K single fused
     sweeps (streamed and analytic B), incl. remainder-step handling."""
-    cfg, ext, pr, pi, ar, ai, br, bi = _setup()
-    order = "ThreePoint"
+    cfg, ext, pr, pi, ar, ai, br, bi = _setup(order=order)
     dt, dn, mass = cfg.grid.dt, cfg.grid.dn, cfg.mass
-    g = cfg.grid
     n_steps = 5  # 2 fused calls + 1 remainder step
 
     ref = ps.evolve_chunk_fused_sc(
@@ -252,8 +255,8 @@ def test_split_k_fused_matches_one_step():
     bwr = geometry.work_area(br, ext)
     bwi = geometry.work_area(bi, ext)
     b2k = jnp.concatenate([
-        jnp.pad(bwr, ((1, 1), (0, 0), (0, 0))),
-        jnp.pad(bwi, ((1, 1), (0, 0), (0, 0))),
+        jnp.pad(bwr, ((ext, ext), (0, 0), (0, 0))),
+        jnp.pad(bwi, ((ext, ext), (0, 0), (0, 0))),
     ], axis=0)
     out = ps.evolve_chunk_fused_k_sc(
         ps.to_xpad_k_sc(pr, pi, ext, 2), b2k, order, dt, dn, mass,
@@ -263,10 +266,7 @@ def test_split_k_fused_matches_one_step():
     np.testing.assert_allclose(np.asarray(kr), np.asarray(rr), rtol=5e-5, atol=5e-6)
     np.testing.assert_allclose(np.asarray(ki), np.asarray(ri), rtol=5e-5, atol=5e-6)
 
-    analytic = (
-        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
-        cfg.sig, 0.0, cfg.absorb,
-    )
+    analytic = _analytic_tuple(cfg)
     out_a = ps.evolve_chunk_fused_k_sc(
         ps.to_xpad_k_sc(pr, pi, ext, 2), None, order, dt, dn, mass,
         n_steps, 2, analytic=analytic, interpret=True,
@@ -276,18 +276,21 @@ def test_split_k_fused_matches_one_step():
     np.testing.assert_allclose(np.asarray(ai_), np.asarray(ri), rtol=5e-5, atol=5e-6)
 
 
-def test_split_resident_blocked_matches_fused(monkeypatch):
+@pytest.mark.parametrize("order", ORDERS)
+def test_split_resident_blocked_matches_fused(order):
     """x-blocked deep-halo split passes (both components resident per
     block) vs the 1-step fused split sweep — interior/edge blocks and the
-    blind ghost-zone sweep exercised; remainder-step cadence too."""
+    blind ghost-zone sweep exercised; remainder-step cadence too. At
+    SevenPoint the explicit tx=4 plan carries a remainder slab shorter
+    than the widest tap (txs=2 < off=3), the _lag_xm edge case."""
     cfg = base_config(
         precision="f32",
         potential="ComplexHarmonic",
         absorb=0.2,
+        central_difference=order,
         grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.1, "dt": 0.002},
     )
-    ext = 1
-    order = "ThreePoint"
+    ext = _EXTS[order]
     g = cfg.grid
     rng = np.random.default_rng(47)
     pr = geometry.zero_boundary(
@@ -296,10 +299,7 @@ def test_split_resident_blocked_matches_fused(monkeypatch):
     pi = geometry.zero_boundary(
         jnp.asarray(rng.normal(size=cfg.padded_size()), dtype=jnp.float32), ext
     )
-    an = (
-        "Harmonic", g.dn, g.dt, cfg.mass, g.size.x, g.size.y, g.size.z,
-        cfg.sig, 0.0, cfg.absorb,
-    )
+    an = _analytic_tuple(cfg)
     for n_steps, r in ((4, 2), (5, 2)):
         ref2 = ps.evolve_chunk_fused_sc(
             ps.to_xpad_sc(pr, pi, ext), None, None,

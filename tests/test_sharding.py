@@ -52,7 +52,7 @@ def test_halo_exchange_matches_zero_padding():
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2), (1, 4, 2)])
-@pytest.mark.parametrize("order", ["ThreePoint", "SevenPoint"])
+@pytest.mark.parametrize("order", ["ThreePoint", "FivePoint", "SevenPoint"])
 def test_sharded_evolve_matches_single_device(mesh_shape, order):
     """Bit-level agreement between the sharded sweep and the padded
     single-device sweep. Grid sized so every block is at least ext wide."""
@@ -161,6 +161,68 @@ def test_sharded_solver_end_to_end(tmp_run):
     results = run_sharded(cfg)
     e0 = results[0].observables.energy / results[0].observables.norm2
     assert abs(e0 - 1.5) < 0.02, e0
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 4, 2)])
+def test_put_blocks_matches_put(mesh_shape):
+    """Per-shard blocked assembly == the host-global array sliced by put
+    (VERDICT r4 #6): potential V, derived A/B, r², and FullCornell's
+    indexed pot_sub array, including through the layout permutation of a
+    y-leading mesh."""
+    from wafer_tpu.models.potentials import (
+        build_ab, generate, potential_sub_array,
+    )
+
+    cfg = base_config(
+        potential="FullCornell",
+        mass=4.65,
+        sig=0.223,
+        grid={"size": {"x": 8, "y": 16, "z": 8}, "dn": 0.35, "dt": 0.02},
+    )
+    ext = cfg.central_difference.ext
+    mesh = make_mesh(mesh_shape)
+    ops = ShardedOps(cfg, mesh, 0, has_pot_sub_array=True)
+
+    v_global = geometry.work_area(generate(cfg), ext)
+    v_blocks = ops.put_blocks(
+        lambda shp, off: generate(cfg, shp, tuple(o + ext for o in off)),
+        dtype=cfg.dtype,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ops.get(v_blocks)), np.asarray(v_global)
+    )
+
+    # jit fuses the divide/multiply chain differently from the eager host
+    # build — 1-ulp differences, so allclose at f64 ulp scale here (the
+    # generated V blocks above ARE bitwise)
+    a_g, b_g = build_ab(v_global, cfg.grid.dt, 1.25)
+    a_d, b_d = jax.jit(lambda v: build_ab(v, cfg.grid.dt, 1.25))(v_blocks)
+    np.testing.assert_allclose(
+        np.asarray(ops.get(a_d)), np.asarray(a_g), rtol=1e-14, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops.get(b_d)), np.asarray(b_g), rtol=1e-14, atol=0
+    )
+
+    r2_g = geometry.r2_index_grid(cfg.work_size(), cfg.grid.size.as_tuple())
+    r2_d = ops.put_blocks(
+        lambda shp, off: geometry.r2_index_grid(
+            shp, cfg.grid.size.as_tuple(), offset=off
+        ),
+        dtype=cfg.real_dtype,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ops.get(r2_d)), np.asarray(r2_g)
+    )
+
+    sub_g = potential_sub_array(cfg)
+    sub_d = ops.put_blocks(
+        lambda shp, off: potential_sub_array(cfg, shp, off),
+        dtype=cfg.real_dtype,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ops.get(sub_d)), np.asarray(sub_g)
+    )
 
 
 def test_sharded_driver_honours_backend_key(tmp_run):
@@ -695,17 +757,18 @@ def test_sharded_resident_matches_sharded_xla(mesh_shape, monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
 
 
-def test_sharded_resident_sevenpoint(monkeypatch):
-    """Deep ghost zones at ext=3 (R=2 → 6-row halos): blind-sweep validity
-    and edge re-zeroing for the widest stencil."""
+@pytest.mark.parametrize("order", ["FivePoint", "SevenPoint"])
+def test_sharded_resident_deep_ext(monkeypatch, order):
+    """Deep ghost zones at ext=2,3 (R=2 → 4/6-row halos): blind-sweep
+    validity and edge re-zeroing for the wider stencils."""
     monkeypatch.setenv("WAFER_SHARDED_ICI", "0")  # per-window ppermute path
     cfg = base_config(
         precision="f32",
-        central_difference="SevenPoint",
+        central_difference=order,
         grid={"size": {"x": 48, "y": 8, "z": 128}, "dn": 0.25, "dt": 0.004},
         output={"screen_update": 4},
     )
-    ext = 3
+    ext = cfg.central_difference.ext
     rng = np.random.default_rng(5)
     phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
     v = pmod.generate(cfg)
@@ -734,18 +797,25 @@ def test_sharded_resident_sevenpoint(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-6)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
-def test_sharded_ici_resident_matches_sharded_xla(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,order", [
+    ((2, 1, 1), "ThreePoint"),
+    ((4, 1, 1), "ThreePoint"),
+    ((2, 1, 1), "FivePoint"),
+])
+def test_sharded_ici_resident_matches_sharded_xla(mesh_shape, order):
     """Whole-chunk ψ residency with in-kernel ICI window exchanges (remote
     DMAs into parity-slotted landing strips) == the XLA sharded sweep.
     screen_update 5 / R=2 → one kernel call spanning two windows (one
-    in-kernel exchange at step 2) + one remainder step."""
+    in-kernel exchange at step 2) + one remainder step. SevenPoint rides
+    the race-detector test below; FivePoint's 4-row strips here close the
+    ext=2 sharded hole (VERDICT r4 #2)."""
     cfg = base_config(
         precision="f32",
+        central_difference=order,
         grid={"size": {"x": 40, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.01},
         output={"screen_update": 5},
     )
-    ext = 1
+    ext = cfg.central_difference.ext
     rng = np.random.default_rng(13)
     phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
     v = pmod.generate(cfg)
@@ -821,12 +891,13 @@ def test_sharded_ici_resident_three_windows_race_detector():
 
 
 def _split_setup(seed=51, n=8, screen_update=3, potential="ComplexHarmonic",
-                 **cfg_kw):
+                 order="ThreePoint", ny=8, **cfg_kw):
     cfg = base_config(
         precision="f32",
         potential=potential,
         absorb=0.2,
-        grid={"size": {"x": n, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+        central_difference=order,
+        grid={"size": {"x": n, "y": ny, "z": 128}, "dn": 0.2, "dt": 0.004},
         output={"screen_update": screen_update},
         **cfg_kw,
     )
@@ -837,21 +908,29 @@ def _split_setup(seed=51, n=8, screen_update=3, potential="ComplexHarmonic",
     ar, ai, br, bi = pmod.build_ab_split(
         vr.astype(jnp.float32), vi.astype(jnp.float32), cfg.grid.dt
     )
-    ext = 1
+    ext = cfg.central_difference.ext
     w = geometry.work_area
     return cfg, pr, pi, (
         w(ar, ext), w(ai, ext), w(br, ext), w(bi, ext)
     )
 
 
+# blocks on a 4-way x mesh must be ≥ ext wide (the driver validates this)
+_SPLIT_N = {"ThreePoint": 8, "FivePoint": 16, "SevenPoint": 24}
+
+
+@pytest.mark.parametrize("order", ["ThreePoint", "FivePoint", "SevenPoint"])
 @pytest.mark.parametrize("n_lower", [0, 1])
-def test_sharded_split_pallas_matches_xla(n_lower):
+def test_sharded_split_pallas_matches_xla(n_lower, order):
     """Sharded split fused kernel (x-only mesh, analytic complex B) == the
     sharded XLA split path, interpret mode — ground and excited (psum'd
-    complex coefficient recursion) paths (VERDICT r2 #4)."""
+    complex coefficient recursion) paths (VERDICT r2 #4), at every halo
+    width ext ∈ {1,2,3} (VERDICT r4 #1)."""
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
-    cfg, pr, pi, (ar, ai, br, bi) = _split_setup()
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(
+        order=order, n=_SPLIT_N[order]
+    )
     mesh = make_mesh((4, 1, 1))
     if n_lower:
         rng = np.random.default_rng(52)
@@ -930,12 +1009,15 @@ def test_sharded_split_transposed_y_mesh_matches_xla():
         )
 
 
-def test_sharded_split_pallas_streamed_b(monkeypatch):
+@pytest.mark.parametrize("order", ["ThreePoint", "SevenPoint"])
+def test_sharded_split_pallas_streamed_b(monkeypatch, order):
     """Sharded split kernel with streamed (Br, Bi) blocks (no analytic
     formula) == sharded XLA split path."""
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
-    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=53)
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(
+        seed=53, order=order, n=_SPLIT_N[order]
+    )
     mesh = make_mesh((4, 1, 1))
     ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
     rr, ri = ops_x.evolve_chunk(
@@ -969,20 +1051,27 @@ def test_sharded_split_pallas_streamed_b(monkeypatch):
 
 
 @pytest.mark.parametrize("use_ici", [False, True])
-@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
-def test_sharded_split_resident_windows_match_xla(mesh_shape, use_ici,
-                                                  monkeypatch):
+@pytest.mark.parametrize("mesh_shape,order,n", [
+    ((2, 1, 1), "ThreePoint", 40),
+    ((4, 1, 1), "ThreePoint", 40),
+    # wider halos: the R-window recompute gate needs bx ≥ 8·(R−1)·ext
+    ((2, 1, 1), "FivePoint", 40),
+    ((2, 1, 1), "SevenPoint", 48),
+])
+def test_sharded_split_resident_windows_match_xla(mesh_shape, order, n,
+                                                  use_ici, monkeypatch):
     """Sharded split ground on deep-ghost-zone resident windows == the
     sharded XLA split path, both cadences: per-window ppermute exchange
     (WAFER_SHARDED_ICI=0) and whole-chunk in-kernel ICI remote DMAs
     (default). screen_update 5 / R=2 → two windows + a remainder step
     (ici: one partial in-kernel window), exercising the blind sweep and
-    the mixed cadence."""
+    the mixed cadence — at ext ∈ {1,2,3} (R·ext-deep strips)."""
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
     monkeypatch.setenv("WAFER_SHARDED_ICI", "1" if use_ici else "0")
-    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=54, n=40,
-                                                 screen_update=5)
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=54, n=n,
+                                                 screen_update=5,
+                                                 order=order)
     mesh = make_mesh(mesh_shape)
     ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
     rr, ri = ops_x.evolve_chunk(
@@ -1039,14 +1128,15 @@ def test_sharded_split_ici_race_detector():
                                rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.parametrize("order", ["ThreePoint", "SevenPoint"])
 @pytest.mark.parametrize("per_step_norm", [False, True])
-def test_sharded_split_whole_chunk_resident(per_step_norm):
+def test_sharded_split_whole_chunk_resident(per_step_norm, order):
     """1×1×1-mesh split ground runs the whole chunk as ONE resident-pair
     call (with the per-step drift guard carried in SMEM when asked) and
     matches the sharded XLA path."""
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
-    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=55, n=16)
+    cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=55, n=16, order=order)
     mesh = make_mesh((1, 1, 1))
     ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
     ops_p = ShardedSplitOps(
@@ -1152,8 +1242,13 @@ def test_sharded_ground_blocked_windows_match_xla(mesh_shape, monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
-def test_sharded_split_blocked_windows_match_xla(mesh_shape, monkeypatch):
+@pytest.mark.parametrize("mesh_shape,order", [
+    ((2, 1, 1), "ThreePoint"),
+    ((4, 1, 1), "ThreePoint"),
+    ((2, 1, 1), "SevenPoint"),
+])
+def test_sharded_split_blocked_windows_match_xla(mesh_shape, order,
+                                                 monkeypatch):
     """Multi-shard split blocks past pair residency ride blocked exchange
     windows == the sharded XLA split path (forced by disabling the
     windowed slab picker)."""
@@ -1161,7 +1256,8 @@ def test_sharded_split_blocked_windows_match_xla(mesh_shape, monkeypatch):
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
     cfg, pr, pi, (ar, ai, br, bi) = _split_setup(seed=60, n=128,
-                                                 screen_update=5)
+                                                 screen_update=5,
+                                                 order=order)
     mesh = make_mesh(mesh_shape)
     ops_x = ShardedSplitOps(cfg, mesh, 0, use_pallas=False)
     rr, ri = ops_x.evolve_chunk(
@@ -1266,17 +1362,25 @@ def test_sharded_split_blocked_shortcut(monkeypatch):
                                rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 2)])
-def test_sharded_yzp_kernel_matches_sharded_xla(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,order", [
+    ((2, 2, 2), "ThreePoint"),
+    ((4, 2, 1), "ThreePoint"),
+    ((1, 2, 2), "ThreePoint"),
+    # wider y/z halos through the ppermute pads (ext ∈ {2,3})
+    ((2, 2, 2), "FivePoint"),
+    ((2, 2, 2), "SevenPoint"),
+])
+def test_sharded_yzp_kernel_matches_sharded_xla(mesh_shape, order):
     """Multi-axis meshes on the kernel ladder (VERDICT r2 #3): the
     y/z-padded kernel with ppermute'd y/z halos == the sharded XLA sweep,
     interpret mode — analytic-B, ground state."""
     cfg = base_config(
         precision="f32",
+        central_difference=order,
         grid={"size": {"x": 8, "y": 16, "z": 256}, "dn": 0.2, "dt": 0.01},
         output={"screen_update": 3},
     )
-    ext = 1
+    ext = cfg.central_difference.ext
     rng = np.random.default_rng(61)
     phi_int = rng.normal(size=cfg.work_size()).astype(np.float32)
     v = pmod.generate(cfg)
@@ -1355,6 +1459,7 @@ def test_sharded_yzp_permuted_no_zpad_matches_xla():
     [
         ((4, 2, 1), {"x": 16, "y": 32, "z": 256}, "ThreePoint", 8, 2),
         ((2, 2, 2), {"x": 16, "y": 16, "z": 256}, "ThreePoint", 16, 2),
+        ((2, 2, 1), {"x": 32, "y": 32, "z": 256}, "FivePoint", 4, 2),
         ((2, 2, 1), {"x": 32, "y": 32, "z": 256}, "SevenPoint", 4, 2),
     ],
 )
@@ -2025,8 +2130,15 @@ def test_sharded_windowed_excited_bf16_streams():
     assert abs(ov) < 1e-3 * np.sqrt(n2), ov
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 2)])
-def test_sharded_split_yzp_matches_xla(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,order", [
+    ((2, 2, 2), "ThreePoint"),
+    ((4, 2, 1), "ThreePoint"),
+    ((1, 2, 2), "ThreePoint"),
+    # wider pair halos through the y/z ppermute pads (ext ∈ {2,3})
+    ((2, 2, 2), "FivePoint"),
+    ((2, 2, 2), "SevenPoint"),
+])
+def test_sharded_split_yzp_matches_xla(mesh_shape, order):
     """Multi-axis meshes on the SPLIT kernel ladder: the y/z-padded split
     kernel (pallas_split._evolve_kernel_sc_yzp) with ppermute'd pair halos
     == the sharded XLA split sweep, interpret mode — analytic complex B,
@@ -2034,7 +2146,7 @@ def test_sharded_split_yzp_matches_xla(mesh_shape):
     from wafer_tpu.parallel.sharded_split import ShardedSplitOps
 
     cfg, pr, pi, (ar, ai, br, bi) = _split_setup(
-        seed=57, n=8, screen_update=3
+        seed=57, n=8, screen_update=3, order=order
     )
     import dataclasses
 
@@ -2053,7 +2165,7 @@ def test_sharded_split_yzp_matches_xla(mesh_shape):
     ar, ai, br, bi = pmod.build_ab_split(
         vr.astype(jnp.float32), vi.astype(jnp.float32), cfg.grid.dt
     )
-    ext = 1
+    ext = cfg.central_difference.ext
     w = geometry.work_area
     ar, ai, br, bi = w(ar, ext), w(ai, ext), w(br, ext), w(bi, ext)
 

@@ -321,9 +321,14 @@ def potential_sub_array(
 # --------------------------------------------------------------------------- #
 
 
-def generate_split(config: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def generate_split(
+    config: Config,
+    shape: Optional[Tuple[int, int, int]] = None,
+    offset: Tuple[int, int, int] = (0, 0, 0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Complex potential as a (re, im) pair of real arrays, for backends
-    without complex support. Complex* types are (1 + i·absorb)·V_real."""
+    without complex support. Complex* types are (1 + i·absorb)·V_real.
+    ``shape``/``offset`` build a per-shard block, as :func:`generate`."""
     if not config.potential.is_complex:
         raise errors.PotentialNotAvailableError()
     import dataclasses
@@ -331,7 +336,7 @@ def generate_split(config: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
     real_cfg = dataclasses.replace(
         config, potential=config.potential.real_counterpart
     )
-    vr = generate(real_cfg)
+    vr = generate(real_cfg, shape, offset)
     return vr, config.absorb * vr
 
 
@@ -376,13 +381,19 @@ def build_ab(
 
 
 def load_pot_sub(
-    config: Config, log=None
+    config: Config, log=None, build_array: bool = True
 ) -> Tuple[Optional[jnp.ndarray], Optional[float]]:
     """potential_sub with the reference's file-preference and
     type-consistency checks (src/potential.rs:112-153): a work-size array
     for the FullCornell family, a positive scalar otherwise, (None, None)
     when V(∞) = 0. Shared by load_arrays and the sharded split driver
-    (which builds (re, im) pairs instead of a Potentials bundle)."""
+    (which builds (re, im) pairs instead of a Potentials bundle).
+
+    ``build_array=False`` (sharded blocked-generation callers) skips
+    materialising the global analytic FullCornell array — the caller
+    builds per-shard blocks via :func:`potential_sub_array`'s
+    shape/offset form instead; file-loaded arrays are still returned
+    whole (file data is inherently global)."""
     import logging
 
     log = log or logging.getLogger("wafer")
@@ -418,14 +429,80 @@ def load_pot_sub(
         pot_sub_array = jnp.asarray(arr, dtype=config.real_dtype) if arr is not None else None
         pot_sub_scalar_val = float(scalar) if scalar is not None else None
     elif config.potential.variable_pot_sub:
-        pot_sub_array = potential_sub_array(config)
-        log.info("Variable potential_sub calculated directly")
+        if build_array:
+            pot_sub_array = potential_sub_array(config)
+            log.info("Variable potential_sub calculated directly")
+        else:
+            log.info(
+                "Variable potential_sub deferred to per-shard generation"
+            )
     else:
         single = potential_sub_scalar(config)
         log.info("Constant potential_sub calculated directly")
         # only a positive offset is kept (src/potential.rs:146-153)
         pot_sub_scalar_val = single if single > 0.0 else None
     return pot_sub_array, pot_sub_scalar_val
+
+
+def scan_v_min(config: Config, slabs: int = 8) -> float:
+    """Finite minimum of the analytic V by x-slab scan, O(slab) host
+    memory — the blocked counterpart of load_arrays' fused global
+    reduction (reference scan: src/potential.rs:156-161). Slab mins
+    compose exactly: min over the union == min of slab mins."""
+    px, py, pz = config.padded_size()
+    step = max(1, -(-px // slabs))
+    v_min = float("inf")
+    for x0 in range(0, px, step):
+        blk = jnp.real(generate(config, (min(step, px - x0), py, pz), (x0, 0, 0)))
+        m = float(jnp.min(jnp.where(jnp.isfinite(blk), blk, jnp.inf)))
+        v_min = min(v_min, m)
+    return v_min
+
+
+def load_arrays_meta(config: Config, log=None) -> Potentials:
+    """load_arrays' scalar side-channel WITHOUT materialising the global
+    V/A/B arrays — for sharded drivers that build only their addressable
+    shards via ``generate(shape, offset)`` (the reference's indexed
+    generation is embarrassingly local, src/potential.rs:46-62).
+
+    Returns a :class:`Potentials` whose ``v``/``a``/``b`` are ``None``;
+    ``v_min``/``v_shift`` (slab-scanned, exactly load_arrays' values), the
+    semi-implicit pole warning, and the pot_sub file arbitration follow
+    load_arrays verbatim. The analytic FullCornell pot_sub array is
+    deferred to per-shard generation (``pot_sub_array is None`` while
+    ``config.potential.variable_pot_sub`` — callers build blocks with
+    :func:`potential_sub_array`'s shape/offset form)."""
+    import logging
+
+    log = log or logging.getLogger("wafer")
+    if config.potential in (PotentialType.FROM_FILE, PotentialType.FROM_SCRIPT):
+        raise errors.PotentialNotAvailableError()
+
+    log.info("Calculating potential per shard (blocked generation)")
+    v_min = scan_v_min(config)
+    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
+    if math.isfinite(v_min) and 1.0 + config.grid.dt * (v_min - v_shift) / 2.0 <= 0.0:
+        log.warning(
+            "Potential minimum %.6g reaches the semi-implicit pole for "
+            "dt = %g (B = 1/(1+dt·V/2) diverges where V ≤ −2/dt = %.6g); "
+            "reduce dt below %.6g or the run will abort non-finite.",
+            v_min,
+            config.grid.dt,
+            -2.0 / config.grid.dt,
+            2.0 / abs(v_min - v_shift) if v_min != v_shift else float("inf"),
+        )
+    pot_sub_array, pot_sub_scalar_val = load_pot_sub(
+        config, log, build_array=False
+    )
+    return Potentials(
+        v=None,
+        a=None,
+        b=None,
+        pot_sub_array=pot_sub_array,
+        pot_sub_scalar=pot_sub_scalar_val,
+        v_min=v_min,
+        v_shift=v_shift,
+    )
 
 
 def load_arrays(config: Config, log=None) -> Potentials:

@@ -40,6 +40,7 @@ from wafer_tpu.ops.pallas_stencil import (
     _EXT,
     _analytic_v,
     _analytic_yz,
+    _lag_xm,
     _shift_y,
     _shift_z,
     to_xpad,
@@ -843,17 +844,12 @@ def _evolve_kernel_res_sc(
         acc_i = (-float(center_c)) * ci
         for off, cf in zip(offsets, coeffs):
             cf = float(cf)
-            xm_r = jnp.concatenate(
-                [lag_r[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
-            )
+            xm_r = _lag_xm(lag_r, psi_buf, rs, txs, off, ext)
             xp_r = psi_buf[rs + off : rs + txs + off]
             acc_r += cf * (xm_r + xp_r)
             acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))
             acc_r += cf * (_shift_z(cr, off) + _shift_z(cr, -off))
-            xm_i = jnp.concatenate(
-                [lag_i[ext - off : ext],
-                 psi_buf[nxe + rs : nxe + rs + txs - off]], axis=0
-            )
+            xm_i = _lag_xm(lag_i, psi_buf, nxe + rs, txs, off, ext)
             xp_i = psi_buf[nxe + rs + off : nxe + rs + txs + off]
             acc_i += cf * (xm_i + xp_i)
             acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
@@ -1229,17 +1225,12 @@ def _evolve_kernel_resb_sc(
             acc_i = (-float(center_c)) * ci
             for off, cf in zip(offsets, coeffs):
                 cf = float(cf)
-                xm_r = jnp.concatenate(
-                    [lag_r[ext - off : ext], buf[rs : rs + txs - off]], axis=0
-                )
+                xm_r = _lag_xm(lag_r, buf, rs, txs, off, ext)
                 xp_r = buf[rs + off : rs + txs + off]
                 acc_r += cf * (xm_r + xp_r)
                 acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))
                 acc_r += cf * (_shift_z(cr, off) + _shift_z(cr, -off))
-                xm_i = jnp.concatenate(
-                    [lag_i[ext - off : ext],
-                     buf[bxp + rs : bxp + rs + txs - off]], axis=0
-                )
+                xm_i = _lag_xm(lag_i, buf, bxp + rs, txs, off, ext)
                 xp_i = buf[bxp + rs + off : bxp + rs + txs + off]
                 acc_i += cf * (xm_i + xp_i)
                 acc_i += cf * (_shift_y(ci, off) + _shift_y(ci, -off))
@@ -1573,9 +1564,13 @@ def evolve_chunk_resident_blocked_sc(
 # negative, the windows land in buffers the sweep is not updating in
 # place). Exact per-step cadence (no deep halos, no blind recompute): HBM
 # traffic is 8 B/update (im read+write) against the pair-blocked kernel's
-# ~2.2× VPU amplification + serial DMA. Ground state, analytic complex B
-# only. Capability referent: the reference stubs complex propagation
-# entirely (src/potential.rs:222,271).
+# ~2.2× VPU amplification + serial DMA. Ground state only. B sources: the
+# in-kernel analytic complex B, or — for non-analytic complex potentials
+# (e.g. ComplexFullCornell) — a double-buffered streamed (Br, Bi) slab
+# window pair at 16 B/update total (same prefetch cadence as the im
+# windows; measured 3.84e10 at 256³, 1.83× the K=2 streamed pair,
+# BASELINE.md round 4). Capability referent: the reference stubs complex
+# propagation entirely (src/potential.rs:222,271).
 
 
 def pick_tx_mixed_sc(nx: int, ny: int, nz: int, ext: int, itemsize: int,
@@ -1750,9 +1745,7 @@ def _evolve_kernel_res_mixed_sc(
         acc_i = (-float(center_c)) * ci
         for off, cf in zip(offsets, coeffs):
             cf = float(cf)
-            xm_r = jnp.concatenate(
-                [lag_r[ext - off : ext], re_buf[rs : rs + txs - off]], axis=0
-            )
+            xm_r = _lag_xm(lag_r, re_buf, rs, txs, off, ext)
             xp_r = re_buf[rs + off : rs + txs + off]
             acc_r += cf * (xm_r + xp_r)
             acc_r += cf * (_shift_y(cr, off) + _shift_y(cr, -off))

@@ -146,6 +146,24 @@ def _shift_z(c: jnp.ndarray, off: int) -> jnp.ndarray:
     return jnp.concatenate([z, c[:, :, :off]], axis=2)
 
 
+def _lag_xm(lag, buf, lo, txs, off, ext):
+    """Pre-update x−off window rows [rs−off, rs+txs−off) for one slab of an
+    in-place sweep.
+
+    The first min(off, txs) rows come from the lag buffer (copies of the
+    ext rows just below the slab, saved before they were overwritten); the
+    rest are the slab's own not-yet-swept rows starting at buf row ``lo``.
+    Remainder slabs shorter than the tap offset (txs ≤ off — reachable at
+    ext ≥ 2 with an explicit tx; the pickers avoid it) live entirely inside
+    the lag buffer, and branching here avoids a zero-row concat operand.
+    """
+    if txs > off:
+        return jnp.concatenate(
+            [lag[ext - off : ext], buf[lo : lo + txs - off]], axis=0
+        )
+    return lag[ext - off : ext - off + txs]
+
+
 def _evolve_kernel(
     # inputs
     phi_hbm,  # (NX+2e, NY, NZ) ANY — manual overlapping-window DMA
@@ -2560,9 +2578,7 @@ def _evolve_kernel_res(
         acc = (-float(center_c)) * c
         for off, cf in zip(offsets, coeffs):
             cf = float(cf)
-            xm = jnp.concatenate(
-                [lag[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
-            )
+            xm = _lag_xm(lag, psi_buf, rs, txs, off, ext)
             xp = psi_buf[rs + off : rs + txs + off]
             acc += cf * (xm + xp)
             acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
@@ -3161,9 +3177,7 @@ def _evolve_kernel_resb(
             acc = (-float(center_c)) * c
             for off, cf in zip(offsets, coeffs):
                 cf = float(cf)
-                xm = jnp.concatenate(
-                    [lag[ext - off : ext], buf[rs : rs + txs - off]], axis=0
-                )
+                xm = _lag_xm(lag, buf, rs, txs, off, ext)
                 xp = buf[rs + off : rs + txs + off]
                 acc += cf * (xm + xp)
                 acc += cf * (_shift_y(c, off) + _shift_y(c, -off))
@@ -3613,9 +3627,7 @@ def _evolve_kernel_res_yzp(
         acc = (-float(center_c)) * c
         for off, cf in zip(offsets, coeffs):
             cf = float(cf)
-            xm = jnp.concatenate(
-                [lag[ext - off : ext], psi_buf[rs : rs + txs - off]], axis=0
-            )
+            xm = _lag_xm(lag, psi_buf, rs, txs, off, ext)
             xp_ = psi_buf[rs + off : rs + txs + off]
             acc += cf * (xm + xp_)
             # full-padded-plane rolls: wrap garbage enters at the pad edge
@@ -3935,9 +3947,7 @@ def _evolve_kernel_resb_yzp(
             acc = (-float(center_c)) * c
             for off, cf in zip(offsets, coeffs):
                 cf = float(cf)
-                xm = jnp.concatenate(
-                    [lag[ext - off : ext], buf[rs : rs + txs - off]], axis=0
-                )
+                xm = _lag_xm(lag, buf, rs, txs, off, ext)
                 xp_ = buf[rs + off : rs + txs + off]
                 acc += cf * (xm + xp_)
                 # full-padded-plane rolls: wrap garbage enters at the pad

@@ -1241,6 +1241,13 @@ class ShardedOps:
             jnp.transpose(jnp.asarray(arr), self.perm), self.sharding()
         )
 
+    def put_blocks(self, build_block, dtype=None):
+        """Assemble a sharded interior array from per-shard blocks —
+        O(shard) host memory; see :func:`parallel.mesh.assemble_blocks`."""
+        from wafer_tpu.parallel.mesh import assemble_blocks
+
+        return assemble_blocks(self, build_block, dtype or self.config.dtype)
+
     def get(self, arr) -> jnp.ndarray:
         """Gather a mesh array back to a host-global interior array in the
         natural (x, y, z) layout (inverse of :meth:`put`)."""

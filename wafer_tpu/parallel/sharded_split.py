@@ -888,6 +888,15 @@ class ShardedSplitOps:
             NamedSharding(self.mesh, P(*self.axis_names)),
         )
 
+    def put_blocks(self, build_block, dtype=None):
+        """Assemble a sharded interior array from per-shard blocks —
+        O(shard) host memory; see :func:`parallel.mesh.assemble_blocks`."""
+        from wafer_tpu.parallel.mesh import assemble_blocks
+
+        return assemble_blocks(
+            self, build_block, dtype or self.config.real_dtype
+        )
+
     def get(self, arr) -> jnp.ndarray:
         """Gather a mesh array back to the natural (x, y, z) host layout
         (inverse of :meth:`put`)."""
@@ -935,21 +944,32 @@ def run_sharded_split(
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
     ext = config.central_difference.ext
 
-    # split potential + factors host-side (complex never reaches the device)
-    vr, vi = pmod.generate_split(config)
-    v_min = float(jnp.min(jnp.where(jnp.isfinite(vr), vr, jnp.inf)))
+    # Split potentials are analytic by construction (generate_split), so
+    # every per-state array is assembled from per-shard blocks — O(shard)
+    # host memory (see solver_sharded.run_sharded; reference:
+    # src/potential.rs:46-62 is embarrassingly local). Only the scalar
+    # side-channel (v_min slab scan, pole warning, pot_sub arbitration)
+    # runs host-side here; the FullCornell pot_sub array defers to
+    # per-shard generation too.
+    import dataclasses
+
+    real_cfg = dataclasses.replace(
+        config, potential=config.potential.real_counterpart
+    )
+    v_min = pmod.scan_v_min(real_cfg)
     v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
-    ar, ai, br, bi = pmod.build_ab_split(vr, vi, config.grid.dt, v_shift)
-    # binding-energy offset V(∞): an array for the FullCornell family
-    # (ComplexFullCornell shares the real part's), a scalar otherwise
-    pot_sub_array, pot_sub_scalar = pmod.load_pot_sub(config, log)
+    if math.isfinite(v_min) and 1.0 + config.grid.dt * (v_min - v_shift) / 2.0 <= 0.0:
+        log.warning(
+            "Potential minimum %.6g reaches the semi-implicit pole for "
+            "dt = %g (B diverges where V ≤ −2/dt); reduce dt.",
+            v_min, config.grid.dt,
+        )
+    pot_sub_array, pot_sub_scalar = pmod.load_pot_sub(
+        config, log, build_array=False
+    )
 
     def interior(p):
         return geometry.work_area(p, ext)
-
-    r2_grid = geometry.r2_index_grid(
-        config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
-    )
 
     w_store: List = []  # (re, im) interior host pairs
     if config.wavenum > 0:
@@ -973,9 +993,7 @@ def run_sharded_split(
         results.append(
             _solve_state_split(
                 config, log, mesh, wnum, w_store,
-                interior(vr), interior(vi),
-                interior(ar), interior(ai), interior(br), interior(bi),
-                r2_grid, v_shift, seed, progress,
+                v_shift, seed, progress,
                 ic_override=(
                     ic_overrides.get(wnum) if ic_overrides is not None else None
                 ),
@@ -1054,16 +1072,17 @@ def _select_ic_split(config, log, wnum, w_store, seed):
 
 
 def _solve_state_split(
-    config, log, mesh, wnum, w_store, vr, vi, ar, ai, br, bi, r2_grid,
+    config, log, mesh, wnum, w_store,
     v_shift, seed, progress, ic_override=None,
     pot_sub_array=None, pot_sub_scalar=None,
 ):
     from wafer_tpu.io import writers
-    from wafer_tpu.models import initial
+    from wafer_tpu.models import initial, potentials as pmod
     from wafer_tpu.solver import SolveResult, eta, stable_dt_bound
     from wafer_tpu.utils import terminal
 
     n_lower = wnum
+    sub_deferred = pot_sub_array is None and config.potential.variable_pot_sub
     # honour the backend key like solver._resolve_backend (see the real
     # driver, parallel/solver_sharded.py)
     use_pallas = None
@@ -1078,7 +1097,7 @@ def _solve_state_split(
     try:
         ops = ShardedSplitOps(
             config, mesh, n_lower, v_shift=v_shift, use_pallas=use_pallas,
-            has_pot_sub_array=pot_sub_array is not None,
+            has_pot_sub_array=pot_sub_array is not None or sub_deferred,
             pot_sub_scalar=pot_sub_scalar,
         )
     except ValueError as exc:
@@ -1100,15 +1119,35 @@ def _solve_state_split(
     else:
         pr0, pi0 = _select_ic_split(config, log, wnum, w_store, seed)
     pr, pi = ops.put(pr0), ops.put(pi0)
-    vr_d, vi_d = ops.put(vr), ops.put(vi)
-    ar_d, ai_d = ops.put(ar), ops.put(ai)
-    br_d, bi_d = ops.put(br), ops.put(bi)
-    r2_d = ops.put(r2_grid)
-    sub_d = (
-        ops.put(pot_sub_array)
-        if pot_sub_array is not None
-        else ops.dummy_pot_sub()
+    # per-shard blocks: vr from coordinates, everything else derived
+    # elementwise on the already-sharded array (stays sharded under jit)
+    ext_b = config.central_difference.ext
+    vr_d = ops.put_blocks(
+        lambda shp, off: pmod.generate_split(
+            config, shp, tuple(o + ext_b for o in off)
+        )[0],
+        dtype=config.real_dtype,
     )
+    vi_d = jax.jit(lambda v: jnp.asarray(config.absorb, v.dtype) * v)(vr_d)
+    ar_d, ai_d, br_d, bi_d = jax.jit(
+        lambda r, i_: pmod.build_ab_split(r, i_, config.grid.dt, v_shift)
+    )(vr_d, vi_d)
+    r2_d = ops.put_blocks(
+        lambda shp, off: geometry.r2_index_grid(
+            shp, config.grid.size.as_tuple(), dtype=config.real_dtype,
+            offset=off,
+        ),
+        dtype=config.real_dtype,
+    )
+    if pot_sub_array is not None:
+        sub_d = ops.put(pot_sub_array)
+    elif sub_deferred:
+        sub_d = ops.put_blocks(
+            lambda shp, off: pmod.potential_sub_array(config, shp, off),
+            dtype=config.real_dtype,
+        )
+    else:
+        sub_d = ops.dummy_pot_sub()
     sr_d = ops.put_store(
         jnp.stack([w[0] for w in w_store[:n_lower]]) if n_lower else None
     )

@@ -66,15 +66,29 @@ def run_sharded(
             )
 
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
-    pots = potentials_mod.load_arrays(config, log)
     ext = config.central_difference.ext
 
-    v_int = _interior(config, pots.v)
-    a_int = _interior(config, pots.a)
-    b_int = _interior(config, pots.b)
-    r2_grid = geometry.r2_index_grid(
-        config.work_size(), config.grid.size.as_tuple(), dtype=config.real_dtype
-    )
+    # Analytic potentials: build only per-shard blocks on each process
+    # (O(shard) host memory via generate(shape, offset) — the reference's
+    # indexed generation is embarrassingly local, src/potential.rs:46-62).
+    # File/script potentials and save_potential need the global array.
+    from wafer_tpu.config import PotentialType
+
+    blocked = config.potential not in (
+        PotentialType.FROM_FILE, PotentialType.FROM_SCRIPT
+    ) and not config.output.save_potential
+    if blocked:
+        pots = potentials_mod.load_arrays_meta(config, log)
+        v_int = a_int = b_int = r2_grid = None
+    else:
+        pots = potentials_mod.load_arrays(config, log)
+        v_int = _interior(config, pots.v)
+        a_int = _interior(config, pots.a)
+        b_int = _interior(config, pots.b)
+        r2_grid = geometry.r2_index_grid(
+            config.work_size(), config.grid.size.as_tuple(),
+            dtype=config.real_dtype,
+        )
 
     w_store: List[jnp.ndarray] = []  # interior-only, host-global jax arrays
     if config.wavenum > 0:
@@ -151,12 +165,18 @@ def _solve_state(
                 "backend: pallas requires an accelerator device"
             )
         use_pallas = True
+    blocked = v_int is None  # per-shard generation (see run_sharded)
+    sub_deferred = (
+        blocked
+        and pots.pot_sub_array is None
+        and config.potential.variable_pot_sub
+    )
     try:
         ops = ShardedOps(
             config,
             mesh,
             n_lower,
-            has_pot_sub_array=pots.pot_sub_array is not None,
+            has_pot_sub_array=pots.pot_sub_array is not None or sub_deferred,
             pot_sub_scalar=pots.pot_sub_scalar,
             v_shift=pots.v_shift,
             use_pallas=use_pallas,
@@ -166,11 +186,42 @@ def _solve_state(
             f"backend: pallas is unsupported for this sharded run: {exc}"
         ) from exc
     phi = ops.put(_select_ic(config, log, wnum, w_store, seed, ic_override))
-    v_d = ops.put(v_int)
-    a_d = ops.put(a_int)
-    b_d = ops.put(b_int)
-    r2_d = ops.put(r2_grid)
-    sub_d = ops.put(pots.pot_sub_array) if pots.pot_sub_array is not None else ops.dummy_pot_sub()
+    ext = config.central_difference.ext
+    if blocked:
+        # interior block (i, j, k) sits at padded index (i+ext, j+ext, k+ext)
+        v_d = ops.put_blocks(
+            lambda shp, off: potentials_mod.generate(
+                config, shp, tuple(o + ext for o in off)
+            ),
+            dtype=config.dtype,
+        )
+        a_d, b_d = jax.jit(
+            lambda v: potentials_mod.build_ab(v, config.grid.dt, pots.v_shift)
+        )(v_d)
+        r2_d = ops.put_blocks(
+            lambda shp, off: geometry.r2_index_grid(
+                shp, config.grid.size.as_tuple(), dtype=config.real_dtype,
+                offset=off,
+            ),
+            dtype=config.real_dtype,
+        )
+    else:
+        v_d = ops.put(v_int)
+        a_d = ops.put(a_int)
+        b_d = ops.put(b_int)
+        r2_d = ops.put(r2_grid)
+    if pots.pot_sub_array is not None:
+        sub_d = ops.put(pots.pot_sub_array)
+    elif sub_deferred:
+        # FullCornell's indexed V(∞) array, built per shard on work indices
+        sub_d = ops.put_blocks(
+            lambda shp, off: potentials_mod.potential_sub_array(
+                config, shp, off
+            ),
+            dtype=config.real_dtype,
+        )
+    else:
+        sub_d = ops.dummy_pot_sub()
     store_d = ops.put_store(jnp.stack(w_store[:n_lower]) if n_lower else None)
 
     is_complex = jnp.iscomplexobj(phi)
