@@ -49,6 +49,12 @@ def main(argv=None) -> int:
     parser.add_argument("--version", action="version", version=__version__)
     args = parser.parse_args(argv)
 
+    # multi-host entry: no-op unless WAFER_COORDINATOR is set; must run
+    # before any JAX backend initialises (parallel/distributed.py)
+    from wafer_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     try:
         config = Config.load(args.config, script=args.script)
     except errors.WaferError as err:

@@ -252,19 +252,29 @@ class CornellParams:
 
 @dataclass
 class MeshConfig:
-    """TPU extension: device-mesh shape for sharded runs. ``x*y*z`` must
-    equal the participating device count. Defaults to single-device."""
+    """TPU extension: device-mesh shape for sharded runs. ``slices·x*y*z``
+    must equal the participating device count. Defaults to single-device.
+
+    ``slices > 1`` enables the multi-slice (DCN) tier: the grid's x axis is
+    sharded over ``slices × x`` devices in a hierarchical ``(sl, gx, gy,
+    gz)`` mesh whose slice axis lands on process (pod-slice) boundaries
+    under ``jax.distributed`` — intra-slice traffic rides ICI, the
+    slice-crossing x exchange rides DCN at the slower ``slice_update``
+    cadence with correspondingly deeper halos
+    (parallel/multislice.py; SURVEY §2 parallelism table)."""
 
     x: int = 1
     y: int = 1
     z: int = 1
+    slices: int = 1
+    slice_update: int = 4  # steps between slice-axis (DCN) exchanges
 
     def as_tuple(self):
         return (self.x, self.y, self.z)
 
     @property
     def n_devices(self) -> int:
-        return self.x * self.y * self.z
+        return self.slices * self.x * self.y * self.z
 
 
 @dataclass
@@ -424,6 +434,8 @@ class Config:
                     x=int(mesh_raw.get("x", 1)),
                     y=int(mesh_raw.get("y", 1)),
                     z=int(mesh_raw.get("z", 1)),
+                    slices=int(mesh_raw.get("slices", 1)),
+                    slice_update=int(mesh_raw.get("slice_update", 4)),
                 ),
             )
         except errors.WaferError:
@@ -473,8 +485,10 @@ class Config:
             raise errors.ConfigParseError(f"precision must be f32 or f64, got {self.precision!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise errors.ConfigParseError(f"backend must be auto/xla/pallas, got {self.backend!r}")
-        if min(self.mesh.as_tuple()) < 1:
+        if min(self.mesh.as_tuple()) < 1 or self.mesh.slices < 1:
             raise errors.ConfigParseError("mesh axes must be >= 1")
+        if self.mesh.slice_update < 1:
+            raise errors.ConfigParseError("mesh.slice_update must be >= 1")
         if self.sync_update is not None and self.sync_update < 1:
             raise errors.ConfigParseError("sync_update must be >= 1")
         if self.multigrid is not None:

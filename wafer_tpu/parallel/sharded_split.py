@@ -941,6 +941,12 @@ def run_sharded_split(
         # honour config.seed like solver.solve (None reaches os.urandom
         # in the Gaussian IC — the config key must not be silently ignored)
         seed = config.seed
+    if config.mesh.slices > 1:
+        raise errors.ConfigParseError(
+            "mesh.slices > 1 (the multi-slice DCN tier) requires a "
+            "complex-capable backend for complex potentials — the "
+            "split-complex path is single-slice"
+        )
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
     ext = config.central_difference.ext
 

@@ -65,7 +65,18 @@ def run_sharded(
                 progress_factory=progress_factory, ic_overrides=ic_overrides,
             )
 
-    mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
+    if mesh is None:
+        if config.mesh.slices > 1:
+            # multi-slice (DCN) tier: hierarchical (sl, gx, gy, gz) mesh,
+            # slice axis on process boundaries (parallel/multislice.py)
+            from wafer_tpu.parallel.multislice import make_multislice_mesh
+
+            mesh = make_multislice_mesh(
+                config.mesh.as_tuple(), config.mesh.slices
+            )
+        else:
+            mesh = make_mesh(config.mesh.as_tuple())
+    multislice = len(mesh.shape) == 4
     ext = config.central_difference.ext
 
     # Analytic potentials: build only per-shard blocks on each process
@@ -171,8 +182,13 @@ def _solve_state(
         and pots.pot_sub_array is None
         and config.potential.variable_pot_sub
     )
+    ops_cls = ShardedOps
+    if len(mesh.shape) == 4:  # hierarchical multi-slice mesh
+        from wafer_tpu.parallel.multislice import MultiSliceOps
+
+        ops_cls = MultiSliceOps
     try:
-        ops = ShardedOps(
+        ops = ops_cls(
             config,
             mesh,
             n_lower,
