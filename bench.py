@@ -232,6 +232,53 @@ def _row_excited(n: int) -> float:
     return _median_chain_rate(chunk, phi, n, STEPS)
 
 
+def _row_order(n: int, order: str) -> float:
+    """N³ ground resident sweep at a higher stencil order (ext = 2, 3) —
+    the accuracy-per-wall trade's wall side (BASELINE.md round-5 rows;
+    reference CD model: src/config.rs:211-249)."""
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    cfg = _make_config(n)
+    ext = {"ThreePoint": 1, "FivePoint": 2, "SevenPoint": 3}[order]
+    dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
+    an = ("Harmonic", dn, dt, mass, n, n, n)
+    if not pk.resident_supported(n, n, n, ext, 4, True):
+        raise RuntimeError("resident gate declined")
+    from wafer_tpu.models import initial
+
+    phi = pk.to_xpad(
+        initial.set_initial_conditions(cfg).astype(jnp.float32), ext
+    )
+
+    def chunk(p):
+        return pk.evolve_chunk_resident(p, order, dt, dn, mass, STEPS, an)
+
+    return _median_chain_rate(chunk, phi, n, STEPS)
+
+
+def _row_delayed_gs(n: int) -> float:
+    """What an excited chunk costs under delayed re-orthogonalisation
+    (solver.delayed_gram_gate engaged): the per-step-norm ground resident
+    kernel — no l/Sl streams, S-independent (PARITY #12)."""
+    from wafer_tpu.models import initial
+    from wafer_tpu.ops import pallas_stencil as pk
+
+    cfg = _make_config(n)
+    order, ext = "ThreePoint", 1
+    dn, dt, mass = cfg.grid.dn, cfg.grid.dt, cfg.mass
+    an = ("Harmonic", dn, dt, mass, n, n, n)
+    phi = pk.to_xpad(
+        initial.set_initial_conditions(cfg).astype(jnp.float32), ext
+    )
+
+    def chunk(p):
+        return pk.evolve_chunk_resident(
+            p, order, dt, dn, mass, STEPS, an, per_step_norm=True
+        )
+
+    return _median_chain_rate(chunk, phi, n, STEPS)
+
+
 def _row_split(n: int) -> float:
     """256³ split-complex ground sweep on the solver's split dispatch
     (mixed-residency kernel — re VMEM-resident for the whole chunk, im
@@ -284,6 +331,15 @@ def _extra_rows(accel) -> list:
             f"split-complex updates/sec/chip at {N}^3 (f32 (re,im) pair, "
             "mixed residency)",
             lambda: _row_split(N),
+        ),
+        (
+            f"SevenPoint updates/sec/chip at {N}^3 (f32, ext=3, resident)",
+            lambda: _row_order(N, "SevenPoint"),
+        ),
+        (
+            f"excited delayed-GS updates/sec/chip at {N}^3 (f32, psn "
+            "resident, S-independent — PARITY #12)",
+            lambda: _row_delayed_gs(N),
         ),
     ]
     for metric, fn in specs:

@@ -280,10 +280,14 @@ def test_split_sync_update_matches_per_chunk(tmp_run, monkeypatch):
 
     monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
     run_dir.check_output_dir("test")
-    cfg1 = _split_cfg(tolerance=1e-7, wavemax=1, init_condition="Gaussian")
+    # delayed_gram pinned off: inactive under batching, so both modes
+    # must run the same per-step projection dispatch to compare bitwise
+    cfg1 = _split_cfg(tolerance=1e-7, wavemax=1, init_condition="Gaussian",
+                      delayed_gram=False)
     cfg1.sync_update = 1
     ref = solver.run(cfg1, seed=9)
-    cfg8 = _split_cfg(tolerance=1e-7, wavemax=1, init_condition="Gaussian")
+    cfg8 = _split_cfg(tolerance=1e-7, wavemax=1, init_condition="Gaussian",
+                      delayed_gram=False)
     cfg8.sync_update = 8
     out = solver.run(cfg8, seed=9)
     for r_ref, r_out in zip(ref, out):

@@ -475,6 +475,10 @@ def test_sync_update_batching_matches_per_chunk(tmp_run):
         output={"screen_update": 100, "file_type": "Json"},
         max_steps=100000,
         wavemax=1,
+        # pin the reference-cadence per-step projection on BOTH modes:
+        # delayed_gram is per-measure-gated and inactive under batching,
+        # so leaving it on would compare two different dispatches
+        delayed_gram=False,
     )
     run_dir.check_output_dir("test")
     cfg1 = base_config(**common)
@@ -609,3 +613,65 @@ def test_solver_blocked_resident_dispatch(tmp_run, monkeypatch):
         e_out = r_out.observables.energy / r_out.observables.norm2
         assert abs(e_ref - e_out) < 2e-4, (e_ref, e_out)
         assert r_ref.steps == r_out.steps
+
+
+def test_delayed_gram_gate_hysteresis():
+    """Numerics gate for delayed re-orthogonalisation: engages when the
+    projected regrowth bias is far below tolerance, releases with
+    hysteresis when it approaches it (SURVEY §7 lever; PARITY #12)."""
+    import logging
+
+    log = logging.getLogger("test")
+    # small dE·dt·su: bias ~1e-12·ΔE << 1e-8 → engage
+    assert solver.delayed_gram_gate(False, 2.5, 1.5, 0.01, 100, 1e-6, log)
+    # huge regrowth (dE·dt·su = 40 → exp(80)): must refuse / release
+    assert not solver.delayed_gram_gate(False, 41.5, 1.5, 0.01, 100, 1e-6, log)
+    assert not solver.delayed_gram_gate(True, 41.5, 1.5, 0.01, 100, 1e-6, log)
+    # hysteresis band: engaged stays engaged, disengaged stays out
+    # (pick dE so bias sits between tol/100 and tol/10)
+    import math
+
+    for de in np.linspace(0.1, 20.0, 200):
+        bias = 1e-12 * math.exp(min(2 * de * 0.01 * 100, 700.0)) * de
+        if 1e-8 < bias < 1e-7:
+            assert solver.delayed_gram_gate(True, 1.5 + de, 1.5, 0.01, 100, 1e-6, log)
+            assert not solver.delayed_gram_gate(False, 1.5 + de, 1.5, 0.01, 100, 1e-6, log)
+            break
+    else:
+        raise AssertionError("no dE found inside the hysteresis band")
+
+
+def test_delayed_gram_equivalence(tmp_run):
+    """Delayed re-orthogonalisation (default) vs the reference's per-step
+    projection (delayed_gram: false): converged excited energies agree
+    within the convergence tolerance and the states stay orthogonal
+    (SURVEY §7: "delayed re-orthogonalisation (with a numerics test
+    proving equivalence)"; reference cadence src/grid.rs:674-681)."""
+    common = dict(
+        grid={"size": {"x": 24, "y": 24, "z": 24}, "dn": 0.25, "dt": 0.015},
+        tolerance=1e-8,
+        mass=1.0,
+        potential="Harmonic",
+        init_condition="Gaussian",
+        sig=1.0,
+        wavemax=1,
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=300000,
+    )
+    _setup(base_config(**common))
+    res_ref = solver.run(base_config(delayed_gram=False, **common), seed=11)
+    run_dir.reset_proj_date()
+    cfg_dgs = base_config(delayed_gram=True, **common)
+    _setup(cfg_dgs)
+    res_dgs = solver.run(cfg_dgs, seed=11)
+    e1_ref = res_ref[1].observables.energy / res_ref[1].observables.norm2
+    e1_dgs = res_dgs[1].observables.energy / res_dgs[1].observables.norm2
+    # oracle sanity + mutual agreement at tolerance scale
+    assert abs(e1_ref - 2.5) < 0.03
+    assert abs(e1_dgs - e1_ref) < 100 * 1e-8, (e1_dgs, e1_ref)
+    import jax.numpy as jnp
+
+    ov = float(jnp.sum(res_dgs[0].phi * res_dgs[1].phi))
+    n0 = float(jnp.sum(res_dgs[0].phi ** 2))
+    n1 = float(jnp.sum(res_dgs[1].phi ** 2))
+    assert abs(ov) / np.sqrt(n0 * n1) < 1e-6

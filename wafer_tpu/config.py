@@ -321,6 +321,15 @@ class Config:
     # amortise. None/1 = the reference's per-chunk cadence
     # (src/grid.rs:126-220) exactly.
     sync_update: Optional[int] = None
+    # Delayed re-orthogonalisation (SURVEY §7's excited-state lever):
+    # when True (default), excited-state chunks drop the per-step
+    # Gram-Schmidt projections (reference cadence: src/grid.rs:674-681)
+    # and project only at measure boundaries, WHENEVER the regrowth
+    # numerics gate holds the projected energy bias far below the
+    # convergence tolerance (solver.delayed_gram_gate — tolerance-
+    # equivalent results, docs/PARITY.md divergence 12). False restores
+    # the reference's exact per-step projection unconditionally.
+    delayed_gram: bool = True
     # Multigrid (coarse→fine) schedule: a strictly-decreasing list of
     # integer divisors, e.g. [4, 2] solves size/4 → size/2 → full size,
     # upsampling each level's converged states (trilinear, the same
@@ -407,6 +416,7 @@ class Config:
                 absorb=float(raw.get("absorb", 0.0)),
                 backend=str(raw.get("backend", "auto")),
                 seed=(int(raw["seed"]) if raw.get("seed") is not None else None),
+                delayed_gram=bool(raw.get("delayed_gram", True)),
                 sync_update=(
                     int(raw["sync_update"])
                     if raw.get("sync_update") is not None

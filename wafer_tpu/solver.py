@@ -41,6 +41,28 @@ class SolveResult:
     phi: jnp.ndarray
 
 
+@jax.jit
+def _max_rel_overlap(phi, stacked):
+    """max_s |⟨l_s|ψ⟩| / (‖l_s‖·‖ψ‖) — the measured lower-state admixture
+    feeding the delayed-re-orthogonalisation gate's override."""
+    wc = jnp.conj(phi) if jnp.iscomplexobj(phi) else phi
+    pn = jnp.sqrt(jnp.sum(jnp.real(wc * phi)))
+    sc_ = jnp.conj(stacked) if jnp.iscomplexobj(stacked) else stacked
+    ln = jnp.sqrt(jnp.sum(jnp.real(sc_ * stacked), axis=(1, 2, 3)))
+    ov = jnp.abs(jnp.tensordot(sc_, phi, axes=3))
+    return jnp.max(ov / (ln * pn))
+
+
+@jax.jit
+def _max_rel_overlap_sc(pr, pi, sr, si):
+    """Split-complex counterpart of :func:`_max_rel_overlap`."""
+    pn = jnp.sqrt(jnp.sum(pr * pr + pi * pi))
+    ln = jnp.sqrt(jnp.sum(sr * sr + si * si, axis=(1, 2, 3)))
+    o_re = jnp.tensordot(sr, pr, axes=3) + jnp.tensordot(si, pi, axes=3)
+    o_im = jnp.tensordot(sr, pi, axes=3) - jnp.tensordot(si, pr, axes=3)
+    return jnp.max(jnp.sqrt(o_re * o_re + o_im * o_im) / (ln * pn))
+
+
 @partial(jax.jit, static_argnames=("order", "n_lower"))
 def _measure_and_prepare(
     phi, v, r2_grid, pot_sub_array, pot_sub_scalar, w_store, order, dn, mass, n_lower
@@ -375,6 +397,32 @@ def solve(
     n_lower = wnum
     stacked = jnp.stack(w_store[:n_lower]) if n_lower > 0 else None
 
+    # Delayed re-orthogonalisation (SURVEY §7 lever; gate:
+    # delayed_gram_gate): needs the lowest stored-state energy to bound
+    # the regrowth — one Rayleigh quotient per stored state, once per
+    # solve.
+    delayed_gs = False
+    _dgs_cooldown = 0
+    e_lowest = None
+    if n_lower > 0 and config.delayed_gram and (config.sync_update or 1) > 1:
+        log.info(
+            "delayed_gram is inactive under sync_update batching: the "
+            "gate re-evaluates per measure (and reads a per-boundary "
+            "admixture), which the device-batched scan cannot replay "
+            "without breaking its exact per-chunk-equivalence contract"
+        )
+    if n_lower > 0 and config.delayed_gram and (config.sync_update or 1) == 1:
+        e_ls = []
+        for w in w_store[:n_lower]:
+            e_l, n2_l, _vi_l, _r2_l = compute_observables_device(
+                w, pots.v, r2_grid, pots.pot_sub_array,
+                pots.pot_sub_scalar, order, dn, mass,
+            )
+            e_ls.append(
+                float(jnp.asarray(e_l).real) / float(jnp.asarray(n2_l))
+            )
+        e_lowest = min(e_ls)
+
     if backend == "pallas":
         from wafer_tpu.ops import pallas_stencil as pk
 
@@ -590,6 +638,39 @@ def solve(
         them as arguments instead of baking them into the graph as
         constants (a 256³ V/r²/store set embedded as literals overflows a
         remote compile service's request limit)."""
+        if delayed_gs and n_lower > 0:
+            # delayed re-orthogonalisation: the chunk runs the ground
+            # per-step-norm ladder with NO l/Sl streams (projection
+            # happens at the measure boundary; gate: delayed_gram_gate)
+            if backend != "pallas":
+                return stencil.evolve_chunk(
+                    phi, env["a"], env["b"], None, order, dt, dn,
+                    mass, su, 0, per_step_norm=True,
+                )
+            from wafer_tpu.ops import pallas_stencil as pk
+
+            if pk.resident_supported(
+                *config.work_size(),
+                ext, jnp.dtype(config.real_dtype).itemsize,
+                analytic is not None,
+            ):
+                return pk.from_xpad(
+                    pk.evolve_chunk_resident(
+                        pk.to_xpad(phi, ext), order, dt, dn, mass, su,
+                        analytic, per_step_norm=True,
+                        b_int=None if analytic is not None else env["b_int"],
+                    ),
+                    ext,
+                )
+            return pk.from_xpad(
+                pk.evolve_chunk_fused(
+                    pk.to_xpad(phi, ext),
+                    None if analytic is not None else env["b_int"],
+                    None, order, dt, dn, mass, su, 0,
+                    analytic=analytic, per_step_norm=True,
+                ),
+                ext,
+            )
         if backend != "pallas":
             return stencil.evolve_chunk(
                 phi, env["a"], env["b"], env["stacked"], order, dt, dn,
@@ -711,9 +792,9 @@ def solve(
         return _evolve_dispatch(phi, False, env)
 
     def _get_batched(k_chunks: int):
-        # keyed on the drift-guard flag: the runner's scan traces
-        # _evolve_env once, baking the current per_step_norm in
-        key = (k_chunks, per_step_norm)
+        # keyed on the drift-guard and delayed-GS flags: the runner's scan
+        # traces _evolve_env once, baking the current dispatch in
+        key = (k_chunks, per_step_norm, delayed_gs)
         if key not in _batched_cache:
             _batched_cache[key] = make_batched_runner(
                 _measure_env, _evolve_env, config.tolerance, is_complex,
@@ -753,6 +834,7 @@ def solve(
     batch_phi_conv = None
 
     while True:
+        measured_delta = None
         if chunk_t0 is not None:
             # throughput counter: the BASELINE.md primary metric
             wall = _time.perf_counter() - chunk_t0
@@ -816,6 +898,10 @@ def solve(
                 batch_phi_next = phi_f
                 batch_phi_conv = phi_conv
                 continue
+            if delayed_gs and n_lower > 0:
+                # gate override input: pre-projection admixture (ground
+                # truth for the regrowth the a-priori bound models)
+                measured_delta = float(_max_rel_overlap(phi, stacked))
             (e, n2, vinf, r2), phi = _measure_and_prepare(
                 phi,
                 pots.v,
@@ -854,6 +940,30 @@ def solve(
                 pots.v_shift, dt, config.output.screen_update,
                 _efold_limit, log,
             )
+        if n_lower > 0 and e_lowest is not None:
+            # delayed re-orthogonalisation gate, re-evaluated per measure
+            # from the freshest energy estimate (like drift_guard) plus
+            # the measured pre-projection admixture (batched rows replay
+            # without one — a-priori bound only there). An admixture-
+            # triggered release starts a short cooldown: the measured
+            # value right after a per-step-GS chunk is always tiny, so
+            # without it the gate would flap chunk-by-chunk while the
+            # transient regrowth persists.
+            was = delayed_gs
+            if _dgs_cooldown > 0:
+                _dgs_cooldown -= 1
+                delayed_gs = False
+            else:
+                delayed_gs = delayed_gram_gate(
+                    delayed_gs, float(jnp.asarray(norm_energy).real),
+                    e_lowest, dt, config.output.screen_update,
+                    config.tolerance, log, measured_delta=measured_delta,
+                )
+            if (
+                was and not delayed_gs
+                and measured_delta is not None and measured_delta > 1e-4
+            ):
+                _dgs_cooldown = 4
         tau = step * dt
 
         # Snapshot lifecycle (reference: src/grid.rs:137-158). The reference
@@ -1098,6 +1208,22 @@ def _solve_split(
     store_r = jnp.stack([w[0] for w in w_store[:n_lower]]) if n_lower else None
     store_i = jnp.stack([w[1] for w in w_store[:n_lower]]) if n_lower else None
 
+    # delayed re-orthogonalisation gate input (see solve()): lowest
+    # stored-state energy by split Rayleigh quotient, once per solve
+    delayed_gs = False
+    _dgs_cooldown = 0
+    e_lowest_sc = None
+    # inactive under sync_update batching — see solve()
+    if n_lower > 0 and config.delayed_gram and (config.sync_update or 1) == 1:
+        e_ls = []
+        for wr_, wi_ in w_store[:n_lower]:
+            (e_r, _e_i, n2_l, _vi_l, _r2_l), _pp = sc.measure_and_prepare_sc(
+                wr_, wi_, vr, vi, r2_grid, pots.pot_sub_array,
+                pots.pot_sub_scalar, None, None, order, dn, mass, 0,
+            )
+            e_ls.append(float(e_r) / float(n2_l))
+        e_lowest_sc = min(e_ls)
+
     # fused split-complex Pallas sweep when the platform and shapes allow
     # (same gating as the real path: f32 on an accelerator, tile-aligned
     # planes, VMEM fit); otherwise the XLA split path
@@ -1263,6 +1389,33 @@ def _solve_split(
         # is keyed on per_step_norm, which the drift guard may toggle
         # between chunks)
         pr_, pi_ = pp
+        if delayed_gs and n_lower > 0:
+            # delayed re-orthogonalisation (gate: delayed_gram_gate): the
+            # chunk runs the ground per-step-norm ladder without the
+            # stored-pair streams; projection at the measure boundary
+            if split_backend == "pallas":
+                if ps.resident_sc_supported(*config.work_size(), ext, 4):
+                    return ps.from_xpad_sc(
+                        ps.evolve_chunk_resident_sc(
+                            ps.to_xpad_sc(pr_, pi_, ext),
+                            order, dt, dn, mass, su, sc_analytic,
+                            per_step_norm=True, b2=env.get("b2"),
+                        ),
+                        ext,
+                    )
+                return ps.from_xpad_sc(
+                    ps.evolve_chunk_fused_sc(
+                        ps.to_xpad_sc(pr_, pi_, ext), env.get("b2"), None,
+                        order, dt, dn, mass, su, 0,
+                        per_step_norm=True, analytic=sc_analytic,
+                    ),
+                    ext,
+                )
+            return sc.evolve_chunk_sc(
+                pr_, pi_, env["ar"], env["ai"], env["br"], env["bi"],
+                None, None, order, dt, dn, mass, su, 0,
+                per_step_norm=True,
+            )
         if split_backend == "pallas":
             if mixed_sc_tx is not None and not per_step_norm:
                 return ps.from_xpad_sc(
@@ -1325,8 +1478,8 @@ def _solve_split(
         )
 
     def _get_batched_sc(k_chunks: int):
-        # keyed on the drift-guard flag (see _get_batched in solve())
-        key = (k_chunks, per_step_norm)
+        # keyed on the drift-guard/delayed-GS flags (see solve())
+        key = (k_chunks, per_step_norm, delayed_gs)
         if key not in _batched_cache:
             _batched_cache[key] = make_batched_runner(
                 _measure_env_sc, _evolve_env_sc, config.tolerance, True,
@@ -1357,6 +1510,7 @@ def _solve_split(
     batch_phi_conv = None
 
     while True:
+        measured_delta = None
         dev_done = None
         if rows_pending:
             obs, dev_done = rows_pending.pop(0)
@@ -1394,6 +1548,10 @@ def _solve_split(
                 batch_phi_next = (pr_f, pi_f)
                 batch_phi_conv = (pr_c, pi_c)
                 continue
+            if delayed_gs and n_lower > 0:
+                measured_delta = float(
+                    _max_rel_overlap_sc(pr, pi, store_r, store_i)
+                )
             (e_re, e_im, n2, vinf, r2), (pr, pi) = sc.measure_and_prepare_sc(
                 pr, pi, vr, vi, r2_grid,
                 pots.pot_sub_array, pots.pot_sub_scalar,
@@ -1421,6 +1579,23 @@ def _solve_split(
                 per_step_norm, norm_energy.real, v_shift, dt,
                 config.output.screen_update, _efold_limit, log,
             )
+        if n_lower > 0 and e_lowest_sc is not None:
+            # cooldown after admixture-triggered releases — see solve()
+            was = delayed_gs
+            if _dgs_cooldown > 0:
+                _dgs_cooldown -= 1
+                delayed_gs = False
+            else:
+                delayed_gs = delayed_gram_gate(
+                    delayed_gs, norm_energy.real, e_lowest_sc, dt,
+                    config.output.screen_update, config.tolerance, log,
+                    measured_delta=measured_delta,
+                )
+            if (
+                was and not delayed_gs
+                and measured_delta is not None and measured_delta > 1e-4
+            ):
+                _dgs_cooldown = 4
         tau = step * dt
 
         # Snapshot lifecycle, matching solve(): the symmetrisation persists
@@ -1575,6 +1750,71 @@ def drift_guard(
         )
         return False
     return per_step_norm
+
+
+def delayed_gram_gate(
+    engaged: bool,
+    energy_now: float,
+    e_lowest: float,
+    dt: float,
+    su: int,
+    tolerance: float,
+    log,
+    measured_delta: Optional[float] = None,
+) -> bool:
+    """Numerics gate for delayed re-orthogonalisation (SURVEY §7's named
+    excited-state lever; reference per-step cadence: src/grid.rs:674-681).
+
+    Between projections, the component of ψ along a lower state l regrows
+    RELATIVE to the target as ``exp((E_t − E_l)·dt)`` per imaginary-time
+    step (the sweep damps high energies fastest). Each measure boundary
+    projects exactly, leaving a rounding-level residual δ₀ (measured
+    ≤ ~4e-7 on the f32 paths; budgeted 1e-6 here), so after one
+    ``screen_update`` chunk without in-chunk projections the admixture is
+    ``δ = δ₀·exp(ΔE·dt·su)`` with ``ΔE = E_t − min(E_l)``, and the
+    measured-energy bias at the next boundary is ``δ²·ΔE``. Delay is
+    engaged only while that bias is far below the convergence tolerance
+    (engage < tol/100, release > tol/10 — hysteresis like drift_guard),
+    so the converged energies are tolerance-equivalent to per-step
+    Gram-Schmidt while the chunk sheds the l/Sl HBM streams entirely and
+    runs the ground per-step-norm ladder (docs/PARITY.md divergence 12).
+    """
+    delta0 = 1e-6
+    de = max(0.0, energy_now - e_lowest)
+    bias = delta0 * delta0 * math.exp(min(2.0 * de * dt * su, 700.0)) * de
+    # Measured-admixture override: the a-priori bound uses the energy
+    # ESTIMATE for ΔE, which a contaminated state biases toward E_lower
+    # (making the bound self-confirmingly optimistic). The pre-projection
+    # overlap |⟨l|ψ⟩|/(‖l‖‖ψ‖) measured at the boundary is ground truth:
+    # release whenever it exceeds 100× the δ₀ budget, regardless of the
+    # model. The engagement-time estimate is sound (a freshly-projected
+    # state's Rayleigh quotient sits ≥ the true E_target variationally),
+    # so one chunk at most runs over-contaminated before this fires.
+    if engaged and measured_delta is not None and measured_delta > 100.0 * delta0:
+        log.info(
+            "Delayed re-orthogonalisation released: measured lower-state "
+            "admixture %.2e exceeds the %.0e budget — resuming per-step "
+            "Gram-Schmidt",
+            measured_delta, 100.0 * delta0,
+        )
+        return False
+    if not engaged and bias < tolerance / 100.0:
+        log.info(
+            "Delayed re-orthogonalisation engaged: projected regrowth bias "
+            "%.2e per chunk << tolerance %.1e (dE=%.3g); excited chunks run "
+            "the per-step-norm ground ladder, projecting at measure "
+            "boundaries",
+            bias, tolerance, de,
+        )
+        return True
+    if engaged and bias > tolerance / 10.0:
+        log.info(
+            "Delayed re-orthogonalisation released: regrowth bias %.2e "
+            "approaches tolerance %.1e — resuming per-step Gram-Schmidt",
+            bias, tolerance,
+        )
+        return False
+    return engaged
 
 
 def _warn_marginal_dt(config: Config, log) -> None:
