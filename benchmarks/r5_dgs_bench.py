@@ -120,7 +120,9 @@ def bench(n: int) -> None:
                 False, False, analytic=an,
             )
             sls.append(sl)
-        sstore = jnp.stack(sls)
+        # both streams ride bf16, as the solver's default dispatch
+        # (solver.py exc_bf16: store AND the Sl images)
+        sstore = jnp.stack(sls).astype(jnp.bfloat16)
         store_b = store.astype(jnp.bfloat16)
 
         def chunk_exc(p, _st=store_b, _ss=sstore):

@@ -1997,6 +1997,10 @@ def test_sharded_split_sync_update_matches_per_chunk(tmp_run, monkeypatch):
         max_steps=100000,
         wavemax=1,
         mesh={"x": 2, "y": 1, "z": 1},
+        # pinned off: delayed_gram is inactive under batching, so both
+        # modes must run the same per-step projection dispatch (see the
+        # solver sync tests)
+        delayed_gram=False,
     )
     run_dir.check_output_dir("test")
     cfg1 = base_config(**common)
@@ -2372,3 +2376,32 @@ def test_sharded_split_yzp_excited_psn_and_streamed_b(monkeypatch):
         np.asarray(ops_s.get(oi_)), np.asarray(ops_x0.get(ri)),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_sharded_delayed_gram_equivalence(tmp_run):
+    """Delayed re-orthogonalisation on the sharded driver (PARITY #12):
+    default (gated) vs delayed_gram: false converge to the same excited
+    oracle; the delayed chunks ride a ground per-step-norm ops instance."""
+    from wafer_tpu.parallel.solver_sharded import run_sharded
+
+    common = dict(
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-8,
+        potential="Harmonic",
+        init_condition="Gaussian",
+        sig=2.0,
+        wavemax=1,
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=200000,
+        mesh={"x": 2, "y": 2, "z": 1},
+    )
+    run_dir.check_output_dir("test")
+    ref = run_sharded(base_config(delayed_gram=False, **common), seed=31)
+    run_dir.reset_proj_date()
+    cfg = base_config(delayed_gram=True, **common)
+    run_dir.check_output_dir(cfg.project_name)
+    out = run_sharded(cfg, seed=31)
+    e1_ref = ref[1].observables.energy / ref[1].observables.norm2
+    e1_out = out[1].observables.energy / out[1].observables.norm2
+    assert abs(e1_ref - 2.5) < 0.1
+    assert abs(e1_out - e1_ref) < 1e-6, (e1_out, e1_ref)

@@ -1161,6 +1161,40 @@ def _solve_state_split(
         jnp.stack([w[1] for w in w_store[:n_lower]]) if n_lower else None
     )
 
+    # Delayed re-orthogonalisation (solver.delayed_gram_gate; PARITY #12)
+    # on the sharded split driver: delayed chunks run a ground
+    # per-step-norm ShardedSplitOps instance (no stored-pair streams);
+    # same perm requirement and sync_update exclusion as solver_sharded.
+    delayed_gs = False
+    _dgs_cooldown = 0
+    e_lowest = None
+    ops_dgs = None
+    if (
+        n_lower > 0
+        and config.delayed_gram
+        and (config.sync_update or 1) == 1
+    ):
+        e_ls = []
+        for wr_, wi_ in w_store[:n_lower]:
+            (e_rl, _e_il, n2_l, _v_l, _r_l), _pp = ops.measure(
+                ops.put(wr_), ops.put(wi_), vr_d, vi_d, r2_d, sub_d,
+                sr_d, si_d,
+            )
+            e_ls.append(float(e_rl) / float(n2_l))
+        try:
+            ops_dgs = ShardedSplitOps(
+                config, mesh, 0, v_shift=v_shift, use_pallas=use_pallas,
+                has_pot_sub_array=pot_sub_array is not None or sub_deferred,
+                pot_sub_scalar=pot_sub_scalar,
+            )
+        except ValueError:
+            ops_dgs = None
+        if ops_dgs is not None and ops_dgs.perm != ops.perm:
+            ops_dgs = None
+        if ops_dgs is not None:
+            e_lowest = min(e_ls)
+            dgs_store = ops_dgs.put_store(None)
+
     terminal.print_observable_header(wnum)
     ext = config.central_difference.ext
     step = 0
@@ -1224,6 +1258,7 @@ def _solve_state_split(
     batch_phi_conv = None
 
     while True:
+        measured_delta = None
         dev_done = None
         if rows_pending:
             obs, dev_done = rows_pending.pop(0)
@@ -1259,6 +1294,12 @@ def _solve_state_split(
                 batch_phi_next = (pr_f, pi_f)
                 batch_phi_conv = (pr_c, pi_c)
                 continue
+            if delayed_gs and n_lower > 0:
+                from wafer_tpu.solver import _max_rel_overlap_sc
+
+                measured_delta = float(
+                    _max_rel_overlap_sc(pr, pi, sr_d, si_d)
+                )
             (e_re, e_im, n2, vinf, r2), (pr, pi) = ops.measure(
                 pr, pi, vr_d, vi_d, r2_d, sub_d, sr_d, si_d
             )
@@ -1289,6 +1330,24 @@ def _solve_state_split(
                 config.grid.dt, config.output.screen_update,
                 _efold_limit, log,
             )
+        if n_lower > 0 and e_lowest is not None:
+            from wafer_tpu.solver import delayed_gram_gate
+
+            was = delayed_gs
+            if _dgs_cooldown > 0:
+                _dgs_cooldown -= 1
+                delayed_gs = False
+            else:
+                delayed_gs = delayed_gram_gate(
+                    delayed_gs, norm_energy.real, e_lowest,
+                    config.grid.dt, config.output.screen_update,
+                    config.tolerance, log, measured_delta=measured_delta,
+                )
+            if (
+                was and not delayed_gs
+                and measured_delta is not None and measured_delta > 1e-4
+            ):
+                _dgs_cooldown = 4
         tau = step * config.grid.dt
 
         # snapshot: symmetrisation persists (componentwise); the stale-norm
@@ -1371,8 +1430,16 @@ def _solve_state_split(
             step += su
             continue
 
-        chunk_fn = ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
-        pr, pi = chunk_fn(pr, pi, ar_d, ai_d, br_d, bi_d, sr_d, si_d)
+        if delayed_gs and n_lower > 0:
+            # delayed chunk: ground per-step-norm instance, no stores
+            pr, pi = ops_dgs.evolve_chunk_psn(
+                pr, pi, ar_d, ai_d, br_d, bi_d, dgs_store, dgs_store
+            )
+        else:
+            chunk_fn = (
+                ops.evolve_chunk_psn if per_step_norm else ops.evolve_chunk
+            )
+            pr, pi = chunk_fn(pr, pi, ar_d, ai_d, br_d, bi_d, sr_d, si_d)
         diff_old = float(diff)
         step += config.output.screen_update
 

@@ -240,6 +240,50 @@ def _solve_state(
         sub_d = ops.dummy_pot_sub()
     store_d = ops.put_store(jnp.stack(w_store[:n_lower]) if n_lower else None)
 
+    # Delayed re-orthogonalisation (solver.delayed_gram_gate; PARITY #12)
+    # on the sharded driver: delayed chunks run a ground (n_lower = 0)
+    # per-step-norm ops instance — no stored-state streams on any shard.
+    # Requires the ground instance to pick the SAME layout permutation
+    # (the device arrays were placed under ops's perm); inactive under
+    # sync_update batching like solve().
+    delayed_gs = False
+    _dgs_cooldown = 0
+    e_lowest = None
+    ops_dgs = None
+    if (
+        n_lower > 0
+        and config.delayed_gram
+        and (config.sync_update or 1) == 1
+    ):
+        e_ls = []
+        for w in w_store[:n_lower]:
+            # pre-projection observables of each stored state (the
+            # measure's energy/norm2 rows are computed before it
+            # normalises/projects)
+            (e_l, n2_l, _v_l, _r_l), _pp = ops.measure(
+                ops.put(w), v_d, r2_d, sub_d, store_d
+            )
+            e_ls.append(float(jnp.asarray(e_l).real) / float(n2_l))
+        try:
+            ops_dgs = ops_cls(
+                config, mesh, 0,
+                has_pot_sub_array=(
+                    pots.pot_sub_array is not None or sub_deferred
+                ),
+                pot_sub_scalar=pots.pot_sub_scalar,
+                v_shift=pots.v_shift,
+                use_pallas=use_pallas,
+            )
+        except ValueError:
+            ops_dgs = None
+        if ops_dgs is not None and ops_dgs.perm != ops.perm:
+            # different kernel-eligibility layout for the ground instance:
+            # the placed arrays don't transfer — keep per-step GS
+            ops_dgs = None
+        if ops_dgs is not None:
+            e_lowest = min(e_ls)
+            dgs_store = ops_dgs.put_store(None)
+
     is_complex = jnp.iscomplexobj(phi)
     terminal.print_observable_header(wnum)
 
@@ -304,6 +348,7 @@ def _solve_state(
     batch_phi_conv = None
 
     while True:
+        measured_delta = None
         dev_done = None
         if rows_pending:
             obs, dev_done = rows_pending.pop(0)
@@ -347,6 +392,10 @@ def _solve_state(
                 batch_phi_next = phi_f
                 batch_phi_conv = phi_conv
                 continue
+            if delayed_gs and n_lower > 0:
+                from wafer_tpu.solver import _max_rel_overlap
+
+                measured_delta = float(_max_rel_overlap(phi, store_d))
             (e, n2, vinf, r2), phi = ops.measure(phi, v_d, r2_d, sub_d, store_d)
             energy = device_get_scalar(e) if is_complex else float(e)
             obs = Observables(
@@ -394,6 +443,25 @@ def _solve_state(
             if _new and not per_step_norm:
                 psn_windowed = _windowed
             per_step_norm = _new
+        if n_lower > 0 and e_lowest is not None:
+            # delayed re-orthogonalisation gate + flap cooldown (solve())
+            from wafer_tpu.solver import delayed_gram_gate
+
+            was = delayed_gs
+            if _dgs_cooldown > 0:
+                _dgs_cooldown -= 1
+                delayed_gs = False
+            else:
+                delayed_gs = delayed_gram_gate(
+                    delayed_gs, float(jnp.asarray(norm_energy).real),
+                    e_lowest, config.grid.dt, config.output.screen_update,
+                    config.tolerance, log, measured_delta=measured_delta,
+                )
+            if (
+                was and not delayed_gs
+                and measured_delta is not None and measured_delta > 1e-4
+            ):
+                _dgs_cooldown = 4
         tau = step * config.grid.dt
 
         if config.output.snap_update is not None and step % config.output.snap_update == 0:
@@ -468,14 +536,18 @@ def _solve_state(
             step += su
             continue
 
-        if per_step_norm:
-            chunk_fn = (
-                ops.evolve_chunk_psn_win if psn_windowed
-                else ops.evolve_chunk_psn
-            )
+        if delayed_gs and n_lower > 0:
+            # delayed chunk: the ground per-step-norm instance, no stores
+            phi = ops_dgs.evolve_chunk_psn(phi, a_d, b_d, dgs_store)
         else:
-            chunk_fn = ops.evolve_chunk
-        phi = chunk_fn(phi, a_d, b_d, store_d)
+            if per_step_norm:
+                chunk_fn = (
+                    ops.evolve_chunk_psn_win if psn_windowed
+                    else ops.evolve_chunk_psn
+                )
+            else:
+                chunk_fn = ops.evolve_chunk
+            phi = chunk_fn(phi, a_d, b_d, store_d)
         diff_old = float(diff)
         step += config.output.screen_update
 
