@@ -183,24 +183,73 @@ def _solve_state(
         and config.potential.variable_pot_sub
     )
     ops_cls = ShardedOps
+    ops_kw = {}
+    ops = None
     if len(mesh.shape) == 4:  # hierarchical multi-slice mesh
-        from wafer_tpu.parallel.multislice import MultiSliceOps
+        from wafer_tpu.parallel.multislice import SLICE_AXIS, MultiSliceOps
 
         ops_cls = MultiSliceOps
-    try:
-        ops = ops_cls(
-            config,
-            mesh,
-            n_lower,
-            has_pot_sub_array=pots.pot_sub_array is not None or sub_deferred,
-            pot_sub_scalar=pots.pot_sub_scalar,
-            v_shift=pots.v_shift,
-            use_pallas=use_pallas,
-        )
-    except ValueError as exc:
-        raise errors.ConfigParseError(
-            f"backend: pallas is unsupported for this sharded run: {exc}"
-        ) from exc
+        if (
+            int(mesh.shape["gy"]) == 1
+            and int(mesh.shape["gz"]) == 1
+            and use_pallas is not False
+        ):
+            # Degenerate-y/z factorisation: the hierarchical (slice, gx)
+            # ring is EXACTLY a flat x ring with process-major device
+            # order (slice-crossing hops are the same device pairs), so
+            # the full sharded kernel ladder — deep-window residency and
+            # in-kernel-ICI remote DMAs — implements the DCN cadence
+            # natively with the window depth pinned to slice_update.
+            # Falls back to the XLA-path MultiSliceOps when the kernel
+            # gates refuse (CPU tests, unaligned shapes).
+            flat = make_mesh(
+                (int(mesh.shape[SLICE_AXIS]) * int(mesh.shape["gx"]), 1, 1),
+                devices=list(mesh.devices.flatten()),
+            )
+            try:
+                cand = ShardedOps(
+                    config, flat, n_lower,
+                    has_pot_sub_array=(
+                        pots.pot_sub_array is not None or sub_deferred
+                    ),
+                    pot_sub_scalar=pots.pot_sub_scalar,
+                    v_shift=pots.v_shift,
+                    use_pallas=use_pallas,
+                    res_steps=config.mesh.slice_update,
+                )
+            except ValueError:
+                cand = None
+            if cand is not None and cand.use_pallas and (
+                cand.ici_res or cand.res_steps == config.mesh.slice_update
+            ):
+                log.info(
+                    "Multi-slice mesh with unsharded y/z: riding the flat "
+                    "x-ring kernel ladder with the exchange window pinned "
+                    "to slice_update=%d (DCN-cadence deep halos in-kernel)",
+                    config.mesh.slice_update,
+                )
+                ops_cls = ShardedOps
+                ops_kw = {"res_steps": config.mesh.slice_update}
+                mesh = flat
+                ops = cand
+    if ops is None:
+        try:
+            ops = ops_cls(
+                config,
+                mesh,
+                n_lower,
+                has_pot_sub_array=(
+                    pots.pot_sub_array is not None or sub_deferred
+                ),
+                pot_sub_scalar=pots.pot_sub_scalar,
+                v_shift=pots.v_shift,
+                use_pallas=use_pallas,
+                **ops_kw,
+            )
+        except ValueError as exc:
+            raise errors.ConfigParseError(
+                f"backend: pallas is unsupported for this sharded run: {exc}"
+            ) from exc
     phi = ops.put(_select_ic(config, log, wnum, w_store, seed, ic_override))
     ext = config.central_difference.ext
     if blocked:
@@ -273,6 +322,7 @@ def _solve_state(
                 pot_sub_scalar=pots.pot_sub_scalar,
                 v_shift=pots.v_shift,
                 use_pallas=use_pallas,
+                **ops_kw,
             )
         except ValueError:
             ops_dgs = None
