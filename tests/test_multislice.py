@@ -183,6 +183,96 @@ def test_multislice_config_validation():
     assert cfg.mesh.n_devices == 8 and cfg.mesh.slice_update == 4
 
 
+def test_multislice_split_flat_ring_pinned_window():
+    """Split-complex DCN tier: a 2-slice × (2,1,1) factorisation rides the
+    flat process-major x-ring with the pair-resident exchange window pinned
+    to slice_update — equal to the single-mesh XLA split path (interpret
+    kernels). The pin is observable: the auto ladder's recompute cap would
+    refuse R=2 at bx=2, the forced pin accepts it (DCN cadence wins the
+    trade at slice boundaries)."""
+    from wafer_tpu.models import potentials as pmod2
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg = base_config(
+        precision="f32",
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+        output={"screen_update": 9},
+        mesh={"x": 2, "y": 1, "z": 1, "slices": 2, "slice_update": 4},
+    )
+    ext = cfg.central_difference.ext
+    rng = np.random.default_rng(73)
+    pr = rng.normal(size=cfg.work_size()).astype(np.float32)
+    pi = rng.normal(size=cfg.work_size()).astype(np.float32)
+    vr, vi = pmod2.generate_split(cfg)
+    ar, ai, br, bi = pmod2.build_ab_split(
+        vr.astype(jnp.float32), vi.astype(jnp.float32), cfg.grid.dt
+    )
+    w = geometry.work_area
+    ar, ai, br, bi = w(ar, ext), w(ai, ext), w(br, ext), w(bi, ext)
+
+    ops_x = ShardedSplitOps(cfg, make_mesh((4, 1, 1)), 0, use_pallas=False)
+    rr, ri = ops_x.evolve_chunk(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+
+    hier = make_multislice_mesh((2, 1, 1), 2)
+    flat = make_mesh((4, 1, 1), devices=list(hier.devices.flatten()))
+    auto = ShardedSplitOps(
+        cfg, flat, 0, use_pallas=True, pallas_interpret=True
+    )
+    assert auto.sc_res_steps != 4  # the auto recompute cap refuses R=4 at bx=8
+    ops_p = ShardedSplitOps(
+        cfg, flat, 0, use_pallas=True, pallas_interpret=True,
+        res_steps=cfg.mesh.slice_update,
+    )
+    assert ops_p.sc_res_steps == 4, ops_p.sc_res_steps
+    or_, oi_ = ops_p.evolve_chunk(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(or_), np.asarray(rr),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_multislice_split_driver_end_to_end(tmp_run, monkeypatch):
+    """run_sharded_split with mesh.slices=2 (degenerate y/z) rides the flat
+    x-ring and converges to the complex absorptive-harmonic oracle; a
+    y/z-sharded slice factorisation is a typed config error on the split
+    path."""
+    from wafer_tpu import errors
+    from wafer_tpu.ops import split_complex as sc
+    from wafer_tpu.parallel.sharded_split import run_sharded_split
+
+    monkeypatch.setattr(sc, "backend_supports_complex", lambda: False)
+    common = dict(
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 16, "y": 16, "z": 16}, "dn": 0.3, "dt": 0.02},
+        tolerance=1e-6,
+        init_condition="Constant",
+        output={"screen_update": 100, "file_type": "Json"},
+        max_steps=100000,
+    )
+    run_dir.check_output_dir("test")
+    results = run_sharded_split(base_config(
+        mesh={"x": 2, "y": 1, "z": 1, "slices": 2, "slice_update": 4},
+        **common,
+    ))
+    e0 = results[0].observables.energy / results[0].observables.norm2
+    assert abs(e0 - (1.5 * (1 + 0.2j) ** 0.5)) < 0.05, e0
+    with pytest.raises(errors.ConfigParseError):
+        run_sharded_split(base_config(
+            mesh={"x": 1, "y": 2, "z": 1, "slices": 2}, **common,
+        ))
+
+
 def test_distributed_initialize_noop(monkeypatch):
     """Without coordinator env the jax.distributed entry is a no-op (the
     single-process path tests can exercise)."""

@@ -1958,6 +1958,10 @@ def test_sharded_sync_update_matches_per_chunk(tmp_run):
         max_steps=100000,
         wavemax=1,
         mesh={"x": 2, "y": 2, "z": 2},
+        # pinned off: delayed_gram is inactive under batching, so both
+        # modes must run the same per-step projection dispatch (see the
+        # solver sync tests)
+        delayed_gram=False,
     )
     run_dir.check_output_dir("test")
     cfg1 = base_config(**common)

@@ -45,6 +45,7 @@ class ShardedSplitOps:
         use_pallas: Optional[bool] = None,
         pallas_interpret: bool = False,
         v_shift: float = 0.0,
+        res_steps: Optional[int] = None,
     ):
         self.config = config
         self.mesh = mesh
@@ -195,6 +196,7 @@ class ShardedSplitOps:
         # parallel/sharded.py res_steps; kernel:
         # ops/pallas_split.evolve_chunk_resident_sc halo mode). On a
         # 1-shard x axis the whole chunk runs as ONE resident call.
+        forced_res = res_steps  # the multi-slice flat-ring cadence pin
         sc_res_steps = 0
         sc_whole_chunk = False
         sc_resb_plan = None
@@ -220,11 +222,16 @@ class ShardedSplitOps:
                         bx, ny, nz, ext, itemsize, screen_update
                     )
             if not sc_whole_chunk and sc_analytic is not None:
-                for r in (16, 8, 4, 2):
+                candidates = (
+                    (forced_res,) if forced_res is not None else (16, 8, 4, 2)
+                )
+                for r in candidates:
                     if r > screen_update or bx < r * ext:
                         continue
                     # blind-sweep recompute cap, as the real ladder
-                    if 8 * (r - 1) * ext > bx:
+                    # (auto mode only — a forced multi-slice cadence pin
+                    # accepts the recompute cost to keep the DCN window)
+                    if forced_res is None and 8 * (r - 1) * ext > bx:
                         continue
                     nxh_r = bx + 2 * r * ext
                     if (
@@ -941,11 +948,36 @@ def run_sharded_split(
         # honour config.seed like solver.solve (None reaches os.urandom
         # in the Gaussian IC — the config key must not be silently ignored)
         seed = config.seed
-    if config.mesh.slices > 1:
-        raise errors.ConfigParseError(
-            "mesh.slices > 1 (the multi-slice DCN tier) requires a "
-            "complex-capable backend for complex potentials — the "
-            "split-complex path is single-slice"
+    slice_res = None
+    if config.mesh.slices > 1 and mesh is None:
+        # Multi-slice (DCN) tier on the split path: only the degenerate-y/z
+        # factorisation is supported — the hierarchical (slice, gx) ring is
+        # then EXACTLY a flat x ring in process-major device order (see the
+        # real driver's flat-ring shortcut, solver_sharded.run_sharded), so
+        # the split kernel ladder rides it with the pair-resident exchange
+        # window pinned to slice_update (DCN-cadence deep halos). The XLA
+        # fallback (CPU tests, gate refusals) stays trajectory-identical
+        # but exchanges per step — correct, denser slice-axis traffic.
+        gx, gy, gz = config.mesh.as_tuple()
+        if gy != 1 or gz != 1:
+            raise errors.ConfigParseError(
+                "mesh.slices > 1 on the split-complex path requires an "
+                "unsharded y/z factorisation (the flat-ring DCN shortcut); "
+                "y/z-sharded slices need the complex-capable real path"
+            )
+        from wafer_tpu.parallel.multislice import make_multislice_mesh
+
+        hier = make_multislice_mesh((gx, gy, gz), config.mesh.slices)
+        mesh = make_mesh(
+            (config.mesh.slices * gx, 1, 1),
+            devices=list(hier.devices.flatten()),
+        )
+        slice_res = config.mesh.slice_update
+        log.info(
+            "Multi-slice split run: riding the flat x-ring (%d shards, "
+            "process-major) with the pair-resident window pinned to "
+            "slice_update=%d",
+            config.mesh.slices * gx, config.mesh.slice_update,
         )
     mesh = mesh if mesh is not None else make_mesh(config.mesh.as_tuple())
     ext = config.central_difference.ext
@@ -1005,6 +1037,7 @@ def run_sharded_split(
                 ),
                 pot_sub_array=pot_sub_array,
                 pot_sub_scalar=pot_sub_scalar,
+                slice_res=slice_res,
             )
         )
     return results
@@ -1080,7 +1113,7 @@ def _select_ic_split(config, log, wnum, w_store, seed):
 def _solve_state_split(
     config, log, mesh, wnum, w_store,
     v_shift, seed, progress, ic_override=None,
-    pot_sub_array=None, pot_sub_scalar=None,
+    pot_sub_array=None, pot_sub_scalar=None, slice_res=None,
 ):
     from wafer_tpu.io import writers
     from wafer_tpu.models import initial, potentials as pmod
@@ -1104,12 +1137,26 @@ def _solve_state_split(
         ops = ShardedSplitOps(
             config, mesh, n_lower, v_shift=v_shift, use_pallas=use_pallas,
             has_pot_sub_array=pot_sub_array is not None or sub_deferred,
-            pot_sub_scalar=pot_sub_scalar,
+            pot_sub_scalar=pot_sub_scalar, res_steps=slice_res,
         )
     except ValueError as exc:
         raise errors.ConfigParseError(
             f"backend: pallas is unsupported for this sharded split run: {exc}"
         ) from exc
+    if (
+        slice_res is not None
+        and ops.use_pallas
+        and not (ops.sc_ici or ops.sc_res_steps == slice_res)
+    ):
+        # the multi-slice cadence pin didn't take (VMEM gates refused the
+        # slice_update-deep pair window) — the run is still correct, but
+        # slice-axis exchanges happen at the fallback path's own cadence
+        log.warning(
+            "Multi-slice split: the pair-resident window refused "
+            "slice_update=%d (VMEM gates); slice-axis exchanges run at the "
+            "fallback cadence instead of the DCN window",
+            slice_res,
+        )
     if ic_override is not None:
         log.info(
             "Using explicit in-memory initial (re, im) pair for state %d "
@@ -1185,7 +1232,7 @@ def _solve_state_split(
             ops_dgs = ShardedSplitOps(
                 config, mesh, 0, v_shift=v_shift, use_pallas=use_pallas,
                 has_pot_sub_array=pot_sub_array is not None or sub_deferred,
-                pot_sub_scalar=pot_sub_scalar,
+                pot_sub_scalar=pot_sub_scalar, res_steps=slice_res,
             )
         except ValueError:
             ops_dgs = None
