@@ -2853,6 +2853,13 @@ def evolve_chunk_resident(
         # per-step HBM bytes for the l/Sl streams; the kernel computes in
         # the ψ dtype) — the windows' scratch dtype follows the store
         stream_dtype = store_xpad.dtype
+        if sstore_xpad.dtype != stream_dtype:
+            # a mismatch surfaces as a Mosaic-internal "DMA source and
+            # target element type mismatch" — fail with the real cause
+            raise ValueError(
+                f"store/sstore dtype mismatch: {store_xpad.dtype} vs "
+                f"{sstore_xpad.dtype} (the l/Sl streams must share a dtype)"
+            )
         tx = _pick_tx_res_exc(
             nx, ny, nz, ext, dtype.itemsize, n_lower, analytic is not None,
             stream_itemsize=stream_dtype.itemsize,
