@@ -3008,6 +3008,16 @@ _RESB_NEED_CAP = int(
     _os.environ.get("WAFER_RESB_NEED_CAP_MB", "126")
 ) * 1024 * 1024
 
+# ψ-block cap for pick_resb. The blocked kernel's real constraint is the
+# need formula above (buffer + temporaries ≤ 126 MiB), NOT the whole-chunk
+# kernel's 72 MiB _RES_BUDGET it originally inherited — deeper windows
+# amortise the serial block DMA over more blind sweeps. Measured (512³,
+# v5e, round 5): (64,4,8) under the 72 MiB cap = 8.40e10 updates/s;
+# (64,8,4) at an 80 MiB block = 9.97e10 (+19%, dev vs XLA 2.5e-07).
+_RESB_PSI_CAP = int(
+    _os.environ.get("WAFER_RESB_PSI_MB", "102")
+) * 1024 * 1024
+
 
 def _pick_tx_resb(bxp: int, ext: int, h: int, plane: int):
     """Largest slab height whose block buffer + ~6 slab-sized temporaries
@@ -3046,9 +3056,16 @@ def pick_resb(nx: int, ny: int, nz: int, ext: int, itemsize: int,
         for r in range(min(n_steps, 8), 1, -1):
             h = r * ext
             bxp = bx + 2 * h
-            if bxp * plane > _RES_BUDGET:
+            if bxp * plane > _RESB_PSI_CAP:
                 continue
             vpu_rows = r * (bx + 2 * (r - 1) * ext)
+            # Fixed per-block-pass overhead (DMA issue, semaphore waits,
+            # grid re-entry), in VPU-row-equivalents — fitted on-chip at
+            # 512³ round 5: (64,4,8) 8.40e10 / (64,7,4) 9.50e10 /
+            # (64,8,4) 9.97e10 / (32,8,8) 8.21e10 give c0 ≈ 131; without
+            # it the model preferred (64,7) over the measured-faster
+            # (64,8) and under-rewarded deep windows generally.
+            c0 = 131.0
             # Default: the serial schedule. Every overlap variant measured
             # on-chip (512³: per-slab JIT waits, a staging buffer, and a
             # two-buffer ping-pong) failed to hide the block DMA behind
@@ -3070,12 +3087,12 @@ def pick_resb(nx: int, ny: int, nz: int, ext: int, itemsize: int,
                             tx_pf = cand
                             break
                 if tx_pf is not None:
-                    rate = bx * r / (vpu_rows + 0.25 * bxp)
+                    rate = bx * r / (vpu_rows + 0.25 * bxp + c0)
                     if rate > best_rate:
                         best, best_rate = (bx, r, tx_pf, True), rate
             tx = _pick_tx_resb(bxp, ext, h, plane)
             if tx is not None:
-                rate = bx * r / (vpu_rows + 0.73 * (bxp + bx))
+                rate = bx * r / (vpu_rows + 0.73 * (bxp + bx) + c0)
                 if rate > best_rate:
                     best, best_rate = (bx, r, tx, False), rate
     if best is None:
