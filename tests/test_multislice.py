@@ -280,3 +280,47 @@ def test_distributed_initialize_noop(monkeypatch):
 
     monkeypatch.delenv("WAFER_COORDINATOR", raising=False)
     assert maybe_initialize_distributed() is False
+
+
+def test_flat_ring_disallows_in_kernel_ici():
+    """The multi-slice flat-ring shortcut must never select the in-kernel
+    remote-DMA exchange: Pallas RDMAs ride ICI links only, and the ring's
+    slice-crossing hop is DCN. allow_ici=False suppresses the gate even
+    where it would otherwise engage (both ops families); the pinned
+    deep-window ppermute cadence remains."""
+    from wafer_tpu.parallel.sharded_split import ShardedSplitOps
+
+    cfg = base_config(
+        precision="f32",
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+        output={"screen_update": 8},
+        mesh={"x": 4, "y": 1, "z": 1},
+    )
+    flat = make_mesh((4, 1, 1))
+    ops_on = ShardedOps(
+        cfg, flat, 0, use_pallas=True, pallas_interpret=True, res_steps=2,
+    )
+    assert ops_on.ici_res, "gate should engage with allow_ici default"
+    ops_off = ShardedOps(
+        cfg, flat, 0, use_pallas=True, pallas_interpret=True, res_steps=2,
+        allow_ici=False,
+    )
+    assert not ops_off.ici_res and ops_off.res_steps == 2
+
+    ccfg = base_config(
+        precision="f32",
+        potential="ComplexHarmonic",
+        absorb=0.2,
+        grid={"size": {"x": 32, "y": 8, "z": 128}, "dn": 0.2, "dt": 0.004},
+        output={"screen_update": 8},
+        mesh={"x": 4, "y": 1, "z": 1},
+    )
+    sops_on = ShardedSplitOps(
+        ccfg, flat, 0, use_pallas=True, pallas_interpret=True, res_steps=2,
+    )
+    assert sops_on.sc_ici, "split gate should engage with allow_ici default"
+    sops_off = ShardedSplitOps(
+        ccfg, flat, 0, use_pallas=True, pallas_interpret=True, res_steps=2,
+        allow_ici=False,
+    )
+    assert not sops_off.sc_ici and sops_off.sc_res_steps == 2

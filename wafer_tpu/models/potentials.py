@@ -459,6 +459,31 @@ def scan_v_min(config: Config, slabs: int = 8) -> float:
     return v_min
 
 
+def v_shift_and_pole_warn(config: Config, v_min: float, log) -> float:
+    """Shared scalar side-channel: the energy-gauge shift from a finite
+    positive V minimum, plus the semi-implicit pole warning (all three
+    drivers — load_arrays, load_arrays_meta, and the sharded split path —
+    apply the identical rule; reference computes the inf silently,
+    src/potential.rs:101-110, 156-161).
+
+    Only a positive offset is removed: for such potentials E₀ ≥ v_min > 0
+    so the shift lands near the eigenvalue, while for deep wells
+    (Coulomb's clamped −1/dn) E₀ sits near 0 and shifting to v_min would
+    *inflate* the per-chunk scale drift instead of reducing it."""
+    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
+    if math.isfinite(v_min) and 1.0 + config.grid.dt * (v_min - v_shift) / 2.0 <= 0.0:
+        log.warning(
+            "Potential minimum %.6g reaches the semi-implicit pole for "
+            "dt = %g (B = 1/(1+dt·V/2) diverges where V ≤ −2/dt = %.6g); "
+            "reduce dt below %.6g or the run will abort non-finite.",
+            v_min,
+            config.grid.dt,
+            -2.0 / config.grid.dt,
+            2.0 / abs(v_min - v_shift) if v_min != v_shift else float("inf"),
+        )
+    return v_shift
+
+
 def load_arrays_meta(config: Config, log=None) -> Potentials:
     """load_arrays' scalar side-channel WITHOUT materialising the global
     V/A/B arrays — for sharded drivers that build only their addressable
@@ -480,17 +505,7 @@ def load_arrays_meta(config: Config, log=None) -> Potentials:
 
     log.info("Calculating potential per shard (blocked generation)")
     v_min = scan_v_min(config)
-    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
-    if math.isfinite(v_min) and 1.0 + config.grid.dt * (v_min - v_shift) / 2.0 <= 0.0:
-        log.warning(
-            "Potential minimum %.6g reaches the semi-implicit pole for "
-            "dt = %g (B = 1/(1+dt·V/2) diverges where V ≤ −2/dt = %.6g); "
-            "reduce dt below %.6g or the run will abort non-finite.",
-            v_min,
-            config.grid.dt,
-            -2.0 / config.grid.dt,
-            2.0 / abs(v_min - v_shift) if v_min != v_shift else float("inf"),
-        )
+    v_shift = v_shift_and_pole_warn(config, v_min, log)
     pot_sub_array, pot_sub_scalar_val = load_pot_sub(
         config, log, build_array=False
     )
@@ -546,22 +561,7 @@ def load_arrays(config: Config, log=None) -> Potentials:
     # *inflate* the per-chunk scale drift instead of reducing it.
     v_real = jnp.real(v)
     v_min = float(jnp.min(jnp.where(jnp.isfinite(v_real), v_real, jnp.inf)))
-    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
-
-    # Semi-implicit pole guard: B = 1/(1 + dt·V/2) blows up where
-    # 1 + dt·(V − v_shift)/2 ≤ 0 — an attractive well deeper than −2/dt.
-    # The reference computes the same inf silently (src/potential.rs:101-110);
-    # warn so the inevitable NonFinite abort is attributable.
-    if math.isfinite(v_min) and 1.0 + config.grid.dt * (v_min - v_shift) / 2.0 <= 0.0:
-        log.warning(
-            "Potential minimum %.6g reaches the semi-implicit pole for "
-            "dt = %g (B = 1/(1+dt·V/2) diverges where V ≤ −2/dt = %.6g); "
-            "reduce dt below %.6g or the run will abort non-finite.",
-            v_min,
-            config.grid.dt,
-            -2.0 / config.grid.dt,
-            2.0 / abs(v_min - v_shift) if v_min != v_shift else float("inf"),
-        )
+    v_shift = v_shift_and_pole_warn(config, v_min, log)
 
     a, b = build_ab(v, config.grid.dt, v_shift)
 

@@ -3018,6 +3018,13 @@ _RESB_PSI_CAP = int(
     _os.environ.get("WAFER_RESB_PSI_MB", "102")
 ) * 1024 * 1024
 
+# Fixed per-block-pass overhead (DMA issue, semaphore waits, grid
+# re-entry), in VPU-row-equivalents — fitted on-chip at 512³ round 5:
+# (64,4,8) 8.40e10 / (64,7,4) 9.50e10 / (64,8,4) 9.97e10 / (32,8,8)
+# 8.21e10 give c0 ≈ 131; without it the model preferred (64,7) over the
+# measured-faster (64,8) and under-rewarded deep windows generally.
+_RESB_PASS_OVERHEAD_ROWS = 131.0
+
 
 def _pick_tx_resb(bxp: int, ext: int, h: int, plane: int):
     """Largest slab height whose block buffer + ~6 slab-sized temporaries
@@ -3059,13 +3066,7 @@ def pick_resb(nx: int, ny: int, nz: int, ext: int, itemsize: int,
             if bxp * plane > _RESB_PSI_CAP:
                 continue
             vpu_rows = r * (bx + 2 * (r - 1) * ext)
-            # Fixed per-block-pass overhead (DMA issue, semaphore waits,
-            # grid re-entry), in VPU-row-equivalents — fitted on-chip at
-            # 512³ round 5: (64,4,8) 8.40e10 / (64,7,4) 9.50e10 /
-            # (64,8,4) 9.97e10 / (32,8,8) 8.21e10 give c0 ≈ 131; without
-            # it the model preferred (64,7) over the measured-faster
-            # (64,8) and under-rewarded deep windows generally.
-            c0 = 131.0
+            c0 = _RESB_PASS_OVERHEAD_ROWS
             # Default: the serial schedule. Every overlap variant measured
             # on-chip (512³: per-slab JIT waits, a staging buffer, and a
             # two-buffer ping-pong) failed to hide the block DMA behind

@@ -61,6 +61,7 @@ class ShardedOps:
         v_shift: float = 0.0,
         k_fuse: Optional[int] = None,
         res_steps: Optional[int] = None,
+        allow_ici: bool = True,
     ):
         self.config = config
         self.mesh = mesh
@@ -327,6 +328,7 @@ class ShardedOps:
         ici_res = False
         if (
             _ici_env in ("1", "force")
+            and allow_ici  # multi-slice rings: RDMA cannot cross DCN
             and use_pallas
             and self.pallas_mode == "x"
             and n_lower == 0

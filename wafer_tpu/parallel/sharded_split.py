@@ -46,6 +46,7 @@ class ShardedSplitOps:
         pallas_interpret: bool = False,
         v_shift: float = 0.0,
         res_steps: Optional[int] = None,
+        allow_ici: bool = True,
     ):
         self.config = config
         self.mesh = mesh
@@ -274,6 +275,7 @@ class ShardedSplitOps:
         sc_ici = False
         if (
             _ici_env in ("1", "force")
+            and allow_ici  # multi-slice rings: RDMA cannot cross DCN
             and sc_res_steps > 1
             and (mesh_shape[0] > 1 or _ici_env == "force")
         ):
@@ -965,13 +967,10 @@ def run_sharded_split(
                 "unsharded y/z factorisation (the flat-ring DCN shortcut); "
                 "y/z-sharded slices need the complex-capable real path"
             )
-        from wafer_tpu.parallel.multislice import make_multislice_mesh
-
-        hier = make_multislice_mesh((gx, gy, gz), config.mesh.slices)
-        mesh = make_mesh(
-            (config.mesh.slices * gx, 1, 1),
-            devices=list(hier.devices.flatten()),
-        )
+        # jax.devices() is process-major, so the flat ring below IS the
+        # hierarchical (slice, gx) ring's device order — no need to build
+        # the 4-axis mesh just to flatten it
+        mesh = make_mesh((config.mesh.slices * gx, 1, 1))
         slice_res = config.mesh.slice_update
         log.info(
             "Multi-slice split run: riding the flat x-ring (%d shards, "
@@ -995,13 +994,7 @@ def run_sharded_split(
         config, potential=config.potential.real_counterpart
     )
     v_min = pmod.scan_v_min(real_cfg)
-    v_shift = max(v_min, 0.0) if math.isfinite(v_min) else 0.0
-    if math.isfinite(v_min) and 1.0 + config.grid.dt * (v_min - v_shift) / 2.0 <= 0.0:
-        log.warning(
-            "Potential minimum %.6g reaches the semi-implicit pole for "
-            "dt = %g (B diverges where V ≤ −2/dt); reduce dt.",
-            v_min, config.grid.dt,
-        )
+    v_shift = pmod.v_shift_and_pole_warn(config, v_min, log)
     pot_sub_array, pot_sub_scalar = pmod.load_pot_sub(
         config, log, build_array=False
     )
@@ -1138,6 +1131,7 @@ def _solve_state_split(
             config, mesh, n_lower, v_shift=v_shift, use_pallas=use_pallas,
             has_pot_sub_array=pot_sub_array is not None or sub_deferred,
             pot_sub_scalar=pot_sub_scalar, res_steps=slice_res,
+            allow_ici=slice_res is None,
         )
     except ValueError as exc:
         raise errors.ConfigParseError(
@@ -1146,7 +1140,7 @@ def _solve_state_split(
     if (
         slice_res is not None
         and ops.use_pallas
-        and not (ops.sc_ici or ops.sc_res_steps == slice_res)
+        and ops.sc_res_steps != slice_res
     ):
         # the multi-slice cadence pin didn't take (VMEM gates refused the
         # slice_update-deep pair window) — the run is still correct, but
@@ -1212,8 +1206,10 @@ def _solve_state_split(
     # on the sharded split driver: delayed chunks run a ground
     # per-step-norm ShardedSplitOps instance (no stored-pair streams);
     # same perm requirement and sync_update exclusion as solver_sharded.
+    from wafer_tpu.solver import DelayedGramState
+
     delayed_gs = False
-    _dgs_cooldown = 0
+    dgs_state = DelayedGramState()
     e_lowest = None
     ops_dgs = None
     if (
@@ -1233,6 +1229,7 @@ def _solve_state_split(
                 config, mesh, 0, v_shift=v_shift, use_pallas=use_pallas,
                 has_pot_sub_array=pot_sub_array is not None or sub_deferred,
                 pot_sub_scalar=pot_sub_scalar, res_steps=slice_res,
+                allow_ici=slice_res is None,
             )
         except ValueError:
             ops_dgs = None
@@ -1378,23 +1375,12 @@ def _solve_state_split(
                 _efold_limit, log,
             )
         if n_lower > 0 and e_lowest is not None:
-            from wafer_tpu.solver import delayed_gram_gate
-
-            was = delayed_gs
-            if _dgs_cooldown > 0:
-                _dgs_cooldown -= 1
-                delayed_gs = False
-            else:
-                delayed_gs = delayed_gram_gate(
-                    delayed_gs, norm_energy.real, e_lowest,
-                    config.grid.dt, config.output.screen_update,
-                    config.tolerance, log, measured_delta=measured_delta,
-                )
-            if (
-                was and not delayed_gs
-                and measured_delta is not None and measured_delta > 1e-4
-            ):
-                _dgs_cooldown = 4
+            # delayed re-orthogonalisation gate + flap cooldown (solve())
+            delayed_gs = dgs_state.update(
+                norm_energy.real, e_lowest, config.grid.dt,
+                config.output.screen_update, config.tolerance, log,
+                measured_delta=measured_delta,
+            )
         tau = step * config.grid.dt
 
         # snapshot: symmetrisation persists (componentwise); the stale-norm

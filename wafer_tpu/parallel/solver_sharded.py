@@ -21,7 +21,7 @@ from wafer_tpu.models import initial, potentials as potentials_mod
 from wafer_tpu.ops.observables import Observables
 from wafer_tpu.parallel.mesh import make_mesh
 from wafer_tpu.parallel.sharded import ShardedOps
-from wafer_tpu.solver import SolveResult, eta
+from wafer_tpu.solver import DelayedGramState, SolveResult, eta
 from wafer_tpu.utils.host import device_get, device_get_scalar
 
 
@@ -197,11 +197,15 @@ def _solve_state(
             # Degenerate-y/z factorisation: the hierarchical (slice, gx)
             # ring is EXACTLY a flat x ring with process-major device
             # order (slice-crossing hops are the same device pairs), so
-            # the full sharded kernel ladder — deep-window residency and
-            # in-kernel-ICI remote DMAs — implements the DCN cadence
-            # natively with the window depth pinned to slice_update.
-            # Falls back to the XLA-path MultiSliceOps when the kernel
-            # gates refuse (CPU tests, unaligned shapes).
+            # the sharded kernel ladder's deep-window residency implements
+            # the DCN cadence natively with the window depth pinned to
+            # slice_update. The in-kernel-ICI remote-DMA exchange is
+            # DISABLED here (allow_ici=False): pltpu.make_async_remote_copy
+            # rides ICI links only, and the ring's slice-crossing hop has
+            # none — inter-slice halos must go through the XLA ppermute
+            # (DCN collective) at the window boundary. Falls back to the
+            # XLA-path MultiSliceOps when the kernel gates refuse (CPU
+            # tests, unaligned shapes).
             flat = make_mesh(
                 (int(mesh.shape[SLICE_AXIS]) * int(mesh.shape["gx"]), 1, 1),
                 devices=list(mesh.devices.flatten()),
@@ -216,20 +220,25 @@ def _solve_state(
                     v_shift=pots.v_shift,
                     use_pallas=use_pallas,
                     res_steps=config.mesh.slice_update,
+                    allow_ici=False,
                 )
             except ValueError:
                 cand = None
             if cand is not None and cand.use_pallas and (
-                cand.ici_res or cand.res_steps == config.mesh.slice_update
+                cand.res_steps == config.mesh.slice_update
             ):
                 log.info(
                     "Multi-slice mesh with unsharded y/z: riding the flat "
                     "x-ring kernel ladder with the exchange window pinned "
-                    "to slice_update=%d (DCN-cadence deep halos in-kernel)",
+                    "to slice_update=%d (DCN-cadence deep halos via "
+                    "ppermute; in-kernel RDMA disabled across slices)",
                     config.mesh.slice_update,
                 )
                 ops_cls = ShardedOps
-                ops_kw = {"res_steps": config.mesh.slice_update}
+                ops_kw = {
+                    "res_steps": config.mesh.slice_update,
+                    "allow_ici": False,
+                }
                 mesh = flat
                 ops = cand
     if ops is None:
@@ -296,7 +305,7 @@ def _solve_state(
     # (the device arrays were placed under ops's perm); inactive under
     # sync_update batching like solve().
     delayed_gs = False
-    _dgs_cooldown = 0
+    dgs_state = DelayedGramState()
     e_lowest = None
     ops_dgs = None
     if (
@@ -495,23 +504,11 @@ def _solve_state(
             per_step_norm = _new
         if n_lower > 0 and e_lowest is not None:
             # delayed re-orthogonalisation gate + flap cooldown (solve())
-            from wafer_tpu.solver import delayed_gram_gate
-
-            was = delayed_gs
-            if _dgs_cooldown > 0:
-                _dgs_cooldown -= 1
-                delayed_gs = False
-            else:
-                delayed_gs = delayed_gram_gate(
-                    delayed_gs, float(jnp.asarray(norm_energy).real),
-                    e_lowest, config.grid.dt, config.output.screen_update,
-                    config.tolerance, log, measured_delta=measured_delta,
-                )
-            if (
-                was and not delayed_gs
-                and measured_delta is not None and measured_delta > 1e-4
-            ):
-                _dgs_cooldown = 4
+            delayed_gs = dgs_state.update(
+                float(jnp.asarray(norm_energy).real), e_lowest,
+                config.grid.dt, config.output.screen_update,
+                config.tolerance, log, measured_delta=measured_delta,
+            )
         tau = step * config.grid.dt
 
         if config.output.snap_update is not None and step % config.output.snap_update == 0:

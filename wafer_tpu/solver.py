@@ -402,7 +402,7 @@ def solve(
     # the regrowth — one Rayleigh quotient per stored state, once per
     # solve.
     delayed_gs = False
-    _dgs_cooldown = 0
+    dgs_state = DelayedGramState()
     e_lowest = None
     if n_lower > 0 and config.delayed_gram and (config.sync_update or 1) > 1:
         log.info(
@@ -949,21 +949,11 @@ def solve(
             # value right after a per-step-GS chunk is always tiny, so
             # without it the gate would flap chunk-by-chunk while the
             # transient regrowth persists.
-            was = delayed_gs
-            if _dgs_cooldown > 0:
-                _dgs_cooldown -= 1
-                delayed_gs = False
-            else:
-                delayed_gs = delayed_gram_gate(
-                    delayed_gs, float(jnp.asarray(norm_energy).real),
-                    e_lowest, dt, config.output.screen_update,
-                    config.tolerance, log, measured_delta=measured_delta,
-                )
-            if (
-                was and not delayed_gs
-                and measured_delta is not None and measured_delta > 1e-4
-            ):
-                _dgs_cooldown = 4
+            delayed_gs = dgs_state.update(
+                float(jnp.asarray(norm_energy).real), e_lowest, dt,
+                config.output.screen_update, config.tolerance, log,
+                measured_delta=measured_delta,
+            )
         tau = step * dt
 
         # Snapshot lifecycle (reference: src/grid.rs:137-158). The reference
@@ -1211,7 +1201,7 @@ def _solve_split(
     # delayed re-orthogonalisation gate input (see solve()): lowest
     # stored-state energy by split Rayleigh quotient, once per solve
     delayed_gs = False
-    _dgs_cooldown = 0
+    dgs_state = DelayedGramState()
     e_lowest_sc = None
     # inactive under sync_update batching — see solve()
     if n_lower > 0 and config.delayed_gram and (config.sync_update or 1) == 1:
@@ -1581,21 +1571,11 @@ def _solve_split(
             )
         if n_lower > 0 and e_lowest_sc is not None:
             # cooldown after admixture-triggered releases — see solve()
-            was = delayed_gs
-            if _dgs_cooldown > 0:
-                _dgs_cooldown -= 1
-                delayed_gs = False
-            else:
-                delayed_gs = delayed_gram_gate(
-                    delayed_gs, norm_energy.real, e_lowest_sc, dt,
-                    config.output.screen_update, config.tolerance, log,
-                    measured_delta=measured_delta,
-                )
-            if (
-                was and not delayed_gs
-                and measured_delta is not None and measured_delta > 1e-4
-            ):
-                _dgs_cooldown = 4
+            delayed_gs = dgs_state.update(
+                norm_energy.real, e_lowest_sc, dt,
+                config.output.screen_update, config.tolerance, log,
+                measured_delta=measured_delta,
+            )
         tau = step * dt
 
         # Snapshot lifecycle, matching solve(): the symmetrisation persists
@@ -1752,6 +1732,59 @@ def drift_guard(
     return per_step_norm
 
 
+# Delayed re-orthogonalisation numerics constants, shared by the gate and
+# the per-driver state machine: δ₀ is the rounding-level post-projection
+# residual budget (measured ≤ ~4e-7 on the f32 paths); a measured
+# pre-projection admixture above 100·δ₀ force-releases the gate.
+_DGS_DELTA0 = 1e-6
+_DGS_RELEASE_DELTA = 100.0 * _DGS_DELTA0
+
+
+class DelayedGramState:
+    """Delayed-GS gate + release-cooldown state machine — one instance per
+    solve loop, shared by all four drivers (solve(), the split path, and
+    both sharded drivers).
+
+    Wraps :func:`delayed_gram_gate` with the flap cooldown: an admixture-
+    triggered release starts a short cooldown, because the measured value
+    right after a per-step-GS chunk is always tiny — without it the gate
+    would re-engage and flap chunk-by-chunk while the transient regrowth
+    persists."""
+
+    COOLDOWN_CHUNKS = 4
+
+    def __init__(self) -> None:
+        self.engaged = False
+        self._cooldown = 0
+
+    def update(
+        self,
+        energy_now: float,
+        e_lowest: float,
+        dt: float,
+        su: int,
+        tolerance: float,
+        log,
+        measured_delta: Optional[float] = None,
+    ) -> bool:
+        was = self.engaged
+        if self._cooldown > 0:
+            self._cooldown -= 1
+            self.engaged = False
+        else:
+            self.engaged = delayed_gram_gate(
+                self.engaged, energy_now, e_lowest, dt, su, tolerance, log,
+                measured_delta=measured_delta,
+            )
+        if (
+            was and not self.engaged
+            and measured_delta is not None
+            and measured_delta > _DGS_RELEASE_DELTA
+        ):
+            self._cooldown = self.COOLDOWN_CHUNKS
+        return self.engaged
+
+
 def delayed_gram_gate(
     engaged: bool,
     energy_now: float,
@@ -1779,7 +1812,7 @@ def delayed_gram_gate(
     Gram-Schmidt while the chunk sheds the l/Sl HBM streams entirely and
     runs the ground per-step-norm ladder (docs/PARITY.md divergence 12).
     """
-    delta0 = 1e-6
+    delta0 = _DGS_DELTA0
     de = max(0.0, energy_now - e_lowest)
     bias = delta0 * delta0 * math.exp(min(2.0 * de * dt * su, 700.0)) * de
     # Measured-admixture override: the a-priori bound uses the energy
@@ -1790,7 +1823,7 @@ def delayed_gram_gate(
     # model. The engagement-time estimate is sound (a freshly-projected
     # state's Rayleigh quotient sits ≥ the true E_target variationally),
     # so one chunk at most runs over-contaminated before this fires.
-    if engaged and measured_delta is not None and measured_delta > 100.0 * delta0:
+    if engaged and measured_delta is not None and measured_delta > _DGS_RELEASE_DELTA:
         log.info(
             "Delayed re-orthogonalisation released: measured lower-state "
             "admixture %.2e exceeds the %.0e budget — resuming per-step "
