@@ -324,3 +324,28 @@ def test_flat_ring_disallows_in_kernel_ici():
         allow_ici=False,
     )
     assert not sops_off.sc_ici and sops_off.sc_res_steps == 2
+
+
+def test_distributed_initialize_env_wiring(monkeypatch):
+    """With coordinator env set, the entry passes the exact
+    coordinator/num/pid trio to jax.distributed.initialize (the
+    multi-process launch contract for the DCN tier)."""
+    import jax
+
+    from wafer_tpu.parallel import distributed
+
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("WAFER_COORDINATOR", "10.0.0.1:8476")
+    monkeypatch.setenv("WAFER_NUM_PROCESSES", "2")
+    monkeypatch.setenv("WAFER_PROCESS_ID", "1")
+    assert distributed.maybe_initialize_distributed() is True
+    assert calls == {
+        "coordinator_address": "10.0.0.1:8476",
+        "num_processes": 2,
+        "process_id": 1,
+    }
