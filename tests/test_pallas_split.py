@@ -220,6 +220,27 @@ def test_split_mixed_residency_matches_xla(n_steps, streamed_b, order):
         np.asarray(oi_), np.asarray(ri), rtol=2e-5, atol=2e-6
     )
 
+    # per-step-norm variant (delayed-GS / drift-guard chunks): the deferred
+    # racc recursion + host-side final rescale == the psn oracle
+    nr, ni = sc.evolve_chunk_sc(
+        pr, pi, ar, ai, br, bi, None, None, order, dt, dn, mass, n_steps, 0,
+        per_step_norm=True,
+    )
+    out_n = ps.evolve_chunk_resident_mixed_sc(
+        ps.to_xpad_sc(pr, pi, ext), order, dt, dn, mass, n_steps,
+        None if streamed_b else analytic,
+        interpret=True,
+        b2=_stack_b(br, bi, ext) if streamed_b else None,
+        per_step_norm=True,
+    )
+    onr, oni = ps.from_xpad_sc(out_n, ext)
+    np.testing.assert_allclose(
+        np.asarray(onr), np.asarray(nr), rtol=5e-5, atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(oni), np.asarray(ni), rtol=5e-5, atol=5e-6
+    )
+
 
 def test_split_mixed_residency_gating():
     # 256³: the pair misses whole-chunk VMEM but re alone fits — the

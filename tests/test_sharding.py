@@ -1324,6 +1324,23 @@ def test_sharded_split_mixed_shortcut(monkeypatch, potential):
     np.testing.assert_allclose(np.asarray(oi_), np.asarray(ri),
                                rtol=2e-5, atol=2e-6)
 
+    # per-step-norm (drift-guard / delayed-GS) chunks ride the mixed
+    # kernel's deferred-racc variant, not the 1-step fused fallback
+    nrr, nri = ops_x.evolve_chunk_psn(
+        ops_x.put(pr), ops_x.put(pi),
+        ops_x.put(ar), ops_x.put(ai), ops_x.put(br), ops_x.put(bi),
+        ops_x.put_store(None), ops_x.put_store(None),
+    )
+    onr, oni = ops_p.evolve_chunk_psn(
+        ops_p.put(pr), ops_p.put(pi),
+        ops_p.put(ar), ops_p.put(ai), ops_p.put(br), ops_p.put(bi),
+        ops_p.put_store(None), ops_p.put_store(None),
+    )
+    np.testing.assert_allclose(np.asarray(onr), np.asarray(nrr),
+                               rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(oni), np.asarray(nri),
+                               rtol=5e-5, atol=5e-6)
+
 
 def test_sharded_split_blocked_shortcut(monkeypatch):
     """1×1×1-mesh split ground whose pair exceeds whole-array residency

@@ -1564,7 +1564,10 @@ def evolve_chunk_resident_blocked_sc(
 # negative, the windows land in buffers the sweep is not updating in
 # place). Exact per-step cadence (no deep halos, no blind recompute): HBM
 # traffic is 8 B/update (im read+write) against the pair-blocked kernel's
-# ~2.2× VPU amplification + serial DMA. Ground state only. B sources: the
+# ~2.2× VPU amplification + serial DMA. Ground-SHAPED chunks only (no
+# stored-state streams); a per-step-norm variant (the deferred racc
+# recursion of _evolve_kernel_res_sc, final rescale host-side) serves the
+# drift guard and the delayed-GS excited chunks. B sources: the
 # in-kernel analytic complex B, or — for non-analytic complex potentials
 # (e.g. ComplexFullCornell) — a double-buffered streamed (Br, Bi) slab
 # window pair at 16 B/update total (same prefetch cadence as the im
@@ -1624,6 +1627,7 @@ def _evolve_kernel_res_mixed_sc(
     zeros_x,    # (ext, NY, NZ) VMEM
     bbuf,       # (4·tx, NY, NZ) VMEM — double-buffered (Br, Bi) slab
     # windows ((1,1,1) stub when analytic)
+    racc,       # (2, 1) SMEM f32 — per-step norm² ping-pong (with_norm)
     sem_in,
     sem_out,
     sem_win,    # DMA (2,)
@@ -1637,6 +1641,7 @@ def _evolve_kernel_res_mixed_sc(
     ext: int,
     analytic,
     nx: int,
+    with_norm: bool = False,
 ):
     offsets, coeffs, center_c, _k = geometry.stencil_coefficients(order)
     i = pl.program_id(0)
@@ -1677,6 +1682,22 @@ def _evolve_kernel_res_mixed_sc(
     parity = jax.lax.rem(i, jnp.int32(2))
     src_base = parity * jnp.int32(nxe)
     dst_base = jnp.int32(nxe) - src_base
+
+    if with_norm:
+        # deferred per-step normalisation (exact by linearity — the racc
+        # recursion of _evolve_kernel_res_sc): step i scales its outputs by
+        # rsqrt of step i−1's accumulated ‖ψ‖² and accumulates its own; the
+        # WRAPPER applies the final step's scale to both halves (the last
+        # im' slabs are already in HBM when the chunk ends, so the final
+        # rescale cannot happen in VMEM here).
+        nslot = jax.lax.rem(i, jnp.int32(2))
+        nprev = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        inv = jnp.where(
+            i == 0,
+            jnp.float32(1.0),
+            jax.lax.rsqrt(jnp.maximum(racc[nprev, 0], jnp.float32(1e-37))),
+        )
+        racc[nslot, 0] = jnp.float32(0.0)
 
     slabs = [(ext + s * tx, tx) for s in range(nx // tx)]
     if nx % tx:
@@ -1773,6 +1794,10 @@ def _evolve_kernel_res_mixed_sc(
         ti = 2.0 * ci + scale * acc_i
         new_r = br * tr - bi * ti - cr
         new_i = br * ti + bi * tr - ci
+        if with_norm:
+            new_r = inv * new_r
+            new_i = inv * new_i
+            racc[nslot, 0] += jnp.sum(new_r * new_r) + jnp.sum(new_i * new_i)
         lag_r[...] = re_buf[rs + txs - ext : rs + txs]
         re_buf[rs : rs + txs] = new_r
         wout[slot * tx : slot * tx + txs] = new_i
@@ -1782,7 +1807,10 @@ def _evolve_kernel_res_mixed_sc(
 
     @pl.when(i == n_steps - 1)
     def _store():
-        red_out[0, 0] = jnp.float32(0.0)
+        if with_norm:
+            red_out[0, 0] = racc[nslot, 0]
+        else:
+            red_out[0, 0] = jnp.float32(0.0)
         cp = pltpu.make_async_copy(re_buf, re_out, sem_out)
         cp.start()
         cp.wait()
@@ -1791,7 +1819,7 @@ def _evolve_kernel_res_mixed_sc(
 @functools.partial(
     jax.jit,
     static_argnames=("order", "dt", "dn", "mass", "n_steps", "analytic",
-                     "interpret", "tx"),
+                     "interpret", "tx", "per_step_norm"),
 )
 def evolve_chunk_resident_mixed_sc(
     psi2: jnp.ndarray,
@@ -1804,13 +1832,18 @@ def evolve_chunk_resident_mixed_sc(
     interpret: bool = False,
     tx: Optional[int] = None,
     b2: Optional[jnp.ndarray] = None,
+    per_step_norm: bool = False,
 ) -> jnp.ndarray:
     """A split-complex ground chunk with re VMEM-resident throughout and im
     streamed through a ping-pong HBM pair (see the section comment).
     ``psi2`` is the stacked xpad layout (:func:`to_xpad_sc`); exact
     per-step cadence (src/grid.rs:544-687). Non-analytic complex potentials
     pass ``b2`` ((Br, Bi) work-area stacked) and the kernel streams it
-    double-buffered alongside im."""
+    double-buffered alongside im. ``per_step_norm`` runs the deferred
+    per-step normalisation recursion (drift-guard psn and delayed-GS
+    chunks, oracle ops/split_complex.evolve_chunk_sc): the final step's
+    scale is applied here, host-side, because the last im' slabs are
+    already in HBM when the kernel ends."""
     _o, _c, _cc, k = geometry.stencil_coefficients(order)
     scale = dt / (k * dn * dn * mass)
     ext = _EXT[order]
@@ -1833,6 +1866,7 @@ def evolve_chunk_resident_mixed_sc(
         ext=ext,
         analytic=analytic,
         nx=nx,
+        with_norm=per_step_norm,
     )
     re = psi2[:nxe]
     # only the ping half is consumed (copied into the output pair at
@@ -1882,6 +1916,7 @@ def evolve_chunk_resident_mixed_sc(
                     (brows, ny, nz) if analytic is None else (1, 1, 1),
                     dtype,
                 ),
+                pltpu.SMEM((2, 1), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((2,)),
@@ -1893,7 +1928,14 @@ def evolve_chunk_resident_mixed_sc(
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
         )(re, im2, b_arg, xorg)
     im_final = im2_o[nxe:] if n_steps % 2 == 1 else im2_o[:nxe]
-    return jnp.concatenate([re_o, im_final], axis=0)
+    out = jnp.concatenate([re_o, im_final], axis=0)
+    if per_step_norm:
+        # the deferred recursion leaves the last step unnormalised (its im'
+        # slabs are already in HBM); _red carries that step's ‖ψ‖²
+        out = out * jax.lax.rsqrt(
+            jnp.maximum(_red[0, 0], jnp.float32(1e-37))
+        ).astype(dtype)
+    return out
 
 
 # --------------------------------------------------------------------------- #

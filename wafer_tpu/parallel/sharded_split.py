@@ -625,19 +625,17 @@ class ShardedSplitOps:
                         out2[bxp + ext : bxp + ext + bxl],
                     )
 
-                if (
-                    n_lower == 0
-                    and not per_step_norm
-                    and sc_mixed_tx is not None
-                ):
+                if n_lower == 0 and sc_mixed_tx is not None:
                     # 1-shard axis, pair exceeds whole-array residency but
                     # re alone fits: the single-chip mixed-residency kernel
                     # (re on-chip all chunk, im streamed — measured fastest,
-                    # see solver._solve_split)
+                    # see solver._solve_split); per_step_norm rides its
+                    # deferred-racc variant (drift guard / delayed-GS)
                     out2 = ps_mod.evolve_chunk_resident_mixed_sc(
                         to_x2(pr, pi), order, dt, dn, mass, screen_update,
                         sc_analytic, interpret=pallas_interpret,
                         tx=sc_mixed_tx, b2=b2_loc,
+                        per_step_norm=per_step_norm,
                     )
                     return (
                         out2[ext : ext + bxl],

@@ -1301,6 +1301,17 @@ def _solve_split(
                         "deep-halo resident kernel (bx=%d, R=%d)",
                         resb_sc_plan[0], resb_sc_plan[1],
                     )
+        mixed_dgs_tx = None
+        if (
+            n_lower > 0
+            and config.delayed_gram
+            and not ps.resident_sc_supported(nx_, ny_, nz_, ext, 4)
+        ):
+            # delayed-GS chunks are ground-shaped (no stores): they can ride
+            # the mixed-residency kernel's per-step-norm variant
+            mixed_dgs_tx = ps.pick_tx_mixed_sc(
+                nx_, ny_, nz_, ext, 4, analytic_b=sc_analytic is not None
+            )
         if (
             not use_resident_sc
             and mixed_sc_tx is None
@@ -1393,6 +1404,23 @@ def _solve_split(
                         ),
                         ext,
                     )
+                if mixed_dgs_tx is not None:
+                    # 256³-class pair: mixed residency with the deferred
+                    # per-step-norm recursion (measured ~3× the psn 1-step
+                    # fused pair — BASELINE.md round 5)
+                    return ps.from_xpad_sc(
+                        ps.evolve_chunk_resident_mixed_sc(
+                            ps.to_xpad_sc(pr_, pi_, ext),
+                            order, dt, dn, mass, su, sc_analytic,
+                            tx=mixed_dgs_tx,
+                            b2=(
+                                None if sc_analytic is not None
+                                else env.get("b2")
+                            ),
+                            per_step_norm=True,
+                        ),
+                        ext,
+                    )
                 return ps.from_xpad_sc(
                     ps.evolve_chunk_fused_sc(
                         ps.to_xpad_sc(pr_, pi_, ext), env.get("b2"), None,
@@ -1407,13 +1435,14 @@ def _solve_split(
                 per_step_norm=True,
             )
         if split_backend == "pallas":
-            if mixed_sc_tx is not None and not per_step_norm:
+            if mixed_sc_tx is not None:
                 return ps.from_xpad_sc(
                     ps.evolve_chunk_resident_mixed_sc(
                         ps.to_xpad_sc(pr_, pi_, ext),
                         order, dt, dn, mass, su, sc_analytic,
                         tx=mixed_sc_tx,
                         b2=None if sc_analytic is not None else env.get("b2"),
+                        per_step_norm=per_step_norm,
                     ),
                     ext,
                 )
