@@ -313,6 +313,37 @@ def _row_split(n: int) -> float:
     return _median_chain_rate(chunk, p2, n, STEPS)
 
 
+def _row_split_dgs(n: int) -> float:
+    """Split-complex delayed-GS excited chunk: the mixed-residency kernel's
+    per-step-norm variant (deferred racc recursion; what excited split
+    chunks run when solver.delayed_gram_gate engages — PARITY #12)."""
+    from wafer_tpu.ops import pallas_split as ps
+
+    order, ext = "ThreePoint", 1
+    dn, dt, mass, absorb = 0.01, 3e-5, 1.0, 0.2
+    an = ("Harmonic", dn, dt, mass, n, n, n, 1.0, 0.0, absorb)
+    tx = ps.pick_tx_mixed_sc(n, n, n, ext, 4)
+    if tx is None:
+        raise RuntimeError("pick_tx_mixed_sc declined")
+    rng = np.random.default_rng(0)
+    pr = np.zeros((n + 2 * ext,) * 3, np.float32)
+    pi = np.zeros((n + 2 * ext,) * 3, np.float32)
+    pr[ext:-ext, ext:-ext, ext:-ext] = rng.normal(size=(n, n, n)).astype(
+        np.float32
+    )
+    pi[ext:-ext, ext:-ext, ext:-ext] = rng.normal(size=(n, n, n)).astype(
+        np.float32
+    )
+
+    def chunk(p2):
+        return ps.evolve_chunk_resident_mixed_sc(
+            p2, order, dt, dn, mass, STEPS, an, tx=tx, per_step_norm=True,
+        )
+
+    p2 = ps.to_xpad_sc(jnp.asarray(pr), jnp.asarray(pi), ext)
+    return _median_chain_rate(chunk, p2, n, STEPS)
+
+
 def _extra_rows(accel) -> list:
     """The round-over-round perf surface beyond the headline (VERDICT r3
     weak #6): 512³ ground, 256³ S=1 excited, 256³ split-complex. Each row
@@ -343,6 +374,11 @@ def _extra_rows(accel) -> list:
             f"excited delayed-GS updates/sec/chip at {N}^3 (f32, psn "
             "resident, S-independent — PARITY #12)",
             lambda: _row_delayed_gs(N),
+        ),
+        (
+            f"split-complex delayed-GS updates/sec/chip at {N}^3 (f32 "
+            "pair, psn mixed residency — PARITY #12)",
+            lambda: _row_split_dgs(N),
         ),
     ]
     for metric, fn in specs:
