@@ -641,6 +641,35 @@ def test_delayed_gram_gate_hysteresis():
         raise AssertionError("no dE found inside the hysteresis band")
 
 
+def test_delayed_gram_state_learns_regrowth():
+    """Fast-regrowth workloads (measured: the 256³ finite-T quarkonium 2S
+    reaches ~2.5e-2 admixture per chunk, ~100× the rounding-level model)
+    must not flap the gate every COOLDOWN+1 chunks: an admixture-triggered
+    release back-solves the effective per-chunk seed δ₀ and the gate stays
+    released until the slow decay re-admits a probe."""
+    import logging
+
+    log = logging.getLogger("test")
+    st = solver.DelayedGramState()
+    # quark-like numbers: dE=0.523, dt=0.003, su=500 → amplification ≈ 2.2
+    kw = dict(dt=0.003, su=500, tolerance=1e-6, log=log)
+    assert st.update(2.023, 1.5, **kw)          # a-priori model engages
+    # boundary after one delayed chunk measures a huge admixture → release
+    assert not st.update(2.023, 1.5, measured_delta=2.5e-2, **kw)
+    assert st.delta0 > 1e-3                      # learned ≈ 2.5e-2 / 2.19
+    # cooldown, then the LEARNED δ₀ keeps the gate released (pre-fix it
+    # would re-engage right here and flap forever)
+    released = 0
+    for _ in range(10):
+        if not st.update(2.023, 1.5, measured_delta=1e-7, **kw):
+            released += 1
+    assert released == 10, "gate must stay released on the learned seed"
+    # the decay eventually re-admits a probe (transient contamination)
+    for _ in range(40):
+        st.update(2.023, 1.5, measured_delta=1e-7, **kw)
+    assert st.engaged, "decayed δ₀ must re-admit delayed mode"
+
+
 def test_delayed_gram_equivalence(tmp_run):
     """Delayed re-orthogonalisation (default) vs the reference's per-step
     projection (delayed_gram: false): converged excited energies agree

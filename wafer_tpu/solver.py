@@ -1774,17 +1774,27 @@ class DelayedGramState:
     solve loop, shared by all four drivers (solve(), the split path, and
     both sharded drivers).
 
-    Wraps :func:`delayed_gram_gate` with the flap cooldown: an admixture-
+    Wraps :func:`delayed_gram_gate` with the flap cooldown (an admixture-
     triggered release starts a short cooldown, because the measured value
-    right after a per-step-GS chunk is always tiny — without it the gate
-    would re-engage and flap chunk-by-chunk while the transient regrowth
-    persists."""
+    right after a per-step-GS chunk is always tiny) and with a LEARNED δ₀:
+    the a-priori budget assumes the post-projection residual is
+    rounding-level, but some workloads regrow far faster (measured: 256³
+    finite-T quarkonium 2S reaches ~2.5e-2 per 500-step chunk — ~100×
+    the model, identically on the mixed-psn and fused-psn kernels, so it
+    is a property of the f32 evolution, not of any kernel). Each
+    admixture-triggered release back-solves the effective
+    ``δ₀ = measured/exp(ΔE·dt·su)`` and feeds it to the gate, which then
+    stays released instead of probing every COOLDOWN+1 chunks; a slow
+    multiplicative decay (×0.7 per released boundary) re-admits delayed
+    mode if the regrowth was a transient (e.g. early-run contamination)."""
 
     COOLDOWN_CHUNKS = 4
+    DELTA0_DECAY = 0.7
 
     def __init__(self) -> None:
         self.engaged = False
         self._cooldown = 0
+        self.delta0 = _DGS_DELTA0
 
     def update(
         self,
@@ -1797,13 +1807,15 @@ class DelayedGramState:
         measured_delta: Optional[float] = None,
     ) -> bool:
         was = self.engaged
+        if not was and self.delta0 > _DGS_DELTA0:
+            self.delta0 = max(_DGS_DELTA0, self.delta0 * self.DELTA0_DECAY)
         if self._cooldown > 0:
             self._cooldown -= 1
             self.engaged = False
         else:
             self.engaged = delayed_gram_gate(
                 self.engaged, energy_now, e_lowest, dt, su, tolerance, log,
-                measured_delta=measured_delta,
+                measured_delta=measured_delta, delta0=self.delta0,
             )
         if (
             was and not self.engaged
@@ -1811,6 +1823,18 @@ class DelayedGramState:
             and measured_delta > _DGS_RELEASE_DELTA
         ):
             self._cooldown = self.COOLDOWN_CHUNKS
+            de = max(0.0, energy_now - e_lowest)
+            amp = math.exp(min(de * dt * su, 700.0))
+            learned = measured_delta / amp
+            if learned > self.delta0:
+                self.delta0 = learned
+                log.info(
+                    "Delayed re-orthogonalisation: learned per-chunk "
+                    "regrowth seed %.2e (measured %.2e / amplification "
+                    "%.3g) — the gate re-engages only when its projected "
+                    "bias clears tolerance again",
+                    learned, measured_delta, amp,
+                )
         return self.engaged
 
 
@@ -1823,6 +1847,7 @@ def delayed_gram_gate(
     tolerance: float,
     log,
     measured_delta: Optional[float] = None,
+    delta0: float = _DGS_DELTA0,
 ) -> bool:
     """Numerics gate for delayed re-orthogonalisation (SURVEY §7's named
     excited-state lever; reference per-step cadence: src/grid.rs:674-681).
@@ -1841,7 +1866,6 @@ def delayed_gram_gate(
     Gram-Schmidt while the chunk sheds the l/Sl HBM streams entirely and
     runs the ground per-step-norm ladder (docs/PARITY.md divergence 12).
     """
-    delta0 = _DGS_DELTA0
     de = max(0.0, energy_now - e_lowest)
     bias = delta0 * delta0 * math.exp(min(2.0 * de * dt * su, 700.0)) * de
     # Measured-admixture override: the a-priori bound uses the energy
